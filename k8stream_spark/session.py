@@ -1,0 +1,69 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same builder options apply unchanged (the master is injected by spark-submit).
+Every knob here is chosen for the 100 TB posture:
+
+  * AQE on — runtime coalescing, skew-join splitting, dynamic join-strategy
+    demotion are essential once partition statistics are only known at run
+    time on big inputs.
+  * ``spark.sql.shuffle.partitions`` defaults to the local core count for
+    tests; at cluster scale AQE's coalescing makes the initial number a
+    ceiling rather than a tuning knob.
+  * Arrow enabled — every pandas_udf / mapInPandas boundary is Arrow-batched.
+  * Session timezone pinned UTC so event-time semantics are stable and the
+    DuckDB oracle (UTC-naive timestamps) compares cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "k8stream_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master=None`` → ``local[$SPARK_GRAFT_CPUS]`` for local runs; pass an
+    explicit master (or let spark-submit inject one) on a cluster.
+    """
+    n = cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{n}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # Streaming state at scale: RocksDB keeps dedup state off-heap and
+        # incrementally checkpointed (reference's buntdb cache analog,
+        # reference cache.go:19-140 — but durable and partitioned).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
