@@ -22,5 +22,5 @@ Design stance (SURVEY.md §7.1):
 __version__ = "0.1.0"
 
 # Output-record schema version constant, mirroring the reference's build-time
-# version stamp (reference main.go:18, event.go:65 `Version: version`).
-L9_VERSION = "v0.0.5"
+# version stamp (reference main.go:18 `version = "0.0.5"`, event.go:65).
+L9_VERSION = "0.0.5"

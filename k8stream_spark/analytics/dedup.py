@@ -1,0 +1,312 @@
+"""Document deduplication for training-data pipelines: exact, canonical
+(word-order-insensitive), MinHash+LSH near-dup, SimHash, and n-gram
+Jaccard verification.
+
+Scale design (the whole point at 100 TB):
+
+  * Exact/canonical dedup — one hash-groupBy shuffle on the fingerprint;
+    map-side partial agg; no sort.
+  * MinHash+LSH — never all-pairs.  signature → band → explode(bands) →
+    self-join on (band_idx, band_hash) generates candidates only within
+    buckets: O(candidates), not O(n²).  Exact Jaccard verification runs
+    only on candidates.
+  * SimHash — 64-bit signature per doc; candidates blocked by 16-bit
+    bands (Hamming ≤ 3 ⇒ at least one of four 16-bit quarters equal, by
+    pigeonhole), then exact popcount filter.
+  * Everything is built-in expressions (xxhash64, transform, aggregate);
+    no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
+    """Distinct n-word shingles of a space-tokenized text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    # transform(sequence(0, size-n), i -> concat_ws(' ', slice(toks, i+1, n)))
+    shingle = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(shingle)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by md5(text), keep the lowest doc_id as the
+    canonical representative.  One shuffle on the 128-bit hash — the hash
+    groupBy form (never a distinct over the full text payload, which would
+    shuffle every byte of the corpus).
+    """
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def canonical_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonicalized dedup: fingerprint = md5(sorted distinct token set),
+    collapsing word-order shuffles.  Same single-shuffle shape as
+    exact_dedup.
+    """
+    canonical = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " "
+    )
+    return (
+        df.select("doc_id", F.md5(canonical).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingles, sig) — MinHash signature as an array of
+    ``num_hashes`` 64-bit minima.  Each hash function is xxhash64 seeded
+    by the hash index (second argument acts as the seed mix); array_min
+    over the transformed shingle array keeps the whole signature inside
+    one codegen'd projection.
+    """
+    def seeded_min(seed: int) -> Column:
+        # NB: the transform lambda must take ONE arg — a two-arg lambda
+        # would receive the array index as its second parameter and shadow
+        # the seed, collapsing all hash functions into one.
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    sh = word_shingles(text_col, shingle_n)
+    sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
+    return df.select("doc_id", sh.alias("shingles")).select(
+        "doc_id", "shingles", sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH, exact-Jaccard verified.
+
+    Pipeline: signature → split into ``bands`` bands of r = num_hashes/bands
+    rows → hash each band → explode → self-join on (band, band_hash) for
+    candidate generation (bucketed, never all-pairs) → distinct candidate
+    pairs → exact Jaccard on the shingle sets → keep >= threshold.
+
+    With r=4, b=32 the S-curve puts recall at ~1-1e-15 for J=0.9 pairs, so
+    the verified output equals the exact all-pairs answer — which is what
+    the DuckDB oracle computes (feasible at oracle scale only; at 100 TB
+    only this LSH path survives).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 4dp.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_n)
+
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[b * r + j] for j in range(r)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    shingle_sets = sigs.select("doc_id", "shingles")
+    verified = (
+        candidates.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                / F.size(F.array_union("__sa", "__sb")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    Not all-pairs: explode shingles → self-join on the shingle (inverted
+    index — only docs sharing at least one shingle meet) → count shared
+    shingles per pair → Jaccard from |A∩B| and set sizes.  The join is an
+    equi-join on the shingle hash, so it shuffles on shingle, not doc².
+    """
+    sh = df.select(
+        "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).withColumn("shingle", F.xxhash64("shingle"))
+
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("__na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("__nb"))),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    For each bit position, sum +1/-1 over tokens and set the bit when the
+    sum is positive.  Expressed as one aggregate over the exploded tokens —
+    64 conditional sums, all codegen'd; no Python.
+    """
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Candidate blocking by pigeonhole: with 4 16-bit quarters, any pair at
+    Hamming <= 3 agrees exactly on at least one quarter — so a self-join
+    on (quarter_idx, quarter_value) finds all of them without all-pairs.
+    """
+    sims = simhash(df, text_col)
+    quarters = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("q_idx", "q_val"),
+    )
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q_idx") == F.col("b.q_idx"))
+            & (F.col("a.q_val") == F.col("b.q_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,82 @@
+"""Event-stream analytics over the driver ``events`` table — the queries a
+consumer of the reference's NDJSON output would run (reference
+README.md:73-81 defers ordering/dedup/analytics to the consumer), plus the
+JSON prop extraction the reference does with encoding/json (F7,
+reference cache.go:81, flush.go:44).
+
+All expressions — `get_json_object` is a codegen'd JVM path, not a UDF.
+Window/sessionize shuffle once on user_id (per-key sorts only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from k8stream_spark.analytics.tpch import exact_sum
+
+
+def _epoch_long(col: str) -> Column:
+    """Epoch seconds (truncated) from a timestamp/timestamp_ntz column —
+    NTZ is cast through TIMESTAMP under the pinned-UTC session so the
+    value matches DuckDB's floor(epoch(ts))."""
+    return F.col(col).cast("timestamp").cast("long")
+
+
+def extract_props(df: DataFrame, prop: str = "k") -> DataFrame:
+    """F7 — JSON property extraction from the ``props`` string column."""
+    return df.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", f"$.{prop}").cast("bigint").alias(prop),
+    )
+
+
+def hourly_type_counts(df: DataFrame) -> DataFrame:
+    """Tumbling hourly counts per event type (event-time aggregation)."""
+    return df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value")).alias("total_value"),
+    )
+
+
+def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a new session starts after ``gap_minutes`` of user
+    inactivity.  lag + running sum over a per-user window — the batch
+    equivalent of ``session_window``.
+
+    All ordering/gap math runs on truncated epoch *seconds* (with
+    event_id tiebreak) so the session assignment is deterministic and
+    identical in any engine regardless of sub-second precision.
+    """
+    tsec = _epoch_long("ts")
+    base = df.select("user_id", "event_id", tsec.alias("tsec"))
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    prev = F.lag("tsec").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("tsec") - prev > gap_minutes * 60), 1
+    ).otherwise(0)
+    with_sess = base.withColumn(
+        "session_id", F.sum(new_session).over(w).cast("bigint")
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        (F.max("tsec") - F.min("tsec")).alias("duration_s"),
+    )
+
+
+def user_type_matrix(df: DataFrame) -> DataFrame:
+    """Per-user event-type pivot counts (fixed pivot values → single pass,
+    no second job to discover distinct values)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        df.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators over the ``documents`` table: tokenization,
+token counting, term statistics, language ID, quality scoring, document
+fingerprinting.
+
+Everything is built-in ``pyspark.sql.functions`` — split/explode/groupBy
+stay JVM-side inside whole-stage codegen; no Python UDF touches the hot
+path (a row-at-a-time Python tokenizer would be 10-100× slower and
+serialize every string across the Py4J boundary).
+
+Scale notes: ``term_stats`` shuffles once on the token (partial
+aggregation map-side first); ``explode`` multiplies rows ~150× here, so
+upstream filters/projections must run before it — callers should select
+only (doc_id, text) into these functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small and hard-pinned so the DuckDB oracle can repeat them.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "with"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "mit"),
+    "es": ("el", "los", "las", "y", "con"),
+}
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Whitespace tokenization (documents' text is space-separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokens per document — `size(split(text))`, zero Python."""
+    return df.select(
+        "doc_id", F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+
+
+def term_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term statistics: total term frequency + document frequency
+    per token.  One shuffle on the token with map-side partial agg.
+    """
+    exploded = df.select(
+        "doc_id", F.explode(tokens(text_col)).alias("token")
+    )
+    return exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID via stopword-marker voting + a CJK codepoint check.
+
+    CJK text (no spaces between han characters) is detected by regexp;
+    otherwise the language with the most distinct marker hits wins, ties
+    and zero-hit rows falling back to 'und'.  Pure expressions — the
+    whole classifier is one projection.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # Deterministic argmax: strictly-greater chain in fixed lang order.
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    is_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    pred = F.when(is_cjk, F.lit("zh")).otherwise(best_lang)
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token count, distinct-token
+    ratio, mean token length.  All ratios rounded to 4 dp so the oracle
+    comparison is float-stable.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("bigint").alias("n_chars_m"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(n_distinct.cast("double") / n_tok, 4).alias("distinct_ratio"),
+        F.round(
+            (F.length(text_col) - n_tok + 1).cast("double") / n_tok, 4
+        ).alias("mean_token_len"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — two docs that are word-shuffles of each other collide,
+    which is exactly the canonicalization the near-dup pass wants as its
+    cheap first stage.
+    """
+    canonical = F.array_join(
+        F.array_sort(F.array_distinct(tokens(text_col))), " "
+    )
+    return df.select("doc_id", F.md5(canonical).alias("fingerprint"))

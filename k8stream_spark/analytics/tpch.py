@@ -1,0 +1,160 @@
+"""OLAP queries over the TPC-H-ish driver tables — the offline-analytics
+half the reference delegates to consumers (reference README.md:18-19).
+
+These are the bench headliners, so every one is written for the plan we
+want at 100 TB:
+
+  * Aggregations go partial→final automatically (HashAggregate map-side);
+    group-by keys are low-cardinality so AQE coalesces the shuffle.
+  * Dimension joins (`customer`, `nation`, `region`, `supplier`) are
+    explicit ``broadcast`` — the fact tables (`lineitem`, `orders`) never
+    shuffle for a join here.
+  * Filters sit directly on scan columns → parquet PushedFilters.
+  * Money aggregates are rounded to 2 dp — float-stable for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: Column, scale: int = 2) -> Column:
+    """Order-independent money sum: per-row doubles are cast to an exact
+    DECIMAL before the (partial) aggregation, so the result does not depend
+    on partition/accumulation order — a double sum over 600M rows drifts by
+    more than a cent and would flap against the oracle; a decimal sum is
+    bit-stable at any parallelism.  Cast back to double at the end."""
+    return F.round(F.sum(col.cast("decimal(30,8)")).cast("double"), scale)
+
+
+def exact_avg(col: Column, scale: int = 4) -> Column:
+    """Order-independent mean via exact decimal sum / count."""
+    return F.round(
+        F.sum(col.cast("decimal(30,8)")).cast("double") / F.count(F.lit(1)),
+        scale,
+    )
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2000-09-02") -> DataFrame:
+    """TPC-H Q1 shape: pricing summary report over lineitem."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    topn: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped-revenue orders for a market segment.
+
+    customer is broadcast (dim); orders⋈lineitem shuffles once on the
+    order key.  Deterministic top-n: revenue desc then o_orderkey asc.
+    """
+    cust = F.broadcast(
+        customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    )
+    revenue = exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(topn)
+    )
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier share
+    the nation.  All four dims broadcast; the two fact tables join on the
+    order key (one shuffle), then the supplier condition is an equi-join
+    on (l_suppkey, c_nationkey=s_nationkey) against a broadcast dim.
+    """
+    nat = F.broadcast(
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    cust = F.broadcast(
+        customer.join(nat, customer.c_nationkey == nat.n_nationkey).select(
+            "c_custkey", "c_nationkey", "n_name"
+        )
+    )
+    supp = F.broadcast(supplier.select("s_suppkey", "s_nationkey"))
+    revenue = exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(
+            supp,
+            (lineitem.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window ranking: top-k orders by total price per customer.
+    Single shuffle on o_custkey; per-key sort only (no global sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def order_priority_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (orderstatus, orderpriority): subtotal lattice in one
+    pass — Spark expands grouping sets without rescanning the fact table."""
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-segment order stats: broadcast dim join + one agg shuffle."""
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice")).alias("total_price"),
+            exact_avg(F.col("o_totalprice")).alias("avg_price"),
+        )
+    )

@@ -1,0 +1,226 @@
+"""Enrichment joins J1-J6, aggregation A1, union U1
+(reference event.go:33-77, k8sclient.go:62-159, event_service.go:10-96,
+main.go:84-90).
+
+The reference's joins are all memoized point lookups (hash-join-with-a-
+cache).  Spark inverts the access pattern: join against the whole dimension
+with an explicit ``broadcast`` — at 100 TB the fact side streams through
+executors while the dim ships once per executor, no shuffle of the big side.
+
+J4 (label-selector containment) is the one join Spark lacks natively.  The
+scale-safe form (SURVEY.md §7.4) is:
+
+    explode selector → equi-join on (key, value) → group by (service, pod)
+    → keep pairs where match_count == selector_size
+
+which shuffles on (key, value) instead of building a cartesian product.
+A naive ``crossJoin + forall`` is O(|services| × |pods|) and dies at scale;
+the explode form is O(matches) after the hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_involved_object(
+    events: DataFrame,
+    objects: DataFrame,
+    event_key: str = "ref_uid",
+    object_key: str = "uid",
+    prefix: str = "obj_",
+    broadcast: bool = True,
+) -> DataFrame:
+    """J1 — event ⋈ involved object, left equi on UID
+    (reference event.go:36, k8sclient.go:124-159).
+
+    Left join: an unmatched ``ref_uid`` yields null object columns — the
+    reference's cache-miss path degrades the same way rather than dropping
+    the event.  Broadcast by default: the object dimension is small
+    relative to the event stream.
+    """
+    dim = objects.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in objects.columns]
+    )
+    if broadcast:
+        dim = F.broadcast(dim)
+    return events.join(
+        dim, events[event_key] == dim[f"{prefix}{object_key}"], "left"
+    )
+
+
+def node_addresses(
+    events: DataFrame,
+    nodes: DataFrame,
+    host_col: str = "source_host",
+    node_key: str = "name",
+    addresses_col: str = "addresses",
+    out_col: str = "address",
+    broadcast: bool = True,
+) -> DataFrame:
+    """J2 — event ⋈ node addresses, left equi on host name
+    (reference event.go:41, k8sclient.go:95-122).
+
+    Edge semantics pinned from the reference: an empty/unmatched host gets
+    an **empty array**, not null (k8sclient.go:98-100 returns ``[]string{}``
+    for the miss path before the error check; event.go:41 assigns whatever
+    comes back).
+    """
+    dim = nodes.select(
+        F.col(node_key).alias("__node_name"),
+        F.col(addresses_col).alias(out_col),
+    )
+    if broadcast:
+        dim = F.broadcast(dim)
+    joined = events.join(
+        dim, events[host_col] == dim["__node_name"], "left"
+    ).drop("__node_name")
+    empty = F.array().cast("array<string>")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), empty))
+
+
+def conditional_pod_enrich(
+    df: DataFrame,
+    kind_col: str = "obj_kind",
+    prefix: str = "obj_",
+) -> DataFrame:
+    """J3 — conditional pod enrichment (reference event.go:68-74, 79-87).
+
+    Not a join at all once J1 has run: if the joined object is a Pod,
+    populate the flattened pod_* columns (miniPodInfo, event.go:89-98),
+    else nulls.  Pure ``when`` expressions — stays in codegen.
+    """
+    is_pod = F.col(kind_col) == "Pod"
+    null_s = F.lit(None).cast("string")
+    null_t = F.lit(None).cast("timestamp_ntz")
+    return (
+        df.withColumn("pod_uid", F.when(is_pod, F.col(f"{prefix}uid")).otherwise(null_s))
+        .withColumn("pod_name", F.when(is_pod, F.col(f"{prefix}name")).otherwise(null_s))
+        .withColumn(
+            "pod_namespace",
+            F.when(is_pod, F.col(f"{prefix}namespace")).otherwise(null_s),
+        )
+        .withColumn("pod_ip", F.when(is_pod, F.col(f"{prefix}pod_ip")).otherwise(null_s))
+        .withColumn(
+            "pod_host_ip", F.when(is_pod, F.col(f"{prefix}host_ip")).otherwise(null_s)
+        )
+        .withColumn(
+            "pod_start_time",
+            F.when(is_pod, F.col(f"{prefix}start_time")).otherwise(null_t),
+        )
+    )
+
+
+def label_selector_join(
+    services: DataFrame,
+    pods: DataFrame,
+    selector_col: str = "selector",
+    labels_col: str = "labels",
+    service_key: str = "uid",
+    pod_key: str = "uid",
+    empty_selector_matches_all: bool = True,
+    broadcast_selectors: bool = True,
+) -> DataFrame:
+    """J4 — service ⋈ pods via k8s label-selector containment
+    (reference k8sclient.go:76-89, event_service.go:10-17): pod matches iff
+    every (k, v) in the service's selector appears in the pod's labels.
+
+    Scale-safe explode + equi-join + count-match (SURVEY.md §7.4), never
+    crossJoin+forall.  Returns (service_uid, pod_uid) pairs.
+
+    Empty-selector edge case, pinned per SURVEY §7.4: the reference formats
+    an empty selector set to an empty string, and an empty k8s selector
+    string lists ALL pods (k8sclient.go:78-81) — so by default an
+    empty/null selector matches every pod.
+    """
+    svc = services.select(
+        F.col(service_key).alias("service_uid"), F.col(selector_col).alias("__sel")
+    )
+    pod_ids = pods.select(F.col(pod_key).alias("pod_uid"))
+
+    nonempty = svc.where(F.size(F.col("__sel")) > 0)
+    sel = nonempty.select(
+        "service_uid",
+        F.size(F.col("__sel")).alias("__sel_size"),
+        F.explode(F.col("__sel")).alias("__k", "__v"),
+    )
+    if broadcast_selectors:
+        sel = F.broadcast(sel)
+
+    pod_kv = pods.select(
+        F.col(pod_key).alias("pod_uid"),
+        F.explode_outer(F.col(labels_col)).alias("__k", "__v"),
+    )
+
+    matched = (
+        sel.join(pod_kv, on=["__k", "__v"], how="inner")
+        .groupBy("service_uid", "pod_uid", "__sel_size")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == F.col("__sel_size"))
+        .select("service_uid", "pod_uid")
+    )
+
+    if not empty_selector_matches_all:
+        return matched
+
+    empty_sel = svc.where(
+        F.col("__sel").isNull() | (F.size(F.col("__sel")) == 0)
+    ).select("service_uid")
+    all_pairs = F.broadcast(empty_sel).crossJoin(pod_ids)
+    return matched.unionByName(all_pairs)
+
+
+def pod_service_reverse_index(pairs: DataFrame) -> DataFrame:
+    """J5 — pod → services reverse index (reference event_service.go:24-34).
+
+    A pod can sit behind multiple services (the race noted in the
+    reference); we return the full set per pod rather than last-write-wins.
+    """
+    return pairs.groupBy("pod_uid").agg(
+        F.sort_array(F.collect_set("service_uid")).alias("service_uids")
+    )
+
+
+def service_pod_map(
+    pairs: DataFrame,
+    pods: DataFrame,
+    pod_key: str = "uid",
+    name_col: str = "name",
+) -> DataFrame:
+    """A1 — per-service pod map: podName → miniPodInfo-JSON
+    (reference event_service.go:88-96).  ``map_from_entries(collect_list)``
+    is a single shuffle on service_uid with partial aggregation map-side.
+    """
+    pod_info = pods.select(
+        F.col(pod_key).alias("pod_uid"),
+        F.col(name_col).alias("__pod_name"),
+        F.to_json(
+            F.struct(
+                F.col(pod_key).alias("uid"),
+                F.col(name_col).alias("name"),
+                F.col("namespace"),
+                F.col("pod_ip").alias("ip"),
+                F.col("host_ip"),
+            )
+        ).alias("__pod_json"),
+    )
+    return (
+        pairs.join(pod_info, "pod_uid")
+        .groupBy("service_uid")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("__pod_name", "__pod_json")))
+            ).alias("pod")
+        )
+    )
+
+
+def union_streams(events_l9: DataFrame, services_l9: DataFrame) -> DataFrame:
+    """U1 — union of the event and service L9 streams (reference
+    main.go:84-90: both informer handlers feed the same channel).
+
+    ``unionByName`` with missing-column fill so the two projections can
+    evolve independently (service events lack pod_* columns and vice versa).
+    """
+    return events_l9.unionByName(services_l9, allowMissingColumns=True)

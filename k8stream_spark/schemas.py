@@ -51,7 +51,16 @@ L9EVENT_SCHEMA = T.StructType(
         T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
         T.StructField("annotations", T.MapType(T.StringType(), T.StringType())),
         T.StructField("address", T.ArrayType(T.StringType())),
-        T.StructField("pod", POD_INFO_SCHEMA),
+        # miniPodInfo (reference event.go:89-98) flattened to pod_* columns —
+        # FIXTURES.md §A5 pins the flat shape for oracle comparability; the
+        # nested form stays available as POD_INFO_SCHEMA for operators that
+        # build the struct (P7) before flattening.
+        T.StructField("pod_uid", T.StringType()),
+        T.StructField("pod_name", T.StringType()),
+        T.StructField("pod_namespace", T.StringType()),
+        T.StructField("pod_ip", T.StringType()),
+        T.StructField("pod_host_ip", T.StringType()),
+        T.StructField("pod_start_time", T.TimestampNTZType()),
         T.StructField(
             "service_pods", T.MapType(T.StringType(), T.StringType())
         ),

@@ -7,9 +7,9 @@ Every knob here is chosen for the 100 TB posture:
   * AQE on — runtime coalescing, skew-join splitting, dynamic join-strategy
     demotion are essential once partition statistics are only known at run
     time on big inputs.
-  * ``spark.sql.shuffle.partitions`` defaults to the local core count for
-    tests; at cluster scale AQE's coalescing makes the initial number a
-    ceiling rather than a tuning knob.
+  * ``spark.sql.shuffle.partitions`` defaults to the constant 32 (matching
+    the local[32] test harness); at cluster scale AQE's coalescing makes the
+    initial number a ceiling rather than a tuning knob.
   * Arrow enabled — every pandas_udf / mapInPandas boundary is Arrow-batched.
   * Session timezone pinned UTC so event-time semantics are stable and the
     DuckDB oracle (UTC-naive timestamps) compares cleanly.
@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver fixtures are TIMESTAMP(NANOS) parquet; read nanos as
+        # long and let the loader convert (sources/fixtures.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         # Streaming state at scale: RocksDB keeps dedup state off-heap and
         # incrementally checkpointed (reference's buntdb cache analog,

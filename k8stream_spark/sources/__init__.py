@@ -1,3 +1,8 @@
-from k8stream_spark.sources.fixtures import load_table, load_tables
+from k8stream_spark.sources.fixtures import (
+    DEFAULT_SF_DIR,
+    load_table,
+    load_tables,
+    register_views,
+)
 
-__all__ = ["load_table", "load_tables"]
+__all__ = ["DEFAULT_SF_DIR", "load_table", "load_tables", "register_views"]

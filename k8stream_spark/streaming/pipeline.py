@@ -1,0 +1,183 @@
+"""W4 — the streaming binding: the reference's ingest loop
+(reference flush.go:19-30, main.go:73-94) as one Structured Streaming
+query.
+
+    readStream(k8s-event JSON) → eligibility filter (P1-P5)
+      → watermarked dedup (D1) → stream-static broadcast joins (J1-J3)
+      → L9Event projection (P6) → foreachBatch → N-or-T rechunk → sink
+
+Batch/stream symmetry (SURVEY.md §7.1): the transformation functions are
+the exact same ``ops.*`` functions the batch oracle checks — this module
+only binds them to ``readStream`` and a sink.
+
+Scale posture: the static dims are re-read every micro-batch (the
+reference's 3600 s cache TTL analog); dedup state lives in the RocksDB
+state store (session.py); sink writes go through the vectorized JSON
+writer.  The exact count-or-time flush (W1) runs inside foreachBatch via
+``Batcher`` semantics — Spark's trigger covers the time half natively.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from k8stream_spark.io.ndjson import ndjson_bytes
+from k8stream_spark.io.sinks import Flusher
+from k8stream_spark.ops import dedup, filters, joins
+from k8stream_spark.schemas import K8S_EVENT_SCHEMA
+
+
+def build_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1 — k8s-event stream from a JSON-lines directory (the test/bench
+    shape of the informer source; a production informer is a custom
+    PySpark DataSourceStreamReader with the same schema).
+    ``maxFilesPerTrigger`` is the count half of the reference's
+    count-or-time batching at the source admission level."""
+    reader = spark.readStream.schema(K8S_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def transform_events(
+    events: DataFrame,
+    objects: DataFrame,
+    nodes: DataFrame,
+    namespaces: Sequence[str] = (),
+    reasons: Sequence[str] = (),
+    streaming_dedup: bool = True,
+) -> DataFrame:
+    """The reference hot path (SURVEY.md §3.1) as one declarative plan.
+    Works identically on a batch frame (streaming_dedup=False → window
+    dedup) and a streaming frame."""
+    eligible = filters.eligible_events(
+        events, namespaces=namespaces, reasons=reasons
+    )
+    if streaming_dedup:
+        deduped = dedup.dedup_streaming(eligible, key="uid", ts_col="creation_ts")
+    else:
+        deduped = dedup.dedup_first_seen(
+            eligible, keys=["uid"], order_by=["creation_ts", "ref_uid"]
+        )
+    enriched = joins.enrich_involved_object(deduped, objects)
+    enriched = joins.node_addresses(enriched, nodes)
+    enriched = joins.conditional_pod_enrich(enriched)
+    return project_enriched_l9(enriched)
+
+
+def project_enriched_l9(enriched: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from k8stream_spark import L9_VERSION
+
+    return enriched.select(
+        F.col("uid").alias("id"),
+        # NTZ-safe epoch seconds: NTZ → TIMESTAMP under the pinned-UTC
+        # session, then truncate to long (event.go:52 semantics).
+        F.col("creation_ts").cast("timestamp").cast("long").alias("timestamp"),
+        F.col("source_component").alias("component"),
+        F.col("source_host").alias("host"),
+        F.col("message"),
+        F.col("namespace"),
+        F.col("reason"),
+        F.col("ref_uid").alias("reference_uid"),
+        F.col("ref_namespace").alias("reference_namespace"),
+        F.col("ref_name").alias("reference_name"),
+        F.col("ref_kind").alias("reference_kind"),
+        F.col("ref_api_version").alias("reference_version"),
+        F.col("obj_uid").alias("object_uid"),
+        F.col("obj_labels").alias("labels"),
+        F.col("obj_annotations").alias("annotations"),
+        F.col("address"),
+        F.col("pod_uid"),
+        F.col("pod_name"),
+        F.col("pod_namespace"),
+        F.col("pod_ip"),
+        F.col("pod_host_ip"),
+        F.col("pod_start_time"),
+        F.lit(L9_VERSION).alias("version"),
+    )
+
+
+def sink_foreach_batch(
+    flusher: Flusher, uid: str, batch_size: int = 10000
+):
+    """foreachBatch function: rechunk the micro-batch into reference-sized
+    flush units (the count half of W1) and hand each to the Flusher as
+    NDJSON — one artifact per chunk, named by a nanosecond ident (W2).
+
+    NOTE on scale: this driver-side path exists for reference-parity
+    sinks (one named object per batch).  The throughput path at 100 TB is
+    ``batch_df.write.json(path)`` — fully distributed — which callers get
+    by passing ``distributed_json_sink`` instead.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (r.asDict(recursive=True) for r in batch_df.toLocalIterator())
+        chunk: list[dict] = []
+        for row in rows:
+            chunk.append(row)
+            if len(chunk) >= batch_size:
+                flusher.flush(uid, time.time_ns(), ndjson_bytes(chunk))
+                chunk = []
+        if chunk:
+            flusher.flush(uid, time.time_ns(), ndjson_bytes(chunk))
+
+    return fn
+
+
+def distributed_json_sink(base_path: str, compress_gzip: bool = True):
+    """The scale sink: every partition writes in parallel through the JVM
+    JSON writer; one directory per micro-batch."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode("overwrite")
+        if compress_gzip:
+            writer = writer.option("compression", "gzip")
+        writer.json(f"{base_path}/batch={batch_id}")
+
+    return fn
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    objects: DataFrame,
+    nodes: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+    namespaces: Sequence[str] = (),
+    reasons: Sequence[str] = (),
+):
+    """Assemble and start the full streaming query (reference main.go:73-94).
+    Returns the StreamingQuery; callers own ``awaitTermination``/``stop``
+    (the reference's trapSignal, main.go:96-112)."""
+    events = build_event_stream(spark, source_dir)
+    eligible = filters.eligible_events(
+        events, namespaces=namespaces, reasons=reasons
+    )
+    deduped = dedup.dedup_streaming(eligible, key="uid", ts_col="creation_ts")
+    enriched = joins.enrich_involved_object(deduped, objects)
+    enriched = joins.node_addresses(enriched, nodes)
+    enriched = joins.conditional_pod_enrich(enriched)
+    l9 = project_enriched_l9(enriched)
+
+    writer = (
+        l9.writeStream.outputMode("append")
+        .foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
