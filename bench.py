@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The set covers every engine layer: the reference-parity E2E pipeline,
+heavy OLAP joins/aggs, window functions, and the LLM-pipeline operators
+(LSH near-dup, cosine top-k) whose scale posture is the point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from k8stream_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = (
+    # reference-parity hot path
+    "p5_eligibility",
+    "p6_l9event_projection",
+    "d1_dedup_first_seen",
+    "j1_enrich_involved_object",
+    "j4_label_selector_join",
+    # OLAP layer
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top_orders_per_customer",
+    "events_hourly_type_counts",
+    "events_sessionize",
+    # LLM-pipeline layer
+    "text_term_stats",
+    "docs_dedup_minhash_lsh",
+    "emb_cosine_topk",
+    "mm_blob_meta",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        # count() forces the full plan (scan → shuffle → agg) without
+        # driver-side materialization costs skewing the number.
+        qs[name](spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

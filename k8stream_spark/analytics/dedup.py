@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
-    """Distinct n-word shingles of a space-tokenized text column."""
+    """Distinct n-word shingles of a space-tokenized text column.
+    Documents shorter than ``n`` tokens yield an empty array (a bare
+    ``sequence(0, size-n)`` would error on the negative stop)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, " ")
     # transform(sequence(0, size-n), i -> concat_ws(' ', slice(toks, i+1, n)))
@@ -32,7 +34,9 @@ def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return F.array_distinct(shingle)
+    return F.when(F.size(toks) >= n, F.array_distinct(shingle)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,14 +90,18 @@ def minhash_signature(
         # would receive the array index as its second parameter and shadow
         # the seed, collapsing all hash functions into one.
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+            F.transform(F.col("__sh64"), lambda h: F.xxhash64(h, F.lit(seed)))
         )
 
     sh = word_shingles(text_col, shingle_n)
-    sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
-    return df.select("doc_id", sh.alias("shingles")).select(
-        "doc_id", "shingles", sig.alias("sig")
+    # Hash the shingle STRINGS once (the expensive part), then derive the
+    # k signature minima from cheap long re-hashes — k passes over a long
+    # array instead of k string-hash passes.
+    base = df.select("doc_id", sh.alias("shingles")).withColumn(
+        "__sh64", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     )
+    sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
+    return base.select("doc_id", "shingles", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -267,10 +275,18 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
-    Candidate blocking by pigeonhole: with 4 16-bit quarters, any pair at
-    Hamming <= 3 agrees exactly on at least one quarter — so a self-join
-    on (quarter_idx, quarter_value) finds all of them without all-pairs.
+    Candidate blocking by pigeonhole: the 64-bit signature is split into
+    ``max_hamming + 1`` bands — any pair at Hamming <= max_hamming agrees
+    exactly on at least one band, so a self-join on (band_idx, band_value)
+    finds all of them without all-pairs.  Larger max_hamming → narrower
+    bands → more candidates; recall stays exact.
     """
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands] * n_bands
+    for i in range(64 % n_bands):
+        widths[i] += 1
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
     sims = simhash(df, text_col)
     quarters = sims.select(
         "doc_id",
@@ -278,10 +294,10 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(
-                        F.lit(0xFFFF)
+                    F.shiftright(F.col("simhash"), off).bitwiseAND(
+                        F.lit((1 << w) - 1)
                     )
-                    for i in range(4)
+                    for off, w in zip(offsets, widths)
                 ]
             )
         ).alias("q_idx", "q_val"),

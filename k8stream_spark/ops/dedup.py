@@ -57,7 +57,11 @@ def dedup_streaming(
     The watermark delay plays the reference's cache TTL: duplicates within
     ``ttl_seconds`` of event time are dropped, older state is evicted
     (reference flush.go:57-62 marks after flush with 3600 s expiry).
+
+    Event-time watermarks require TIMESTAMP (not NTZ) — cast through the
+    pinned-UTC session first.
     """
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df.withWatermark(ts_col, f"{ttl_seconds} seconds").dropDuplicates(
         [key]
     )

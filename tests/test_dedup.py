@@ -1,0 +1,43 @@
+"""D1/D2 dedup semantics — reference handler.go:95-115,142-151.
+Pins the lexicographic resourceVersion quirk (handler.go:111)."""
+
+from __future__ import annotations
+
+from k8stream_spark.ops import dedup
+
+
+def test_dedup_first_seen_keeps_earliest(events_df):
+    out = dedup.dedup_first_seen(
+        events_df, keys=["uid"], order_by=["creation_ts", "ref_uid"]
+    )
+    rows = {r.uid: r.message for r in out.collect()}
+    assert rows["e1"] == "msg"  # the seconds=0 row, not "dup of e1"
+    assert out.count() == 5
+
+
+def test_keep_latest_version_lexicographic_quirk(spark):
+    # '9' >= '10' lexicographically — the reference string-compares
+    # resourceVersion (handler.go:111), so version '9' wins over '10'.
+    df = spark.createDataFrame(
+        [("svc", "9", "old"), ("svc", "10", "new")],
+        "uid string, resource_version string, payload string",
+    )
+    out = dedup.keep_latest_version(
+        df, key="uid", version_col="resource_version"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].resource_version == "9"
+
+
+def test_keep_latest_version_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", "1"), ("a", "2"), ("b", "3")],
+        "uid string, resource_version string",
+    )
+    out = {
+        r.uid: r.resource_version
+        for r in dedup.keep_latest_version(
+            df, key="uid", version_col="resource_version"
+        ).collect()
+    }
+    assert out == {"a": "2", "b": "3"}

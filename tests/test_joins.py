@@ -1,0 +1,85 @@
+"""Enrichment joins J1-J5 + A1 — reference event.go:33-77,
+k8sclient.go:76-159, event_service.go:10-96.  Pins the null/empty-array
+edge semantics and the empty-selector-matches-all case (SURVEY §7.4)."""
+
+from __future__ import annotations
+
+import json
+
+from k8stream_spark.ops import joins
+
+
+def test_j1_unmatched_ref_uid_yields_nulls(events_df, objects_df):
+    out = joins.enrich_involved_object(events_df, objects_df)
+    by_uid = {r.uid: r for r in out.collect()}
+    assert by_uid["e1"].obj_name == "pod-1"
+    assert by_uid["e4"].obj_uid is None  # ref_uid='missing' → cache-miss path
+    assert out.count() == events_df.count()  # left join never drops
+
+
+def test_j2_empty_host_gets_empty_array_not_null(events_df, nodes_df):
+    out = joins.node_addresses(events_df, nodes_df)
+    by_uid = {r.uid: r for r in out.collect()}
+    assert by_uid["e1"].address == ["10.1.1.1", "fe80::1"]
+    assert by_uid["e4"].address == []  # reference k8sclient.go:98-100
+    assert by_uid["e4"].address is not None
+
+
+def test_j3_pod_fields_only_for_pods(events_df, objects_df):
+    out = joins.conditional_pod_enrich(
+        joins.enrich_involved_object(events_df, objects_df)
+    )
+    by_uid = {r.uid: r for r in out.collect()}
+    assert by_uid["e1"].pod_name == "pod-1"  # obj kind Pod
+    assert by_uid["e1"].pod_ip == "10.0.0.1"
+    assert by_uid["e3"].pod_name is None  # Deployment → no pod enrich
+    assert by_uid["e4"].pod_name is None  # unmatched
+
+
+def test_j4_label_selector_containment(services_df, pods_df):
+    pairs = {
+        (r.service_uid, r.pod_uid)
+        for r in joins.label_selector_join(services_df, pods_df).collect()
+    }
+    # s1 {app:web} → p1,p2 ; s3 {app:web,tier:fe} → p1 only ; s5 → none
+    assert ("s1", "p1") in pairs and ("s1", "p2") in pairs
+    assert ("s1", "p3") not in pairs
+    assert ("s3", "p1") in pairs and ("s3", "p2") not in pairs
+    assert not any(s == "s5" for s, _ in pairs)
+    # s2 empty selector matches ALL pods (k8sclient.go:78-81 — empty
+    # selector string lists everything)
+    assert {p for s, p in pairs if s == "s2"} == {"p1", "p2", "p3"}
+
+
+def test_j4_empty_selector_strict_mode(services_df, pods_df):
+    pairs = joins.label_selector_join(
+        services_df, pods_df, empty_selector_matches_all=False
+    ).collect()
+    assert not any(r.service_uid == "s2" for r in pairs)
+
+
+def test_j5_reverse_index_multi_service_pod(services_df, pods_df):
+    pairs = joins.label_selector_join(services_df, pods_df)
+    idx = {r.pod_uid: r.service_uids for r in
+           joins.pod_service_reverse_index(pairs).collect()}
+    # p1 is behind s1, s2 and s3 (the multi-service race the reference
+    # notes at event_service.go:26-28)
+    assert idx["p1"] == ["s1", "s2", "s3"]
+    assert idx["p3"] == ["s2"]
+
+
+def test_a1_service_pod_map(services_df, pods_df):
+    pairs = joins.label_selector_join(services_df, pods_df)
+    out = {r.service_uid: r.pod for r in
+           joins.service_pod_map(pairs, pods_df).collect()}
+    assert set(out["s1"].keys()) == {"pod-1", "pod-2"}
+    info = json.loads(out["s1"]["pod-1"])
+    assert info["uid"] == "p1" and info["ip"] == "10.0.0.1"
+
+
+def test_u1_union_fills_missing_columns(spark):
+    a = spark.createDataFrame([("1", "x")], "id string, only_a string")
+    b = spark.createDataFrame([("2", "y")], "id string, only_b string")
+    out = joins.union_streams(a, b)
+    assert out.count() == 2
+    assert set(out.columns) == {"id", "only_a", "only_b"}

@@ -1,0 +1,43 @@
+"""Similarity search: brute-force correctness on hand vectors + LSH
+recall against the brute-force baseline on the real embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+
+from k8stream_spark.analytics import similarity
+from k8stream_spark.sources.fixtures import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bruteforce_cosine_hand_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.cosine_topk(df, (0,), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert out[0].cosine <= 1.0
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = (0, 1, 2, 3, 4)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.cosine_topk_lsh(emb, qids, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall} too low"  # 0.72 measured
+
+
+def test_vector_norms(spark):
+    df = spark.createDataFrame([(0, [3.0, 4.0])],
+                               "vec_id bigint, embedding array<float>")
+    out = similarity.vector_norms(df).collect()[0]
+    assert out.l2_norm == pytest.approx(5.0)

@@ -1,0 +1,99 @@
+"""K1-K5 sinks — mirrors reference io/flush_file_test.go:13-142 (dir
+validation table), io/flush_s3.go:63,74 (key layout), io/flush_memory.go
+(fetch callback), io/flush.go:13-31 (dispatch; ours errors instead of
+nil-panicking on unknown sinks)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import stat
+
+import pytest
+
+from k8stream_spark.io.ndjson import gzip_bytes, ndjson_bytes, write_single_ndjson
+from k8stream_spark.io.sinks import FileSink, MemorySink, S3Sink, make_flusher
+
+
+def test_ndjson_bytes_one_object_per_line():
+    data = ndjson_bytes([{"a": 1}, {"b": "x"}])
+    lines = data.decode().splitlines()
+    assert [json.loads(l) for l in lines] == [{"a": 1}, {"b": "x"}]
+    assert data.endswith(b"\n")  # reference flush.go:49 trailing lineBreak
+
+
+def test_file_sink_layout(tmp_path):
+    sink = FileSink(str(tmp_path))
+    path = sink.flush("uid1", 123456789, b"payload\n")
+    # reference io/flush_file.go:39: {dir}/{uid}_{ident}.log
+    assert path == str(tmp_path / "uid1_123456789.log")
+    assert open(path, "rb").read() == b"payload\n"
+
+
+def test_file_sink_dir_validation(tmp_path):
+    with pytest.raises(ValueError, match="does not exist"):
+        FileSink(str(tmp_path / "missing"))
+    f = tmp_path / "afile"
+    f.write_text("x")
+    with pytest.raises(ValueError, match="not a directory"):
+        FileSink(str(f))
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    ro.chmod(stat.S_IRUSR | stat.S_IXUSR)
+    try:
+        if os.access(str(ro), os.W_OK):
+            pytest.skip("running as root; read-only dir not enforceable")
+        with pytest.raises(ValueError, match="not writable"):
+            FileSink(str(ro))
+    finally:
+        ro.chmod(0o755)
+
+
+def test_memory_sink_stores_and_calls_back():
+    seen = {}
+    sink = MemorySink(on_fetch=lambda ident, data: seen.update({ident: data}))
+    uri = sink.flush("u", 42, b"abc")
+    assert uri == "memory://u/42"
+    assert sink.batches[42] == b"abc"
+    assert seen == {42: b"abc"}
+
+
+def test_s3_sink_key_layout_and_gzip():
+    uploads = {}
+    sink = S3Sink("bkt", "pre/fix",
+                  uploader=lambda b, k, d: uploads.update({(b, k): d}))
+    uri = sink.flush("uid9", 777, b"hello\n")
+    # reference io/flush_s3.go:63,74: {prefix}/{uid}/{ident}.log.gz
+    assert uri == "s3://bkt/pre/fix/uid9/777.log.gz"
+    payload = uploads[("bkt", "pre/fix/uid9/777.log.gz")]
+    assert gzip.decompress(payload) == b"hello\n"
+
+
+def test_s3_sink_without_uploader_errors():
+    with pytest.raises(RuntimeError, match="uploader"):
+        S3Sink("b", "p").flush("u", 1, b"x")
+
+
+def test_make_flusher_dispatch(tmp_path):
+    assert isinstance(make_flusher({"sink": "file", "dir": str(tmp_path)}), FileSink)
+    assert isinstance(make_flusher({"sink": "memory"}), MemorySink)
+    assert isinstance(make_flusher({"sink": "s3", "bucket": "b"}), S3Sink)
+    with pytest.raises(ValueError, match="unknown sink"):
+        make_flusher({"sink": "bogus"})  # reference would nil-panic
+
+
+def test_gzip_bytes_roundtrip():
+    assert gzip.decompress(gzip_bytes(b"x" * 1000)) == b"x" * 1000
+
+
+def test_write_single_ndjson(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    dest = str(tmp_path / "out" / "batch.log")
+    write_single_ndjson(df, dest)
+    lines = [json.loads(l) for l in open(dest)]
+    assert sorted(lines, key=lambda r: r["id"]) == [
+        {"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    gz = str(tmp_path / "out" / "batch.log.gz")
+    write_single_ndjson(df, gz, compress_gzip=True)
+    assert len([json.loads(l) for l in gzip.open(gz, "rt")]) == 2

@@ -1,0 +1,97 @@
+"""W4 streaming binding: the full pipeline over a file stream with
+availableNow trigger — eligibility filter, watermarked dedup,
+stream-static enrichment joins, L9 projection, foreachBatch sink."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from k8stream_spark.io.sinks import MemorySink
+from k8stream_spark.streaming.pipeline import (
+    run_pipeline,
+    sink_foreach_batch,
+)
+
+
+def _write_events(path: str) -> None:
+    events = [
+        dict(uid="e1", creation_ts="2024-01-01T00:00:00", namespace="default",
+             reason="Scheduled", message="m1", source_component="sched",
+             source_host="node-a", ref_uid="o1", ref_name="pod-1",
+             ref_namespace="default", ref_kind="Pod", ref_api_version="v1"),
+        dict(uid="e1", creation_ts="2024-01-01T00:00:05", namespace="default",
+             reason="Scheduled", message="dup", source_component="sched",
+             source_host="node-a", ref_uid="o1", ref_name="pod-1",
+             ref_namespace="default", ref_kind="Pod", ref_api_version="v1"),
+        dict(uid="e2", creation_ts="2024-01-01T00:00:01", namespace="kube-system",
+             reason="Pulled", message="sys", source_component="kubelet",
+             source_host="node-a", ref_uid="o1", ref_name="pod-1",
+             ref_namespace="kube-system", ref_kind="Pod", ref_api_version="v1"),
+        dict(uid="e3", creation_ts="2024-01-01T00:00:02", namespace="prod",
+             reason="Created", message="m3", source_component="kubelet",
+             source_host="", ref_uid="missing", ref_name="x",
+             ref_namespace="prod", ref_kind="Deployment", ref_api_version="v1"),
+    ]
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "events.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_streaming_pipeline_end_to_end(spark, objects_df, nodes_df, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(src)
+    sink = MemorySink()
+    q = run_pipeline(
+        spark,
+        src,
+        objects_df,
+        nodes_df,
+        sink_fn=sink_foreach_batch(sink, uid="test-run"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = []
+    for data in sink.batches.values():
+        rows += [json.loads(l) for l in data.decode().splitlines()]
+    by_id = {r["id"]: r for r in rows}
+
+    assert set(by_id) == {"e1", "e3"}  # e2 filtered (kube-system), dup dropped
+    assert by_id["e1"]["message"] == "m1"  # first-seen wins
+    assert by_id["e1"]["labels"] == {"app": "web"}  # J1 enrichment
+    assert by_id["e1"]["address"] == ["10.1.1.1", "fe80::1"]  # J2
+    assert by_id["e1"]["pod_name"] == "pod-1"  # J3
+    assert by_id["e3"]["address"] == []  # empty host → empty array
+    assert by_id["e3"]["object_uid"] is None  # unmatched ref stays null
+    assert by_id["e1"]["version"] == "0.0.5"
+
+
+def test_streaming_distributed_sink(spark, objects_df, nodes_df, tmp_path):
+    from k8stream_spark.streaming.pipeline import distributed_json_sink
+
+    src = str(tmp_path / "src2")
+    _write_events(src)
+    out = str(tmp_path / "out")
+    q = run_pipeline(
+        spark,
+        src,
+        objects_df,
+        nodes_df,
+        sink_fn=distributed_json_sink(out, compress_gzip=True),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    rows = []
+    for root, _, files in os.walk(out):
+        for fn in files:
+            if fn.endswith(".json.gz"):
+                with gzip.open(os.path.join(root, fn), "rt") as f:
+                    rows += [json.loads(l) for l in f]
+    assert {r["id"] for r in rows} == {"e1", "e3"}

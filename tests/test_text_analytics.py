@@ -1,0 +1,85 @@
+"""Text analysis + document dedup operators (the M6/LLM layer)."""
+
+from __future__ import annotations
+
+from k8stream_spark.analytics import dedup as dd
+from k8stream_spark.analytics import text as ta
+
+
+def test_token_count(docs_df):
+    out = {r.doc_id: r.n_tokens for r in ta.token_count(docs_df).collect()}
+    assert out[1] == 13
+    assert out[7] == 1  # CJK: no spaces → one token
+
+
+def test_term_stats(docs_df):
+    out = {r.token: (r.tf, r.df) for r in ta.term_stats(docs_df).collect()}
+    # 'the' appears 3x in docs 1/2/6 each (9 total), in 3 distinct docs
+    assert out["the"] == (9, 3)
+
+
+def test_lang_id(docs_df):
+    out = {r.doc_id: r.lang_pred for r in ta.lang_id(docs_df).collect()}
+    assert out[1] == "en"
+    assert out[3] == "es"
+    assert out[4] == "de"
+    assert out[7] == "zh"  # CJK codepoint check
+    assert out[5] in ("en", "und")  # neutral tech text
+
+
+def test_quality_score_ranges(docs_df):
+    for r in ta.quality_score(docs_df).collect():
+        assert r.n_tokens >= 1
+        assert 0 < r.distinct_ratio <= 1.0
+        assert r.mean_token_len > 0
+
+
+def test_fingerprint_collides_for_word_shuffles(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id bigint, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in ta.fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_exact_dedup_groups_identical_texts(docs_df):
+    out = {r.doc_id: r.n_copies for r in dd.exact_dedup(docs_df).collect()}
+    assert out[1] == 2  # docs 1 and 6 identical → min doc_id 1, 2 copies
+    assert 6 not in out
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs_df):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dd.minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    assert (1, 2) in pairs  # one-word difference
+    assert (1, 6) in pairs and pairs[(1, 6)] == 1.0  # exact dup
+    assert not any({a, b} == {1, 5} for a, b in pairs)
+
+
+def test_ngram_jaccard_matches_minhash_verified_set(docs_df):
+    lsh = {(r.doc_a, r.doc_b) for r in
+           dd.minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in
+             dd.ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_near_pairs(docs_df):
+    sims = {r.doc_id: r.simhash for r in dd.simhash(docs_df).collect()}
+    assert sims[1] == sims[6]  # identical text → identical simhash
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dd.simhash_pairs(docs_df, max_hamming=8).collect()}
+    assert pairs[(1, 6)] == 0
+    assert (1, 2) in pairs  # near-dup within a few bits
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")],
+                               "doc_id bigint, text string")
+    out = {r.doc_id: r.s for r in
+           df.select("doc_id", dd.word_shingles("text", 3).alias("s")).collect()}
+    assert out[2] == ["a b c", "b c d"]
+    # doc shorter than the shingle width yields no valid shingles
+    assert all(" " in s for s in out[2])
