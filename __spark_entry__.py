@@ -120,6 +120,7 @@ SELECT CAST(c_custkey AS VARCHAR) AS uid,
        CASE WHEN c_mktsegment='BUILDING' THEN 'Pod' ELSE 'ConfigMap' END AS kind,
        c_name AS name,
        'ns-'||CAST(c_nationkey%10 AS VARCHAR) AS namespace,
+       c_mktsegment AS segment,
        '10.0.'||CAST(c_custkey%256 AS VARCHAR)||'.1' AS pod_ip,
        '192.168.0.'||CAST(c_custkey%256 AS VARCHAR) AS host_ip,
        CAST(NULL AS TIMESTAMP) AS start_time,
@@ -220,6 +221,26 @@ def _pods(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("192.168.1."), (F.col("o_orderkey") % 250).cast("string")
         ).alias("host_ip"),
         F.col("o_orderdate").alias("start_time"),
+    )
+
+
+def _deployments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployments dim for the dormant J6 join (reference k8sclient.go:62-74,
+    event_service.go:39-69) — derived from ``part`` so its label space
+    overlaps the service selectors (seg always present, pri only on every
+    third deployment)."""
+    p = load_table(spark, sf_dir, "part")
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in SEGMENTS]),
+        ((F.col("p_partkey") % 5) + 1).cast("int"),
+    )
+    pri = F.when(F.col("p_partkey") % 3 == 0, "1-URGENT").otherwise("3-MEDIUM")
+    return p.select(
+        F.col("p_partkey").cast("string").alias("uid"),
+        F.concat(F.lit("deploy-"), F.col("p_partkey").cast("string")).alias(
+            "name"
+        ),
+        F.create_map(F.lit("seg"), seg, F.lit("pri"), pri).alias("labels"),
     )
 
 
@@ -341,6 +362,50 @@ def _q_p10(spark, sf_dir):
     return out.drop("timestamp", "labels", "annotations")
 
 
+def _q_p7(spark, sf_dir):
+    pods = _pods(spark, sf_dir)
+    return pods.select(opsproject.mini_pod_info().alias("p")).select(
+        F.col("p.uid").alias("pod_uid"),
+        F.col("p.name").alias("pod_name"),
+        F.col("p.namespace").alias("pod_namespace"),
+        F.col("p.start_time").alias("pod_start_time"),
+        F.col("p.ip").alias("pod_ip"),
+        F.col("p.host_ip").alias("pod_host_ip"),
+    )
+
+
+def _q_p8(spark, sf_dir):
+    # Corrupt every 97th payload to pin the PERMISSIVE null-on-corrupt
+    # semantics (reference event.go:100-111 logs and continues).
+    ev = load_table(spark, sf_dir, "events")
+    payload = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit("{not json"))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    decoded = opsproject.decode_dynamic_object(
+        payload, "payload", "struct<k:bigint>"
+    )
+    return decoded.select(
+        "event_id",
+        F.col("payload.k").alias("k"),
+        F.col("payload.k").isNotNull().alias("decoded_ok"),
+    )
+
+
+def _q_p9(spark, sf_dir):
+    out = joins.enrich_involved_object(
+        _k8s_events(spark, sf_dir), _objects(spark, sf_dir)
+    )
+    out = opsproject.extract_labels_annotations(out)
+    return out.select(
+        "uid",
+        F.element_at(F.col("labels"), F.lit("segment")).alias("segment_label"),
+        F.size(F.col("annotations")).cast("bigint").alias("n_annotations"),
+    )
+
+
 def _q_u1(spark, sf_dir):
     ev_l9 = opsproject.l9event_projection(_k8s_events(spark, sf_dir))
     svc_l9 = opsproject.service_event_synthesis(_services(spark, sf_dir)).drop(
@@ -354,6 +419,28 @@ def _q_f2(spark, sf_dir):
     return ev.select(
         "uid",
         opsproject.cache_key(F.lit("Events"), "uid").alias("cache_key"),
+    )
+
+
+def _q_f1(spark, sf_dir):
+    ev = _k8s_events(spark, sf_dir)
+    return ev.select("uid", F.lower(F.col("ref_kind")).alias("kind_lower"))
+
+
+def _q_f3(spark, sf_dir):
+    ev = _k8s_events(spark, sf_dir)
+    keyed = ev.select(
+        "uid", opsproject.cache_key(F.lit("Events"), "uid").alias("ck")
+    )
+    return keyed.select(
+        "uid", "ck", opsproject.strip_prefix("ck", "events").alias("stripped")
+    )
+
+
+def _q_f5(spark, sf_dir):
+    ev = _k8s_events(spark, sf_dir)
+    return ev.select(
+        "uid", opsproject.epoch_seconds("creation_ts").alias("epoch_s")
     )
 
 
@@ -422,6 +509,17 @@ def _q_j5(spark, sf_dir):
         F.col("pod_uid").cast("bigint").alias("pod_uid"),
         F.size("service_uids").cast("bigint").alias("n_services"),
         F.element_at("service_uids", 1).alias("first_service"),
+    )
+
+
+def _q_j6(spark, sf_dir):
+    pairs = joins.label_selector_join(
+        _services(spark, sf_dir, max_custkey=100), _deployments(spark, sf_dir)
+    )
+    return pairs.groupBy("service_uid").agg(
+        F.count(F.lit(1)).alias("n_deploys"),
+        F.min(F.col("pod_uid").cast("bigint")).alias("min_deploy"),
+        F.max(F.col("pod_uid").cast("bigint")).alias("max_deploy"),
     )
 
 
@@ -571,10 +669,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_drop_default_service": _q_p4,
         "p5_eligibility": _q_p5,
         "p6_l9event_projection": _q_p6,
+        "p7_mini_pod_info": _q_p7,
+        "p8_dynamic_object_decode": _q_p8,
+        "p9_label_extraction": _q_p9,
         "p10_service_event_synthesis": _q_p10,
         "u1_union_streams": _q_u1,
         # F — scalar functions (SURVEY §2.3)
+        "f1_lower": _q_f1,
         "f2_cache_key": _q_f2,
+        "f3_strip_prefix": _q_f3,
+        "f5_epoch_seconds": _q_f5,
         "f7_json_extract": _q_f7,
         "f8_lexicographic_gte": _q_f8,
         # D — dedup (SURVEY §2.7)
@@ -586,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_conditional_pod_enrich": _q_j3,
         "j4_label_selector_join": _q_j4,
         "j5_pod_service_reverse_index": _q_j5,
+        "j6_service_deployments": _q_j6,
         "a1_service_pod_map": _q_a1,
         # OLAP analytics layer (SURVEY §7.2 M6)
         "q1_pricing_summary": _q_q1,
@@ -666,6 +771,31 @@ def oracle_sql() -> dict[str, str]:
                    '{L9_VERSION}' AS version
             FROM k
         """,
+        "p7_mini_pod_info": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS pod_uid,
+                   'pod-'||CAST(o_orderkey AS VARCHAR) AS pod_name,
+                   'ns-'||CAST(o_custkey%10 AS VARCHAR) AS pod_namespace,
+                   o_orderdate AS pod_start_time,
+                   '10.1.'||CAST(o_orderkey%250 AS VARCHAR)||'.2' AS pod_ip,
+                   '192.168.1.'||CAST(o_orderkey%250 AS VARCHAR) AS pod_host_ip
+            FROM orders
+        """,
+        "p8_dynamic_object_decode": """
+            SELECT event_id,
+                   CASE WHEN event_id%97=0 THEN NULL
+                        ELSE CAST(json_extract_string(props,'$.k') AS BIGINT)
+                   END AS k,
+                   (event_id%97<>0) AS decoded_ok
+            FROM events
+        """,
+        "p9_label_extraction": f"""
+            WITH k AS ({K8S_EVENTS_CTE}), o AS ({OBJECTS_CTE})
+            SELECT k.uid,
+                   o.segment AS segment_label,
+                   CASE WHEN o.uid IS NOT NULL THEN CAST(0 AS BIGINT) END
+                       AS n_annotations
+            FROM k LEFT JOIN o ON k.ref_uid = o.uid
+        """,
         "p10_service_event_synthesis": f"""
             WITH s AS ({SERVICES_CTE})
             SELECT uid||'-'||resource_version AS id,
@@ -702,9 +832,24 @@ def oracle_sql() -> dict[str, str]:
                    resource_version AS reference_version, '{L9_VERSION}' AS version
             FROM s
         """,
+        "f1_lower": f"""
+            WITH k AS ({K8S_EVENTS_CTE})
+            SELECT uid, lower(ref_kind) AS kind_lower FROM k
+        """,
         "f2_cache_key": f"""
             WITH k AS ({K8S_EVENTS_CTE})
             SELECT uid, 'events-'||uid AS cache_key FROM k
+        """,
+        "f3_strip_prefix": f"""
+            WITH k AS ({K8S_EVENTS_CTE})
+            SELECT uid, 'events-'||uid AS ck,
+                   regexp_replace('events-'||uid, '^events-', '') AS stripped
+            FROM k
+        """,
+        "f5_epoch_seconds": f"""
+            WITH k AS ({K8S_EVENTS_CTE})
+            SELECT uid, CAST(floor(epoch(creation_ts)) AS BIGINT) AS epoch_s
+            FROM k
         """,
         "f7_json_extract": """
             SELECT event_id, event_type,
@@ -758,6 +903,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT pk AS pod_uid, COUNT(*) AS n_services,
                    MIN(CAST(sk AS VARCHAR)) AS first_service
             FROM pairs GROUP BY pk
+        """,
+        "j6_service_deployments": """
+            WITH svc AS (
+              SELECT c_custkey, c_mktsegment,
+                     (c_custkey%10=0) AS match_all,
+                     (c_custkey%2=0) AS even
+              FROM customer WHERE c_custkey < 100
+            ), dep AS (
+              SELECT p_partkey,
+                     (['MACHINERY','BUILDING','AUTOMOBILE','HOUSEHOLD','FURNITURE'])[CAST(p_partkey%5 AS INT)+1] AS seg,
+                     CASE WHEN p_partkey%3=0 THEN '1-URGENT' ELSE '3-MEDIUM' END AS pri
+              FROM part
+            ), pairs AS (
+              SELECT s.c_custkey AS sk, d.p_partkey AS dk
+              FROM svc s JOIN dep d
+                ON s.match_all OR (s.c_mktsegment = d.seg AND (s.even OR d.pri='1-URGENT'))
+            )
+            SELECT CAST(sk AS VARCHAR) AS service_uid,
+                   COUNT(*) AS n_deploys,
+                   MIN(dk) AS min_deploy, MAX(dk) AS max_deploy
+            FROM pairs GROUP BY sk
         """,
         "a1_service_pod_map": PAIRS_CTE
         + """
