@@ -126,8 +126,15 @@ def label_selector_join(
     (reference k8sclient.go:76-89, event_service.go:10-17): pod matches iff
     every (k, v) in the service's selector appears in the pod's labels.
 
-    Scale-safe explode + equi-join + count-match (SURVEY.md §7.4), never
-    crossJoin+forall.  Returns (service_uid, pod_uid) pairs.
+    Scale-safe anchor-entry equi-join (never crossJoin+forall): each
+    service joins pods on its selector's FIRST entry only — unique per
+    service, so every matching pair is produced exactly once and no
+    count-match aggregation (and its shuffle) is needed.  The remaining
+    selector entries are verified inline with ``forall`` against the
+    pod's labels map.  One broadcast hash join, zero shuffles; candidate
+    volume is pods sharing the anchor (k, v), same as the exploded
+    count-match form but without the groupBy exchange on the candidate
+    set.  Returns (service_uid, pod_uid) pairs.
 
     Empty-selector edge case, pinned per SURVEY §7.4: the reference formats
     an empty selector set to an empty string, and an empty k8s selector
@@ -140,24 +147,32 @@ def label_selector_join(
     pod_ids = pods.select(F.col(pod_key).alias("pod_uid"))
 
     nonempty = svc.where(F.size(F.col("__sel")) > 0)
+    anchor = F.element_at(F.map_entries(F.col("__sel")), 1)
     sel = nonempty.select(
         "service_uid",
-        F.size(F.col("__sel")).alias("__sel_size"),
-        F.explode(F.col("__sel")).alias("__k", "__v"),
+        "__sel",
+        anchor["key"].alias("__k"),
+        anchor["value"].alias("__v"),
     )
     if broadcast_selectors:
         sel = F.broadcast(sel)
 
     pod_kv = pods.select(
         F.col(pod_key).alias("pod_uid"),
-        F.explode_outer(F.col(labels_col)).alias("__k", "__v"),
+        F.col(labels_col).alias("__lab"),
+        F.explode(F.col(labels_col)).alias("__k", "__v"),
     )
 
+    # A pod missing a selector key yields element_at → null → forall null,
+    # which the filter treats as false: non-matching pods drop, as required.
     matched = (
         sel.join(pod_kv, on=["__k", "__v"], how="inner")
-        .groupBy("service_uid", "pod_uid", "__sel_size")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") == F.col("__sel_size"))
+        .where(
+            F.forall(
+                F.map_entries(F.col("__sel")),
+                lambda e: F.element_at(F.col("__lab"), e["key"]) == e["value"],
+            )
+        )
         .select("service_uid", "pod_uid")
     )
 
