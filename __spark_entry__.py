@@ -629,6 +629,26 @@ def _q_simhash(spark, sf_dir):
     )
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    return textan.bpe_token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _q_rolling_fingerprint(spark, sf_dir):
+    return textan.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _q_cosine_near_dup(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def _q_cosine_near_dup_lsh(spark, sf_dir):
+    return similarity.cosine_near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10
@@ -708,11 +728,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_quality_score": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "text_bpe_token_count": _q_bpe_token_count,
+        "text_rolling_fingerprint": _q_rolling_fingerprint,
         "docs_dedup_exact": _q_dedup_exact,
         "docs_dedup_canonical": _q_dedup_canonical,
         "docs_dedup_minhash_lsh": _q_minhash_lsh,
         "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
         "docs_dedup_simhash": _q_simhash,
+        "emb_cosine_near_dup": _q_cosine_near_dup,
+        "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_cosine_topk_lsh": _q_cosine_topk_lsh,
         "emb_vector_norms": _q_vector_norms,
@@ -723,9 +747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query.  Omitted on purpose (rows-only
-    checks): docs_dedup_simhash (xxhash64 seeds have no DuckDB equivalent)
-    and emb_cosine_topk_lsh (approximate by design; pytest checks its
-    recall against the exact brute-force result)."""
+    checks): docs_dedup_simhash (xxhash64 seeds have no DuckDB equivalent),
+    emb_cosine_topk_lsh and emb_cosine_near_dup_lsh (approximate by
+    design; pytest checks their recall against the exact results)."""
     exact_sum = (
         lambda expr, scale=2: f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {scale})"
     )
@@ -1094,6 +1118,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_minhash_lsh": NEAR_DUP_SQL,
         "docs_dedup_ngram_jaccard": NEAR_DUP_SQL,
+        "text_bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_rolling_fingerprint": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN length(text)-8+1 >= 4
+                          THEN [md5(substring(text, i, 8))
+                                for i in range(1, length(text)-8+2)]
+                          ELSE CAST([] AS VARCHAR[]) END AS gr
+              FROM documents
+            ), wnd AS (
+              SELECT doc_id,
+                     CASE WHEN len(gr) >= 4
+                          THEN list_distinct([list_min(gr[j:j+3])
+                                              for j in range(1, len(gr)-4+2)])
+                          ELSE CAST([] AS VARCHAR[]) END AS fp
+              FROM g
+            )
+            SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fingerprints,
+                   list_min(fp) AS min_fingerprint
+            FROM wnd
+        """,
+        "emb_cosine_near_dup": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v,b.v)
+                         / (sqrt(list_dot_product(a.v,a.v))
+                            * sqrt(list_dot_product(b.v,b.v))), 6) AS cosine
+            FROM base a JOIN base b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v,b.v)
+                  / (sqrt(list_dot_product(a.v,a.v))
+                     * sqrt(list_dot_product(b.v,b.v))) >= 0.45
+        """,
         "emb_cosine_topk": """
             WITH base AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

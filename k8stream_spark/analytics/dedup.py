@@ -127,7 +127,12 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 4dp.
     """
     r = num_hashes // bands
-    sigs = minhash_signature(df, text_col, num_hashes, shingle_n)
+    # The signature frame feeds FOUR plan branches (band self-join left +
+    # right, verification doc_a + doc_b lookups); without persist Spark
+    # recomputes the shingle + 128-hash pipeline for each branch.  At
+    # cluster scale this is the classic persist-before-self-join: the
+    # signature table is ~num_hashes longs per doc, tiny next to the text.
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_n).persist()
 
     banded = sigs.select(
         "doc_id",
@@ -199,9 +204,11 @@ def ngram_jaccard_pairs(
     shingles per pair → Jaccard from |A∩B| and set sizes.  The join is an
     equi-join on the shingle hash, so it shuffles on shingle, not doc².
     """
+    # Persist: the shingle frame feeds the inverted-index self-join (left +
+    # right) and the per-doc size lookup — three branches, one computation.
     sh = df.select(
         "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
-    )
+    ).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")

@@ -102,6 +102,73 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyph.
+# Kept to constructs Java regex and RE2 (DuckDB) evaluate identically so
+# the oracle can repeat it verbatim.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count under a BPE-style pre-tokenization regex (letter runs,
+    digit runs, punctuation glyphs) — the LLM-pipeline estimate of prompt
+    length, vs the whitespace count of ``token_count``.  regexp_extract_all
+    is JVM-side; no Python."""
+    return df.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03) on a
+    rolling character window: hash every k-char gram, then keep the
+    minimum hash of each window of w consecutive grams.  Near-identical
+    documents share most fingerprints, enabling containment/plagiarism
+    detection that token-set fingerprints miss.
+
+    md5 (hex string; lexicographic min is consistent across engines) keeps
+    the oracle repeatable — a production deployment would swap in xxhash64.
+    Documents shorter than k+w-1 chars yield zero fingerprints.
+    Output: (doc_id, n_fingerprints, min_fingerprint).
+    """
+    # Each stage is its own projection so the gram hashes are computed
+    # exactly once (an inline ``grams`` expression inside the window lambda
+    # would re-run every md5 per window element), and so short documents
+    # never reach ``sequence`` with a negative stop.
+    c = F.col(text_col)
+    n_grams = F.length(c) - k + 1
+    empty = F.array().cast("array<string>")
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.substring(c, i, k)),
+    )
+    g = df.select(
+        "doc_id",
+        F.when(n_grams >= w, gram_arr).otherwise(empty).alias("__g"),
+    )
+    win_arr = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__g")) - w + 1),
+        lambda j: F.array_min(F.slice(F.col("__g"), j, w)),
+    )
+    fp = g.select(
+        "doc_id",
+        F.when(F.size(F.col("__g")) >= w, F.array_distinct(win_arr))
+        .otherwise(empty)
+        .alias("__fp"),
+    )
+    return fp.select(
+        "doc_id",
+        F.size(F.col("__fp")).cast("bigint").alias("n_fingerprints"),
+        F.array_min(F.col("__fp")).alias("min_fingerprint"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set — two docs that are word-shuffles of each other collide,

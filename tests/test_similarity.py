@@ -41,3 +41,30 @@ def test_vector_norms(spark):
                                "vec_id bigint, embedding array<float>")
     out = similarity.vector_norms(df).collect()[0]
     assert out.l2_norm == pytest.approx(5.0)
+
+
+def test_cosine_near_dup_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),   # cos ~0.990 with 0
+        (2, [0.0, 1.0, 0.0]),     # orthogonal to 0
+        (3, [0.99, 0.0, 0.14]),   # cos ~0.990 with 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {(r.id_a, r.id_b) for r in
+           similarity.cosine_near_dup_pairs(df, threshold=0.9).collect()}
+    assert (0, 1) in out and (0, 3) in out
+    assert (0, 2) not in out
+    assert all(a < b for a, b in out)
+
+
+def test_cosine_near_dup_lsh_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in
+             similarity.cosine_near_dup_pairs(emb, threshold=0.45).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              similarity.cosine_near_dup_lsh(emb, threshold=0.45).collect()}
+    assert approx <= exact  # verification makes precision exact
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"near-dup LSH recall {recall} too low"

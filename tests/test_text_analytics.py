@@ -83,3 +83,47 @@ def test_word_shingles_short_doc(spark):
     assert out[2] == ["a b c", "b c d"]
     # doc shorter than the shingle width yields no valid shingles
     assert all(" " in s for s in out[2])
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world42, don't!"), (2, "abc")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.n_bpe_tokens for r in ta.bpe_token_count(df).collect()}
+    # hello | world | 42 | , | don | ' | t | !  → 8
+    assert out[1] == 8
+    assert out[2] == 1
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    # A one-word edit at the END leaves the leading windows' fingerprints
+    # intact — token-set fingerprints can't express that containment.
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a[:-5] + "never"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "xy")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in ta.rolling_fingerprint(df).collect()}
+    assert rows[1].n_fingerprints > 0
+    assert rows[1].min_fingerprint is not None
+    # doc 3 shorter than k+w-1 → zero fingerprints, null min
+    assert rows[3].n_fingerprints == 0
+    assert rows[3].min_fingerprint is None
+
+
+def test_rolling_fingerprint_overlap_for_near_dups(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = a.replace("bank", "bend")
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id bigint, text string")
+    from k8stream_spark.analytics.text import rolling_fingerprint
+    from pyspark.sql import functions as F
+
+    fps = (
+        rolling_fingerprint(df)
+        .select("doc_id", "n_fingerprints")
+        .collect()
+    )
+    # near-identical docs produce nearly equal fingerprint counts
+    counts = {r.doc_id: r.n_fingerprints for r in fps}
+    assert abs(counts[1] - counts[2]) <= 2
