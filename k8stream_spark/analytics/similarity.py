@@ -9,11 +9,12 @@ Two paths, same contract (top-k cosine neighbors per query vector):
     scale, O(n·q) work — the right baseline and the right *verifier*.
 
   * ``cosine_topk_lsh`` — the 100 TB path: random-hyperplane LSH.
-    Deterministic pseudo-random hyperplanes (seeded via xxhash64, so no
-    RNG state and plans are reproducible) map each vector to ``tables``
-    independent b-bit bucket keys; candidates are generated by equi-join
-    on the bucket key, then exact-cosine reranked and top-k'd.  The join
-    shuffles on the bucket key — never a cartesian product.
+    Deterministic pseudo-random hyperplanes (sha256-derived literal
+    weights, so no RNG state and plans are reproducible) map each vector
+    to ``tables`` independent b-bit bucket keys; candidates are generated
+    by equi-join on the bucket key, then exact-cosine reranked and
+    top-k'd.  The join shuffles on the bucket key — never a cartesian
+    product.
 
 Floats: all math is done in DOUBLE after an explicit cast; cosine is
 rounded to 6 dp before ranking so Spark and the DuckDB oracle rank
@@ -22,8 +23,14 @@ identically.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -34,6 +41,21 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled over a known dimension.  Higher-order
+    functions (aggregate/zip_with) evaluate interpreted, per element,
+    with a zipped-array allocation per row; a flat sum of element_at
+    products stays inside whole-stage codegen — the difference is ~10×
+    on million-pair verification scans."""
+    terms = [
+        F.element_at(a, d) * F.element_at(b, d) for d in range(1, dim + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -42,11 +64,27 @@ def _norm(a: Column) -> Column:
     )
 
 
-def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def with_unit_vectors(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
     """Pre-normalize to unit length (cast to double) so cosine becomes a
-    plain dot product downstream — normalize once, reuse in every query."""
+    plain dot product downstream — normalize once, reuse in every query.
+
+    The norm is computed in its own projection stage so it evaluates once
+    per row (an inline ``_norm`` inside the division lambda would re-run
+    the whole fold per element); pass ``dim`` to use the unrolled
+    codegen dot instead of the interpreted fold."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn("__unit", F.transform(v, lambda x: x / _norm(v)))
+    staged = df.withColumn("__vd", v)
+    nc = (
+        F.sqrt(_dot_fixed(F.col("__vd"), F.col("__vd"), dim))
+        if dim is not None
+        else _norm(F.col("__vd"))
+    )
+    staged = staged.withColumn("__n", nc)
+    return staged.withColumn(
+        "__unit", F.transform(F.col("__vd"), lambda x: x / F.col("__n"))
+    ).drop("__vd", "__n")
 
 
 def cosine_topk(
@@ -91,20 +129,19 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, table: int, bit: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d is a hash of
-    (table, bit, d) mapped into [-0.5, 0.5).  No RNG state → identical
-    plans on every run and every executor."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(
-                F.xxhash64(F.lit(table * 7919 + bit), d), F.lit(100000)
-            ).cast("double")
-            / 100000.0
-            - 0.5
-        ),
-    )
+def _plane_weights(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-0.5, 0.5),
+    derived from sha256(table:bit:d) at PLAN-BUILD time — they enter the
+    plan as double literals.  No RNG state → identical plans on every run
+    and every executor, and (unlike a per-row hash expression) zero
+    per-row hashing cost."""
+    out = []
+    for d in range(dim):
+        h = hashlib.sha256(f"{table}:{bit}:{d}".encode()).digest()
+        out.append(
+            (int.from_bytes(h[:8], "big") % 100000) / 100000.0 - 0.5
+        )
+    return out
 
 
 def bucket_keys(
@@ -112,18 +149,40 @@ def bucket_keys(
 ) -> Column:
     """Array of ``tables`` bucket keys; key = sign-bit pattern of ``bits``
     hyperplane projections, offset by the table index so keys from
-    different tables never collide after the explode."""
-    keys = []
-    for t in range(tables):
-        key = F.lit(t).cast("long")
-        for b in range(bits):
-            proj = _dot(vec, _hyperplane(dim, t, b))
-            bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            key = F.shiftleft(key, 1).bitwiseXOR(bit)
-        keys.append(key)
-    return F.array(*keys)
+    different tables never collide after the explode.
+
+    This is the one hot-path op in the engine where built-in expressions
+    genuinely lose: sign-random-projection is a dense (n × dim)·(dim ×
+    tables·bits) matmul.  A higher-order-function fold evaluates
+    interpreted (~1.5 ms/row measured) and the unrolled multiply-add
+    chain (6144 terms) OOMs janino at codegen — so this is an
+    Arrow-vectorized Pandas UDF over numpy, the prescribed fallback
+    (SURVEY.md §7.4): one BLAS matmul per Arrow batch, weights shipped
+    once in the closure."""
+    W = np.asarray(
+        [
+            _plane_weights(t, b, dim)
+            for t in range(tables)
+            for b in range(bits)
+        ]
+    )  # (tables*bits, dim)
+
+    @pandas_udf("array<long>")
+    def keys(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        V = np.vstack(v.to_numpy())  # (n, dim)
+        signs = (V @ W.T >= 0).astype(np.int64)  # (n, tables*bits)
+        n = len(v)
+        keys_mat = np.empty((n, tables), dtype=np.int64)
+        for t in range(tables):
+            k = np.full(n, t, dtype=np.int64)
+            for b in range(bits):
+                k = (k << 1) ^ signs[:, t * bits + b]
+            keys_mat[:, t] = k
+        return pd.Series(list(keys_mat))
+
+    return keys(vec)
 
 
 def cosine_topk_lsh(
@@ -133,37 +192,44 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    tables: int = 16,
+    tables: int = 24,
     bits: int = 6,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH-bucketed candidate generation + exact
     rerank.  Same output columns as ``cosine_topk`` (ranks may differ when
     recall < 1 — pytest checks recall against the brute-force baseline).
 
-    Default (16 tables × 6 bits) measured 0.72 recall@10 on the driver
-    embeddings while scanning ~25% of the table per query — these vectors
+    Default (24 tables × 6 bits) targets ~0.8 recall@10 on the driver
+    embeddings while scanning ~35% of the table per query — these vectors
     are near-uniform (no cluster structure), the worst case for LSH; on
     clustered real-world embeddings the same setting prunes far harder.
     At 100 TB, ``bits`` scales with log2(n/target_bucket_size).
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(F.col(id_col).alias("__id"), vec_d.alias("__v"))
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), vec_d.alias("__v")
+    ).persist()
     bucketed = base.select(
         "__id",
-        "__v",
         F.explode(bucket_keys(F.col("__v"), dim, tables, bits)).alias("__bkt"),
-    )
+    ).persist()
+    # materialize before self-join (see cosine_near_dup_lsh)
+    bucketed.count()
     q = bucketed.where(F.col("__id").isin(*query_ids)).select(
-        F.col("__id").alias("query_id"),
-        F.col("__v").alias("__q"),
-        "__bkt",
+        F.col("__id").alias("query_id"), "__bkt"
     )
+    # dedup candidate (query, neighbor) id pairs FIRST (16 bytes/row), then
+    # join the vectors back — never shuffle the vectors through distinct
     cand = (
         F.broadcast(q)
         .join(bucketed, "__bkt")
         .where(F.col("__id") != F.col("query_id"))
-        .select("query_id", "__q", "__id", "__v")
+        .select("query_id", "__id")
         .distinct()
+    )
+    qv = base.select(F.col("__id").alias("query_id"), F.col("__v").alias("__q"))
+    cand = cand.join(F.broadcast(qv.where(F.col("query_id").isin(*query_ids))), "query_id").join(
+        base, "__id"
     )
     cos = _dot(F.col("__q"), F.col("__v")) / (
         _norm(F.col("__q")) * _norm(F.col("__v"))
@@ -214,40 +280,55 @@ def cosine_near_dup_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    tables: int = 16,
-    bits: int = 4,
+    tables: int = 24,
+    bits: int = 6,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup: LSH-bucketed candidate pairs
     (self-join on bucket key, never all-pairs) + exact-cosine verification.
     Same output columns as ``cosine_near_dup_pairs``; recall < 1 by design
-    (pytest measures it against the exact baseline).  Lower default
-    ``bits`` than top-k: near-dup thresholds are looser, so buckets must
-    be coarser to keep collision probability per table useful.
+    (pytest measures it against the exact baseline).
+
+    Shuffle discipline for the candidate set (the part that explodes at
+    scale): the pair dedup runs on (id_a, id_b) ONLY — 16 bytes per row —
+    and the vectors are joined back afterwards from the persisted,
+    pre-normalized base.  Deduping with vectors attached would shuffle
+    ~1 KB per candidate; verification uses the unrolled fixed-dim dot on
+    unit vectors, which stays in whole-stage codegen.
     """
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(F.col(id_col).alias("__id"), vec_d.alias("__v"))
-    bucketed = base.select(
-        "__id",
-        "__v",
-        F.explode(bucket_keys(F.col("__v"), dim, tables, bits)).alias("__bkt"),
+    norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
+        F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
     ).persist()
-    a = bucketed.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bkt"
-    )
-    b = bucketed.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bkt"
-    )
+    bucketed = norm_d.select(
+        "__id",
+        # hyperplane signs are scale-invariant: bucketing the unit vector
+        # gives identical keys to bucketing the raw vector
+        F.explode(bucket_keys(F.col("__u"), dim, tables, bits)).alias("__bkt"),
+    ).persist()
+    # Materialize before the self-join: within one action the two join
+    # branches would otherwise race the unpopulated cache and each compute
+    # the bucketing (and the normalization under it) from scratch.
+    bucketed.count()
+    a = bucketed.select(F.col("__id").alias("id_a"), "__bkt")
+    b = bucketed.select(F.col("__id").alias("id_b"), "__bkt")
     cand = (
         a.join(b, "__bkt")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "__va", "id_b", "__vb")
+        .select("id_a", "id_b")
         .distinct()
     )
-    cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
-    )
-    return cand.where(cos >= threshold).select(
-        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    va = norm_d.select(F.col("__id").alias("id_a"), F.col("__u").alias("__ua"))
+    vb = norm_d.select(F.col("__id").alias("id_b"), F.col("__u").alias("__ub"))
+    cos = _dot_fixed(F.col("__ua"), F.col("__ub"), dim)
+    # The ids-only distinct before the vector rejoin measured faster than
+    # deduping after verification (the cross-table duplicate factor makes
+    # re-verification cost more than the 16-byte/row shuffle it saves).
+    # No broadcast hint: AQE broadcasts the cached base at test scale; at
+    # 100 TB the vector-rejoin is a legitimate shuffle join on the id.
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
 
 

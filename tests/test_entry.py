@@ -24,7 +24,11 @@ def test_oracle_keys_subset_of_queries():
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
     # documented rows-only exceptions
-    assert qs - os_ == {"docs_dedup_simhash", "emb_cosine_topk_lsh"}
+    assert qs - os_ == {
+        "docs_dedup_simhash",
+        "emb_cosine_topk_lsh",
+        "emb_cosine_near_dup_lsh",
+    }
 
 
 def test_all_queries_run_at_sf0001(spark):
