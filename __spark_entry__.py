@@ -557,6 +557,16 @@ def _q_q5(spark, sf_dir):
     )
 
 
+def _q_q6(spark, sf_dir):
+    return tpch.q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_q14(spark, sf_dir):
+    return tpch.q14_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 def _q_window_top(spark, sf_dir):
     return tpch.top_orders_per_customer(load_table(spark, sf_dir, "orders"))
 
@@ -716,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_local_supplier_volume": _q_q5,
+        "q6_forecast_revenue": _q_q6,
+        "q14_promo_revenue": _q_q14,
         "window_top_orders_per_customer": _q_window_top,
         "rollup_order_priority": _q_rollup,
         "agg_customer_order_stats": _q_cust_stats,
@@ -993,6 +1005,26 @@ def oracle_sql() -> dict[str, str]:
                            AND s.s_nationkey = c.c_nationkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT {exact_sum('l_extendedprice*l_discount')} AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(100.0 * (
+                     CAST(SUM(CAST(CASE WHEN p.p_type='ECONOMY'
+                                        THEN l.l_extendedprice*(1-l.l_discount)
+                                        ELSE 0.0 END AS DECIMAL(30,8))) AS DOUBLE)
+                     / CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount)
+                                     AS DECIMAL(30,8))) AS DOUBLE)), 4)
+                   AS promo_revenue_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1996-04-01'
         """,
         "window_top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

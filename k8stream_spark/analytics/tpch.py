@@ -122,6 +122,61 @@ def q5_local_supplier_volume(
     )
 
 
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue change from discount elimination.  Pure
+    filter + global aggregate — every predicate sits on a scan column, so
+    the whole WHERE reaches the parquet reader as PushedFilters and the
+    scan prunes row groups before any Spark work."""
+    revenue = exact_sum(F.col("l_extendedprice") * F.col("l_discount"))
+    return lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    ).agg(revenue.alias("revenue"))
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    promo_type: str = "ECONOMY",
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promo-type parts.  The part
+    dim broadcasts; lineitem never shuffles.  Both sums are exact-decimal
+    (order-independent), divided as doubles in a pinned order so the
+    oracle reproduces the rounding bit-for-bit."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == promo_type, disc_price).otherwise(
+        F.lit(0.0)
+    )
+    dec = lambda c: F.sum(c.cast("decimal(30,8)")).cast("double")  # noqa: E731
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(100.0 * (dec(promo) / dec(disc_price)), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window ranking: top-k orders by total price per customer.
     Single shuffle on o_custkey; per-key sort only (no global sort)."""
