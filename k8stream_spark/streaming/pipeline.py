@@ -46,6 +46,90 @@ def build_event_stream(
     return reader.json(source_dir)
 
 
+def build_service_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S2 — k8s-service stream (reference main.go:82-86: services get their
+    own informer because changes don't surface on the events interface).
+    Same JSON-lines test shape as the event stream."""
+    from k8stream_spark.schemas import K8S_SERVICE_SCHEMA
+
+    reader = spark.readStream.schema(K8S_SERVICE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def transform_services(
+    services: DataFrame,
+    namespaces: Sequence[str] = (),
+    streaming_dedup: bool = True,
+) -> DataFrame:
+    """The service-side hot path (reference handler.go:82-120): eligibility
+    (P1/P2/P4) → version dedup (D2; in streaming,
+    dropDuplicatesWithinWatermark on (uid, resource_version) — the
+    documented mapping of the keep-latest cache check, SURVEY §2.7) →
+    L9Event synthesis (P10)."""
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.ops import project as opsproject
+
+    eligible = filters.eligible_services(services, namespaces=namespaces)
+    if streaming_dedup:
+        # the synthetic wall-clock arrival time bounds the dedup state
+        deduped = (
+            eligible.withColumn("__arrival", F.current_timestamp())
+            .withWatermark("__arrival", "1 hour")
+            .dropDuplicatesWithinWatermark(["uid", "resource_version"])
+            .drop("__arrival")
+        )
+    else:
+        deduped = dedup.keep_latest_version(
+            eligible, key="uid", version_col="resource_version"
+        )
+    return opsproject.service_event_synthesis(deduped).drop(
+        "labels", "annotations"
+    )
+
+
+def run_unified_pipeline(
+    spark: SparkSession,
+    event_source_dir: str,
+    service_source_dir: str,
+    objects: DataFrame,
+    nodes: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+    namespaces: Sequence[str] = (),
+    reasons: Sequence[str] = (),
+):
+    """U1 in streaming form — the reference's two informer streams feed one
+    channel (main.go:84-90); here both streaming frames union into ONE
+    streaming query with one sink and one checkpoint."""
+    events = build_event_stream(spark, event_source_dir)
+    ev_l9 = transform_events(
+        events, objects, nodes, namespaces=namespaces, reasons=reasons
+    )
+    services = build_service_stream(spark, service_source_dir)
+    svc_l9 = transform_services(services, namespaces=namespaces)
+    unified = joins.union_streams(ev_l9, svc_l9)
+
+    writer = (
+        unified.writeStream.outputMode("append")
+        .foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def transform_events(
     events: DataFrame,
     objects: DataFrame,

@@ -95,3 +95,63 @@ def test_streaming_distributed_sink(spark, objects_df, nodes_df, tmp_path):
                 with gzip.open(os.path.join(root, fn), "rt") as f:
                     rows += [json.loads(l) for l in f]
     assert {r["id"] for r in rows} == {"e1", "e3"}
+
+
+def _write_services(path: str) -> None:
+    services = [
+        dict(uid="s1", name="web", namespace="default", resource_version="10",
+             selector={"app": "web"}, labels={}, annotations={},
+             event_type="addedService"),
+        dict(uid="s1", name="web", namespace="default", resource_version="10",
+             selector={"app": "web"}, labels={}, annotations={},
+             event_type="addedService"),  # D2 duplicate (same version)
+        dict(uid="s2", name="kubernetes", namespace="default",
+             resource_version="2", selector={}, labels={}, annotations={},
+             event_type="addedService"),  # P4 drop
+        dict(uid="s3", name="api", namespace="kube-system",
+             resource_version="7", selector={}, labels={}, annotations={},
+             event_type="updatedService"),  # P1 drop
+    ]
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "services.json"), "w") as f:
+        for s in services:
+            f.write(json.dumps(s) + "\n")
+
+
+def test_unified_pipeline_unions_both_streams(
+    spark, objects_df, nodes_df, tmp_path
+):
+    from k8stream_spark.streaming.pipeline import run_unified_pipeline
+
+    ev_src = str(tmp_path / "ev_src")
+    svc_src = str(tmp_path / "svc_src")
+    _write_events(ev_src)
+    _write_services(svc_src)
+    sink = MemorySink()
+    q = run_unified_pipeline(
+        spark,
+        ev_src,
+        svc_src,
+        objects_df,
+        nodes_df,
+        sink_fn=sink_foreach_batch(sink, uid="unified-run"),
+        checkpoint_dir=str(tmp_path / "ckpt-unified"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = []
+    for data in sink.batches.values():
+        rows += [json.loads(l) for l in data.decode().splitlines()]
+    by_id = {r["id"]: r for r in rows}
+
+    # events e1/e3 (as in the event-only test) + service s1 exactly once
+    # (dup dropped by D2); s2 (default service) and s3 (kube-system) gone
+    assert set(by_id) == {"e1", "e3", "s1-10"}
+    svc = by_id["s1-10"]
+    assert svc["reference_kind"] == "Service"
+    assert svc["reason"] == "addedService"
+    assert svc["reference_version"] == "10"
+    # event rows keep their enrichment through the union
+    assert by_id["e1"]["pod_name"] == "pod-1"
