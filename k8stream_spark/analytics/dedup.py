@@ -161,7 +161,10 @@ def minhash_lsh_pairs(
     # recomputes the shingle + 128-hash pipeline for each branch.  At
     # cluster scale this is the classic persist-before-self-join: the
     # signature table is ~num_hashes longs per doc, tiny next to the text.
+    # Materialized eagerly — within one action the four cold branches
+    # would otherwise race the unpopulated cache and each compute it.
     sigs = minhash_signature(df, text_col, num_hashes, shingle_n).persist()
+    sigs.count()
 
     banded = sigs.select(
         "doc_id",
