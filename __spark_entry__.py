@@ -589,6 +589,18 @@ def _q_sessionize(spark, sf_dir):
     return evan.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _q_session_window(spark, sf_dir):
+    return evan.session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def _q_value_quantiles(spark, sf_dir):
+    return evan.value_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def _q_approx_users(spark, sf_dir):
+    return evan.approx_user_counts(load_table(spark, sf_dir, "events"))
+
+
 def _q_user_matrix(spark, sf_dir):
     return evan.user_type_matrix(load_table(spark, sf_dir, "events"))
 
@@ -733,6 +745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_customer_order_stats": _q_cust_stats,
         "events_hourly_type_counts": _q_hourly,
         "events_sessionize": _q_sessionize,
+        "events_session_window": _q_session_window,
+        "events_value_quantiles": _q_value_quantiles,
+        "events_approx_user_counts": _q_approx_users,
         "events_user_type_matrix": _q_user_matrix,
         # LLM-data-pipeline layer
         "text_token_count": _q_token_count,
@@ -761,7 +776,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query.  Omitted on purpose (rows-only
     checks): docs_dedup_simhash (xxhash64 seeds have no DuckDB equivalent),
     emb_cosine_topk_lsh and emb_cosine_near_dup_lsh (approximate by
-    design; pytest checks their recall against the exact results)."""
+    design; pytest checks their recall against the exact results), and
+    events_approx_user_counts (HLL++ estimates are implementation-defined;
+    pytest bounds the relative error against the exact count)."""
     exact_sum = (
         lambda expr, scale=2: f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {scale})"
     )
@@ -1078,6 +1095,32 @@ def oracle_sql() -> dict[str, str]:
                    MAX(event_id) AS last_event,
                    MAX(tsec) - MIN(tsec) AS duration_s
             FROM s GROUP BY user_id, sid
+        """,
+        "events_session_window": """
+            WITH w AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER win IS NULL
+                               OR ts - lag(ts) OVER win > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM w
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "events_user_type_matrix": """
             SELECT user_id,

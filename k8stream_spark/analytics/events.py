@@ -70,6 +70,51 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_window_agg(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via the NATIVE ``session_window`` operator (the same
+    one the streaming layer uses with a watermark) — vs ``sessionize``,
+    which builds sessions from window functions.  Boundary semantics
+    pinned (and locked by a pytest): an event exactly ``gap`` after its
+    predecessor JOINS the session — windows merge when next start <=
+    previous end; ``window.end`` is last event time + gap."""
+    return (
+        df.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def value_quantiles(df: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of ``value`` per event type.  Spark's
+    ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit on
+    doubles; the approximate-at-scale alternative is
+    ``percentile_approx`` (t-digest), swapped in when exactness is not
+    oracle-checked."""
+    return df.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def approx_user_counts(df: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Distinct users per event type via HyperLogLog++
+    (``approx_count_distinct``) next to the exact count — the sketch the
+    100 TB path uses (one pass, bounded memory) with the exact value as
+    its in-query accuracy witness.  Sketch estimates are
+    implementation-defined, so this is a rows-only query; pytest bounds
+    the relative error."""
+    return df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def user_type_matrix(df: DataFrame) -> DataFrame:
     """Per-user event-type pivot counts (fixed pivot values → single pass,
     no second job to discover distinct values)."""

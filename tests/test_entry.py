@@ -28,6 +28,7 @@ def test_oracle_keys_subset_of_queries():
         "docs_dedup_simhash",
         "emb_cosine_topk_lsh",
         "emb_cosine_near_dup_lsh",
+        "events_approx_user_counts",
     }
 
 

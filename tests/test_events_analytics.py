@@ -1,0 +1,60 @@
+"""Event analytics: session-window equivalence, exact quantiles, HLL
+sketch accuracy."""
+
+from __future__ import annotations
+
+from k8stream_spark.analytics import events as evan
+from k8stream_spark.sources.fixtures import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_session_window_matches_windowfn_sessionize(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    native = evan.session_window_agg(ev)
+    classic = evan.sessionize(ev)
+    # same number of sessions per user (both split on >= 30 min gaps;
+    # sessionize truncates to seconds, so compare at session granularity)
+    n_native = {
+        (r.user_id,): r.n
+        for r in native.groupBy("user_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    n_classic = {
+        (r.user_id,): r.n
+        for r in classic.groupBy("user_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert n_native == n_classic
+
+
+def test_session_window_gap_boundary(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(minutes=29)),      # merges (< gap)
+        (1, 3, t0 + dt.timedelta(minutes=59)),      # exactly 30 min → MERGES
+        (1, 4, t0 + dt.timedelta(minutes=89, seconds=1)),  # > gap → NEW
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp_ntz"
+    )
+    out = evan.session_window_agg(df).collect()
+    assert sorted(r.n_events for r in out) == [1, 3]
+
+
+def test_value_quantiles_ordering(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    for r in evan.value_quantiles(ev).collect():
+        assert r.p50 <= r.p95
+
+
+def test_approx_user_counts_error_bound(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    for r in evan.approx_user_counts(ev).collect():
+        rel = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel <= 0.15, f"{r.event_type}: rel err {rel}"
