@@ -683,6 +683,12 @@ def _q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def _q_cosine_topk_ivf(spark, sf_dir):
+    return similarity.cosine_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10
+    )
+
+
 def _q_vector_norms(spark, sf_dir):
     return similarity.vector_norms(load_table(spark, sf_dir, "embeddings"))
 
@@ -766,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_cosine_topk_lsh": _q_cosine_topk_lsh,
+        "emb_cosine_topk_ivf": _q_cosine_topk_ivf,
         "emb_vector_norms": _q_vector_norms,
         "mm_blob_meta": _q_blob_meta,
         "mm_frame_sample": _q_frame_sample,
@@ -775,8 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query.  Omitted on purpose (rows-only
     checks): docs_dedup_simhash (xxhash64 seeds have no DuckDB equivalent),
-    emb_cosine_topk_lsh and emb_cosine_near_dup_lsh (approximate by
-    design; pytest checks their recall against the exact results), and
+    emb_cosine_topk_lsh, emb_cosine_topk_ivf and emb_cosine_near_dup_lsh
+    (approximate by design; pytest checks their recall against the exact
+    results), and
     events_approx_user_counts (HLL++ estimates are implementation-defined;
     pytest bounds the relative error against the exact count)."""
     exact_sum = (

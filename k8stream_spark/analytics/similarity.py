@@ -346,6 +346,93 @@ def cosine_near_dup_lsh(
     )
 
 
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    nlist: int | None = None,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file index): a KMeans
+    coarse quantizer partitions the vectors into ``nlist`` cells; each
+    query probes its ``nprobe`` nearest cells and exact-reranks only the
+    vectors inside them.  The other classic ANN scale path next to LSH —
+    on clustered real-world embeddings IVF prunes harder because cells
+    follow the data distribution instead of random hyperplanes.
+
+    Spark-first shape: the quantizer is ``pyspark.ml`` KMeans (seeded →
+    deterministic), cell assignment is the model's distributed transform,
+    and candidate generation is an equi-join on the cell id — the cell
+    list is the only driver-side state (nlist × dim floats).  Only the
+    query vectors themselves are collected (a few rows by contract).
+    Same output columns as ``cosine_topk``; recall measured by pytest.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
+        F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
+    )
+    if nlist is None:
+        nlist = max(4, int(norm_d.count() ** 0.5 / 2))
+    feats = norm_d.withColumn("__feat", array_to_vector("__u"))
+    # Few iterations: the coarse quantizer only needs cells that roughly
+    # follow the data; recall is governed by nprobe, not centroid polish.
+    model = KMeans(
+        k=nlist,
+        seed=42,
+        maxIter=8,
+        featuresCol="__feat",
+        predictionCol="__cell",
+    ).fit(feats)
+    assigned = (
+        model.transform(feats).select("__id", "__u", "__cell").persist()
+    )
+    assigned.count()  # materialize before the probe join
+
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    qrows = assigned.where(F.col("__id").isin(*query_ids)).collect()
+    probes = [
+        (int(row["__id"]), int(cell))
+        for row in qrows
+        for cell in np.argsort(
+            -(centers @ np.asarray(row["__u"], dtype=float))
+        )[: min(nprobe, len(centers))]
+    ]
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id bigint, __cell int")
+
+    @pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype=float)
+        return pd.Series(
+            np.einsum("ij,ij->i", np.vstack(a.to_numpy()), np.vstack(b.to_numpy()))
+        )
+
+    qv = assigned.select(
+        F.col("__id").alias("query_id"), F.col("__u").alias("__q")
+    ).where(F.col("query_id").isin(*query_ids))
+    cand = (
+        F.broadcast(probe_df)
+        .join(assigned, "__cell")
+        .where(F.col("__id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", F.round(pair_cos(F.col("__q"), F.col("__u")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("__id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("__id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
 def vector_norms(
     embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

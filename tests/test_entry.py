@@ -27,6 +27,7 @@ def test_oracle_keys_subset_of_queries():
     assert qs - os_ == {
         "docs_dedup_simhash",
         "emb_cosine_topk_lsh",
+        "emb_cosine_topk_ivf",
         "emb_cosine_near_dup_lsh",
         "events_approx_user_counts",
     }

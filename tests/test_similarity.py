@@ -68,3 +68,14 @@ def test_cosine_near_dup_lsh_recall(spark):
     if exact:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5, f"near-dup LSH recall {recall} too low"
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = (0, 1, 2, 3, 4)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.cosine_topk_ivf(emb, qids, k=10).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall} too low"  # 0.98 measured
