@@ -307,8 +307,10 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     events = _k8s_events(spark, sf_dir)
     eligible = filters.eligible_events(events, blacklist=NS_BLACKLIST)
+    # message (not ref_uid, which is functionally constant per uid) breaks
+    # same-timestamp ties so the surviving row is deterministic.
     deduped = opsdedup.dedup_first_seen(
-        eligible, keys=["uid"], order_by=["creation_ts", "ref_uid"]
+        eligible, keys=["uid"], order_by=["creation_ts", "message"]
     )
     enriched = joins.enrich_involved_object(deduped, _objects(spark, sf_dir))
     enriched = joins.node_addresses(enriched, _nodes(spark, sf_dir))

@@ -55,18 +55,24 @@ def main() -> None:
     # Warm the JVM (codegen, parquet footer cache, broadcast machinery)
     # with one cheap untimed scan so the first timed query measures the
     # query, not session startup.
-    qs["f5_epoch_seconds"](spark, sf_dir).count()
+    qs["f5_epoch_seconds"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         t0 = time.time()
-        # count() forces the full plan (scan → shuffle → agg) without
-        # driver-side materialization costs skewing the number.
-        qs[name](spark, sf_dir).count()
+        # noop write materializes EVERY output column (count() would let
+        # Catalyst prune projection-only work down to a bare scan) without
+        # driver-collect costs skewing the number.
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
+        # LSH/IVF queries persist intermediates; drop them so one query's
+        # cache doesn't occupy storage memory during the next.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

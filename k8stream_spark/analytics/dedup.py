@@ -166,7 +166,15 @@ def minhash_lsh_pairs(
     sigs = minhash_signature(df, text_col, num_hashes, shingle_n).persist()
     sigs.count()
 
-    banded = sigs.select(
+    # Docs shorter than shingle_n tokens have sig=NULL; xxhash64 over an
+    # all-NULL band slice is the same seed constant for every such doc, so
+    # they'd all collide in every band — an O(short²) candidate explosion
+    # (the pairs verify to null Jaccard and drop, but only after the
+    # shuffle).  They can never be near-dups (empty shingle set), so
+    # exclude them before banding.
+    with_sig = sigs.where(F.col("sig").isNotNull())
+
+    banded = with_sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -241,9 +249,12 @@ def ngram_jaccard_pairs(
     """
     # Persist: the shingle frame feeds the inverted-index self-join (left +
     # right) and the per-doc size lookup — three branches, one computation.
+    # Materialized eagerly: within one action the cold branches would race
+    # the unpopulated cache and each recompute the shingles.
     sh = df.select(
         "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
     ).persist()
+    sh.count()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")

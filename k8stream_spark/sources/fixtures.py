@@ -46,10 +46,18 @@ def load_table(
     if name not in FIXTURE_TABLES:
         raise ValueError(f"unknown fixture table {name!r}; one of {FIXTURE_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # epoch-seconds operators cast NTZ through TIMESTAMP; pin UTC so the
-    # result is wall-clock == UTC regardless of the host session's tz.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Deliberate session-level requirements (the driver's harness session
+    # may not come from get_spark): nanosAsLong is mandatory to read the
+    # TIMESTAMP(NANOS) fixtures at all, and epoch-seconds operators cast
+    # NTZ through TIMESTAMP so results are only oracle-comparable under
+    # UTC.  Check-before-set to avoid churning a session that's already
+    # configured; callers needing another tz must restore it themselves.
+    for key, want in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
     df = spark.read.parquet(path)
     for col in _nano_timestamp_columns(path):
         df = df.withColumn(

@@ -89,9 +89,10 @@ def transform_services(
         deduped = dedup.keep_latest_version(
             eligible, key="uid", version_col="resource_version"
         )
-    return opsproject.service_event_synthesis(deduped).drop(
-        "labels", "annotations"
-    )
+    # Keep labels/annotations: the reference stamps service L9 events with
+    # them (event_service.go:72-112) and the event side of union_streams
+    # carries the same map<string,string> columns, so they align by name.
+    return opsproject.service_event_synthesis(deduped)
 
 
 def run_unified_pipeline(
@@ -147,8 +148,10 @@ def transform_events(
     if streaming_dedup:
         deduped = dedup.dedup_streaming(eligible, key="uid", ts_col="creation_ts")
     else:
+        # message (not ref_uid, which is constant within a uid partition)
+        # breaks same-timestamp ties deterministically.
         deduped = dedup.dedup_first_seen(
-            eligible, keys=["uid"], order_by=["creation_ts", "ref_uid"]
+            eligible, keys=["uid"], order_by=["creation_ts", "message"]
         )
     enriched = joins.enrich_involved_object(deduped, objects)
     enriched = joins.node_addresses(enriched, nodes)
@@ -246,14 +249,9 @@ def run_pipeline(
     Returns the StreamingQuery; callers own ``awaitTermination``/``stop``
     (the reference's trapSignal, main.go:96-112)."""
     events = build_event_stream(spark, source_dir)
-    eligible = filters.eligible_events(
-        events, namespaces=namespaces, reasons=reasons
+    l9 = transform_events(
+        events, objects, nodes, namespaces=namespaces, reasons=reasons
     )
-    deduped = dedup.dedup_streaming(eligible, key="uid", ts_col="creation_ts")
-    enriched = joins.enrich_involved_object(deduped, objects)
-    enriched = joins.node_addresses(enriched, nodes)
-    enriched = joins.conditional_pod_enrich(enriched)
-    l9 = project_enriched_l9(enriched)
 
     writer = (
         l9.writeStream.outputMode("append")

@@ -53,7 +53,11 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
                 i = int(np.argmax(bad))
                 return f"VAL col {c} row {i}: {aa[i]!r} vs {bb[i]!r} (maxdiff {np.nanmax(np.abs(aa - bb))})"
         else:
-            eq = (av.astype(str).fillna("<null>") == bv.astype(str).fillna("<null>"))
+            # Replace NA BEFORE astype(str): astype maps None->'None' and
+            # NaN->'nan', which would compare equal to those literal strings.
+            sa = av.where(av.notna(), "<null>").astype(str)
+            sb = bv.where(bv.notna(), "<null>").astype(str)
+            eq = sa == sb
             na_eq = av.isna() & bv.isna()
             if not bool((eq | na_eq).all()):
                 i = int((~(eq | na_eq)).idxmax())
@@ -83,6 +87,10 @@ def main() -> int:
             print(f"{name:40s} SPARK-ERROR {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        finally:
+            # LSH/IVF queries persist intermediates for their own plan
+            # reuse; release them so 60 queries don't stack dead caches.
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"{name:40s} rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:
