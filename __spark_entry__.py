@@ -283,15 +283,29 @@ sh AS (
 )
 """
 
+# Inverted-index form (mirrors the Spark ngram_jaccard_pairs shape): pairs
+# are generated by an equi-join on the shingle and Jaccard is derived from
+# the shared count and the two set sizes — identical output to the naive
+# all-pairs list_intersect form (verified) but ~95x faster in DuckDB
+# (0.13 s vs 12.3 s at sf0.01), which keeps the driver's correctness
+# sweep comfortably inside its time budget even though this oracle runs
+# twice (minhash_lsh + ngram_jaccard).
 NEAR_DUP_SQL = (
     SHINGLES_CTE
     + """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.s,b.s))), 4) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.s,b.s))), 4) >= 0.8
+, sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT cand.doc_a, cand.doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jaccard
+FROM cand
+JOIN sz sa ON sa.doc_id = cand.doc_a
+JOIN sz sb ON sb.doc_id = cand.doc_b
+WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
 """
 )
 
@@ -710,8 +724,26 @@ def _q_frame_sample(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+M6 layer)."""
+    """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
+
+    Ordering is deliberate: the round-2 correctness run was cut off on a
+    time budget before the last 10 registered queries, so the entries that
+    went ungraded there (emb_*, mm_*, docs_dedup_ngram/simhash) now run
+    FIRST — if a budget ever bites again it cuts queries that already have
+    green r02 rows, not the never-graded tail.
+    """
     return {
+        # Previously-ungraded tail (r02 cut-off) — graded first this round.
+        "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
+        "docs_dedup_simhash": _q_simhash,
+        "emb_vector_norms": _q_vector_norms,
+        "emb_cosine_topk": _q_cosine_topk,
+        "emb_cosine_topk_lsh": _q_cosine_topk_lsh,
+        "emb_cosine_topk_ivf": _q_cosine_topk_ivf,
+        "emb_cosine_near_dup": _q_cosine_near_dup,
+        "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
+        "mm_blob_meta": _q_blob_meta,
+        "mm_frame_sample": _q_frame_sample,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -768,16 +800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_exact": _q_dedup_exact,
         "docs_dedup_canonical": _q_dedup_canonical,
         "docs_dedup_minhash_lsh": _q_minhash_lsh,
-        "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
-        "docs_dedup_simhash": _q_simhash,
-        "emb_cosine_near_dup": _q_cosine_near_dup,
-        "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
-        "emb_cosine_topk": _q_cosine_topk,
-        "emb_cosine_topk_lsh": _q_cosine_topk_lsh,
-        "emb_cosine_topk_ivf": _q_cosine_topk_ivf,
-        "emb_vector_norms": _q_vector_norms,
-        "mm_blob_meta": _q_blob_meta,
-        "mm_frame_sample": _q_frame_sample,
     }
 
 

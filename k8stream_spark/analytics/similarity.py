@@ -378,13 +378,21 @@ def cosine_topk_ivf(
     )
     if nlist is None:
         nlist = max(4, int(norm_d.count() ** 0.5 / 2))
-    feats = norm_d.withColumn("__feat", array_to_vector("__u"))
-    # Few iterations: the coarse quantizer only needs cells that roughly
-    # follow the data; recall is governed by nprobe, not centroid polish.
+    # Cache the feature frame: KMeans re-reads its input once per
+    # iteration, and without the persist each pass would recompute the
+    # normalization chain from the parquet scan up.
+    feats = norm_d.withColumn("__feat", array_to_vector("__u")).persist()
+    feats.count()
+    # Few iterations + random init: the coarse quantizer only needs cells
+    # that roughly follow the data; recall is governed by nprobe, not
+    # centroid polish (FAISS does the same).  k-means|| init alone costs
+    # several distributed passes — random init removes them, and at
+    # oracle scale that's most of the query's wall-clock.
     model = KMeans(
         k=nlist,
         seed=42,
-        maxIter=8,
+        maxIter=5,
+        initMode="random",
         featuresCol="__feat",
         predictionCol="__cell",
     ).fit(feats)

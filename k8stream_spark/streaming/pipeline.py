@@ -66,25 +66,42 @@ def transform_services(
     services: DataFrame,
     namespaces: Sequence[str] = (),
     streaming_dedup: bool = True,
+    dedup_mode: str = "exact_watermark",
 ) -> DataFrame:
     """The service-side hot path (reference handler.go:82-120): eligibility
-    (P1/P2/P4) → version dedup (D2; in streaming,
-    dropDuplicatesWithinWatermark on (uid, resource_version) — the
-    documented mapping of the keep-latest cache check, SURVEY §2.7) →
-    L9Event synthesis (P10)."""
+    (P1/P2/P4) → version dedup (D2) → L9Event synthesis (P10).
+
+    Streaming dedup modes (``streaming_dedup=True``):
+
+    * ``"exact_watermark"`` — dropDuplicatesWithinWatermark on
+      (uid, resource_version): the reference's RUNTIME behavior (its cache
+      key is ``{uid}-{rv}``, handler.go:96-97, so only exact repeats ever
+      hit the ``>=`` branch).  Works under append output mode.
+    * ``"keep_latest"`` — ``stateful.keep_latest_stateful``: the ``>=``
+      comparison AS WRITTEN (handler.go:111) — also drops an out-of-order
+      OLDER version arriving after a newer one, matching the batch D2
+      oracle.  Requires update output mode (applyInPandasWithState).
+    """
     from pyspark.sql import functions as F
 
     from k8stream_spark.ops import project as opsproject
 
     eligible = filters.eligible_services(services, namespaces=namespaces)
     if streaming_dedup:
-        # the synthetic wall-clock arrival time bounds the dedup state
-        deduped = (
-            eligible.withColumn("__arrival", F.current_timestamp())
-            .withWatermark("__arrival", "1 hour")
-            .dropDuplicatesWithinWatermark(["uid", "resource_version"])
-            .drop("__arrival")
-        )
+        if dedup_mode == "keep_latest":
+            from k8stream_spark.streaming.stateful import keep_latest_stateful
+
+            deduped = keep_latest_stateful(
+                eligible, key="uid", version_col="resource_version"
+            )
+        else:
+            # the synthetic wall-clock arrival time bounds the dedup state
+            deduped = (
+                eligible.withColumn("__arrival", F.current_timestamp())
+                .withWatermark("__arrival", "1 hour")
+                .dropDuplicatesWithinWatermark(["uid", "resource_version"])
+                .drop("__arrival")
+            )
     else:
         deduped = dedup.keep_latest_version(
             eligible, key="uid", version_col="resource_version"

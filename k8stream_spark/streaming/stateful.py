@@ -98,3 +98,84 @@ def dedup_ttl_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def keep_latest_stateful(
+    df: DataFrame,
+    key: str = "uid",
+    version_col: str = "resource_version",
+    ttl_seconds: int = DEDUP_TTL_SECONDS,
+) -> DataFrame:
+    """D2 in streaming form — drop a change whose version is
+    lexicographically <= the max version already seen for the key
+    (reference handler.go:106-115: ``existingService.ReferenceVersion >=
+    s.GetResourceVersion()`` — a Go STRING compare, so '9' beats '10';
+    the batch twin is ops/dedup.keep_latest_version).
+
+    Semantics note pinned against the reference source: the cache lookup
+    key there is ``{uid}-{resourceVersion}`` (handler.go:96-97) and the
+    stored ``ReferenceVersion`` equals the rv in the key
+    (event_service.go:99,105), so at runtime the ``>=`` branch only ever
+    fires on an exact (uid, rv) repeat.  This operator implements the
+    comparison AS WRITTEN — max-seen-version per uid — which (a) is what
+    the defensive ``>=`` expresses, (b) matches the batch D2 oracle, and
+    (c) additionally suppresses out-of-order older versions, which the
+    exact-repeat form (dropDuplicatesWithinWatermark on (uid, rv)) lets
+    through.
+
+    State is (max_version, deadline_ms) per key; the mark expires
+    ``ttl_seconds`` after its last WRITE (the reference re-arms expiry on
+    every flush via ExpireSet, flush.go:57-62 — unlike the D1 mark, which
+    is written once).  Within a micro-batch rows are processed in frame
+    order, mirroring the reference's arrival-order handler loop.
+
+    Same deployment note as ``dedup_ttl_stateful`` re noDataMicroBatches.
+    """
+    out_schema = df.schema
+    cols = [f.name for f in out_schema.fields]
+    ttl_ms = ttl_seconds * 1000
+
+    def fn(
+        _key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now_ms = int(time.time() * 1000)
+        max_seen: str | None = None
+        if state.exists:
+            stored_version, deadline_ms = state.get
+            if now_ms < deadline_ms:
+                max_seen = stored_version
+            # else: mark expired → treat as absent (cache GET misses)
+        kept_any = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            keep_mask = []
+            for v in pdf[version_col].astype(str):
+                if max_seen is not None and max_seen >= v:
+                    keep_mask.append(False)
+                else:
+                    keep_mask.append(True)
+                    max_seen = v
+            out = pdf.loc[keep_mask, cols]
+            if len(out):
+                kept_any = True
+                yield out
+        # Re-arm only on emit: the reference re-ExpireSets the mark when a
+        # kept event flushes; a dropped duplicate leaves the cache entry
+        # (and its deadline) untouched.
+        if kept_any:
+            state.update((max_seen, now_ms + ttl_ms))
+            state.setTimeoutDuration(ttl_ms)
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="max_version string, deadline_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
