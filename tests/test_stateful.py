@@ -99,3 +99,83 @@ def test_ttl_dedup_readmits_after_expiry(spark, tmp_path, no_data_batches_off):
     time.sleep(ttl + 1)
     _write(src, "b2.json", [{"uid": "A", "message": "a2"}])
     assert _run_once(spark, src, ckpt, ttl) == [("A", "a2")]
+
+
+# ---------------------------------------------------------------------------
+# D2 streaming — keep-latest version (handler.go:111 as written)
+# ---------------------------------------------------------------------------
+
+SVC_SCHEMA = T.StructType(
+    [
+        T.StructField("uid", T.StringType()),
+        T.StructField("resource_version", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ]
+)
+
+
+def _run_keep_latest(spark, src: str, ckpt: str) -> list[tuple[str, str]]:
+    from k8stream_spark.streaming.stateful import keep_latest_stateful
+
+    stream = spark.readStream.schema(SVC_SCHEMA).json(src)
+    deduped = keep_latest_stateful(
+        stream, key="uid", version_col="resource_version"
+    )
+    emitted: list[tuple[str, str]] = []
+
+    def collect(batch_df, _batch_id):
+        emitted.extend(
+            (r.uid, r.resource_version) for r in batch_df.collect()
+        )
+
+    q = (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "query did not terminate"
+    return emitted
+
+
+def test_keep_latest_drops_out_of_order_older(
+    spark, tmp_path, no_data_batches_off
+):
+    """An OLDER resource_version arriving after a newer one is dropped
+    (the reference's ``cached >= incoming`` string compare, handler.go:111)
+    — the case dropDuplicatesWithinWatermark on (uid, rv) lets through."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", [
+        {"uid": "A", "resource_version": "5", "message": "m5"},
+        {"uid": "A", "resource_version": "3", "message": "m3"},  # older, same batch
+        {"uid": "B", "resource_version": "2", "message": "m2"},
+    ])
+    out1 = _run_keep_latest(spark, src, ckpt)
+    assert sorted(out1) == [("A", "5"), ("B", "2")]
+
+    # Run 2 (same checkpoint): exact repeat AND an older rv → both dropped;
+    # a newer rv → emitted.
+    _write(src, "b2.json", [
+        {"uid": "A", "resource_version": "5", "message": "m5-dup"},
+        {"uid": "A", "resource_version": "4", "message": "m4-late"},
+        {"uid": "A", "resource_version": "7", "message": "m7"},
+    ])
+    assert _run_keep_latest(spark, src, ckpt) == [("A", "7")]
+
+
+def test_keep_latest_string_compare_quirk(
+    spark, tmp_path, no_data_batches_off
+):
+    """Lexicographic compare as in Go: '9' >= '10' → rv=10 after rv=9 is
+    DROPPED (the pinned reference quirk; batch twin keep_latest_version)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", [{"uid": "A", "resource_version": "9", "message": "m9"}])
+    assert _run_keep_latest(spark, src, ckpt) == [("A", "9")]
+
+    _write(src, "b2.json", [{"uid": "A", "resource_version": "10", "message": "m10"}])
+    assert _run_keep_latest(spark, src, ckpt) == []
