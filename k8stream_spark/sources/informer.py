@@ -1,0 +1,197 @@
+"""S1/S2 production shape — a custom PySpark streaming DataSource that
+models the reference's informer contract (reference main.go:77-94):
+
+  * initial LIST: on start, every row already in the watched spool is
+    delivered once (informer cache sync, main.go:91-94);
+  * WATCH: rows appended after an offset are delivered incrementally —
+    exactly once per offset range, replayable from the checkpoint;
+  * RESYNC: every ``resyncInterval`` seconds (config.go:19-23, default
+    120) the full known state is re-delivered, like the shared informer
+    factory re-firing OnUpdate for every cached object.  Downstream
+    dedup (D1/D2) is what makes resync safe — the same contract the
+    reference relies on (handler.go:142-151).
+
+The "API server" here is a spool directory of JSON-lines files (the
+container has no kube-apiserver); the DataSource machinery — offsets,
+deterministic partition planning, executor-side reads, checkpoint replay
+— is the production-real part.  Swapping the spool scan for real watch
+bookmarks keeps every interface identical.
+
+Scale posture: ``latestOffset``/``partitions`` run on the driver and
+touch only file names + line counts; row parsing happens in ``read``
+on executors, one partition per (file, row-range) — the source
+parallelizes across files exactly like Spark's own file stream source.
+
+Delivery is at-least-once across resync boundaries by design (resync
+re-delivers), mirroring the reference's at-least-once contract
+(README.md:73-81).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator, Sequence
+from datetime import datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType, TimestampNTZType
+
+DEFAULT_RESYNC_INTERVAL = 120  # reference config.go:8 DEFAULT_RESYNC_INTERVAL
+
+
+def _schema_for(kind: str) -> StructType:
+    from k8stream_spark.schemas import K8S_EVENT_SCHEMA, K8S_SERVICE_SCHEMA
+
+    if kind == "service":
+        return K8S_SERVICE_SCHEMA
+    return K8S_EVENT_SCHEMA
+
+
+class _RangePartition(InputPartition):
+    """One (file, row-range) slice; ``relist`` marks resync re-delivery."""
+
+    def __init__(self, path: str, start: int, end: int, relist: bool):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.relist = relist
+
+
+class InformerStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("k8s_informer source requires option 'path'")
+        self._resync_s = int(
+            options.get("resyncinterval", options.get("resyncInterval", 0))
+        )
+        self._fields = [
+            (f.name, isinstance(f.dataType, TimestampNTZType))
+            for f in schema.fields
+        ]
+
+    # -- driver side -------------------------------------------------------
+    def initialOffset(self) -> dict:
+        # Empty counts → the first latestOffset delivers everything
+        # currently in the spool: the informer's initial LIST/sync.
+        return {
+            "files": {},
+            "resync_gen": 0,
+            "last_resync_ms": int(time.time() * 1000),
+        }
+
+    def latestOffset(self) -> dict:
+        counts: dict[str, int] = {}
+        if os.path.isdir(self._path):
+            for name in sorted(os.listdir(self._path)):
+                if name.startswith(".") or name.startswith("_"):
+                    continue
+                full = os.path.join(self._path, name)
+                if not os.path.isfile(full):
+                    continue
+                with open(full, "rb") as fh:
+                    counts[full] = sum(1 for line in fh if line.strip())
+        off = getattr(self, "_last_offset", None) or self.initialOffset()
+        gen = off["resync_gen"]
+        last_ms = off["last_resync_ms"]
+        now_ms = int(time.time() * 1000)
+        if self._resync_s > 0 and now_ms - last_ms >= self._resync_s * 1000:
+            gen += 1
+            last_ms = now_ms
+        new = {"files": counts, "resync_gen": gen, "last_resync_ms": last_ms}
+        self._last_offset = new
+        return new
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for path, end_n in end["files"].items():
+            start_n = start["files"].get(path, 0)
+            if end_n > start_n:
+                parts.append(_RangePartition(path, start_n, end_n, False))
+        if end["resync_gen"] > start["resync_gen"]:
+            # RESYNC: re-deliver the full known state (OnUpdate for every
+            # cached object).  Overlap with the incremental slices above
+            # is deliberate — at-least-once, resolved by downstream dedup.
+            for path, end_n in end["files"].items():
+                if end_n > 0:
+                    parts.append(_RangePartition(path, 0, end_n, True))
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- executor side -----------------------------------------------------
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        with open(partition.path) as fh:
+            idx = 0
+            for line in fh:
+                if not line.strip():
+                    continue
+                if idx >= partition.end:
+                    break
+                if idx >= partition.start:
+                    obj = json.loads(line)
+                    yield tuple(
+                        _coerce(obj.get(name), is_ts)
+                        for name, is_ts in self._fields
+                    )
+                idx += 1
+
+
+def _coerce(value, is_ts: bool):
+    if value is None or not is_ts:
+        return value
+    if isinstance(value, (int, float)):
+        return datetime.utcfromtimestamp(value)
+    return datetime.fromisoformat(str(value))
+
+
+class K8sInformerDataSource(DataSource):
+    """``spark.readStream.format("k8s_informer")`` — options:
+
+    * ``path`` (required): spool directory of JSON-lines files;
+    * ``kind``: ``event`` (default) | ``service`` — picks the schema;
+    * ``resyncInterval``: seconds between full re-lists, 0 disables
+      (reference default 120, config.go:8).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "k8s_informer"
+
+    def schema(self) -> StructType:
+        return _schema_for(self.options.get("kind", "event"))
+
+    def streamReader(self, schema: StructType) -> InformerStreamReader:
+        return InformerStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the informer source with the session."""
+    spark.dataSource.register(K8sInformerDataSource)
+
+
+def informer_stream(
+    spark,
+    source_dir: str,
+    kind: str = "event",
+    resync_interval: int = 0,
+):
+    """readStream DataFrame over the informer source — drop-in for the
+    file-stream builders in streaming/pipeline.py."""
+    register(spark)
+    return (
+        spark.readStream.format("k8s_informer")
+        .option("path", source_dir)
+        .option("kind", kind)
+        .option("resyncInterval", str(resync_interval))
+        .load()
+    )

@@ -34,12 +34,23 @@ def build_event_stream(
     spark: SparkSession,
     source_dir: str,
     max_files_per_trigger: int | None = None,
+    source_format: str = "files",
+    resync_interval: int = 0,
 ) -> DataFrame:
-    """S1 — k8s-event stream from a JSON-lines directory (the test/bench
-    shape of the informer source; a production informer is a custom
-    PySpark DataSourceStreamReader with the same schema).
+    """S1 — k8s-event stream.  ``source_format="files"`` reads the
+    JSON-lines directory through Spark's file source (the test/bench
+    shape); ``"informer"`` reads the same directory through the custom
+    ``k8s_informer`` DataSourceStreamReader (sources/informer.py), which
+    models the reference's LIST→WATCH→RESYNC contract (main.go:77-94,
+    resync config.go:19-23) — identical schema and downstream plan.
     ``maxFilesPerTrigger`` is the count half of the reference's
     count-or-time batching at the source admission level."""
+    if source_format == "informer":
+        from k8stream_spark.sources.informer import informer_stream
+
+        return informer_stream(
+            spark, source_dir, kind="event", resync_interval=resync_interval
+        )
     reader = spark.readStream.schema(K8S_EVENT_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -50,12 +61,20 @@ def build_service_stream(
     spark: SparkSession,
     source_dir: str,
     max_files_per_trigger: int | None = None,
+    source_format: str = "files",
+    resync_interval: int = 0,
 ) -> DataFrame:
     """S2 — k8s-service stream (reference main.go:82-86: services get their
     own informer because changes don't surface on the events interface).
-    Same JSON-lines test shape as the event stream."""
+    Same source_format choice as ``build_event_stream``."""
     from k8stream_spark.schemas import K8S_SERVICE_SCHEMA
 
+    if source_format == "informer":
+        from k8stream_spark.sources.informer import informer_stream
+
+        return informer_stream(
+            spark, source_dir, kind="service", resync_interval=resync_interval
+        )
     reader = spark.readStream.schema(K8S_SERVICE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -261,11 +280,12 @@ def run_pipeline(
     available_now: bool = False,
     namespaces: Sequence[str] = (),
     reasons: Sequence[str] = (),
+    source_format: str = "files",
 ):
     """Assemble and start the full streaming query (reference main.go:73-94).
     Returns the StreamingQuery; callers own ``awaitTermination``/``stop``
     (the reference's trapSignal, main.go:96-112)."""
-    events = build_event_stream(spark, source_dir)
+    events = build_event_stream(spark, source_dir, source_format=source_format)
     l9 = transform_events(
         events, objects, nodes, namespaces=namespaces, reasons=reasons
     )

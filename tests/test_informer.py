@@ -1,0 +1,127 @@
+"""S1 production shape — the k8s_informer custom streaming DataSource
+(sources/informer.py): LIST → WATCH → RESYNC contract from reference
+main.go:77-94 / config.go:19-23, plus the full-pipeline E2E run producing
+identical output to the file-source binding."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from k8stream_spark.io.sinks import MemorySink
+from k8stream_spark.sources.informer import (
+    InformerStreamReader,
+    _schema_for,
+)
+from k8stream_spark.streaming.pipeline import (
+    run_pipeline,
+    sink_foreach_batch,
+)
+
+from tests.test_streaming import _write_events
+
+
+def _reader(path: str, resync: int = 0) -> InformerStreamReader:
+    return InformerStreamReader(
+        _schema_for("event"), {"path": path, "resyncinterval": str(resync)}
+    )
+
+
+def _rows(reader, parts):
+    out = []
+    for p in parts:
+        out += list(reader.read(p))
+    return out
+
+
+def test_offsets_list_watch(tmp_path):
+    """Initial offset delivers the existing spool (LIST); appended files
+    deliver only their new rows (WATCH); no change → no partitions."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"uid": "e1"}) + "\n")
+        f.write(json.dumps({"uid": "e2"}) + "\n")
+
+    r = _reader(src)
+    start = r.initialOffset()
+    end1 = r.latestOffset()
+    parts1 = r.partitions(start, end1)
+    assert [row[0] for row in _rows(r, parts1)] == ["e1", "e2"]  # LIST
+
+    assert r.partitions(end1, r.latestOffset()) == []  # no change
+
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(json.dumps({"uid": "e3"}) + "\n")
+    end2 = r.latestOffset()
+    parts2 = r.partitions(end1, end2)
+    assert [row[0] for row in _rows(r, parts2)] == ["e3"]  # WATCH only
+
+
+def test_resync_redelivers_full_state(tmp_path):
+    """After resyncInterval elapses the full known state re-delivers
+    (informer OnUpdate refire) — at-least-once, resolved by D1/D2."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"uid": "e1"}) + "\n")
+
+    r = _reader(src, resync=1)
+    start = r.initialOffset()
+    end1 = r.latestOffset()
+    assert [row[0] for row in _rows(r, r.partitions(start, end1))] == ["e1"]
+
+    time.sleep(1.1)
+    end2 = r.latestOffset()
+    assert end2["resync_gen"] == end1["resync_gen"] + 1
+    relist = r.partitions(end1, end2)
+    assert [row[0] for row in _rows(r, relist)] == ["e1"]  # re-delivered
+
+
+def test_partition_ranges_are_deterministic(tmp_path):
+    """partitions(start, end) depends only on the offsets — replaying the
+    same pair yields the same slices (checkpoint replay contract)."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"uid": f"e{i}"}) + "\n")
+    r = _reader(src)
+    start, end = r.initialOffset(), r.latestOffset()
+    p1 = r.partitions(start, end)
+    p2 = r.partitions(start, end)
+    assert [(p.path, p.start, p.end) for p in p1] == [
+        (p.path, p.start, p.end) for p in p2
+    ]
+
+
+def test_informer_pipeline_end_to_end(spark, objects_df, nodes_df, tmp_path):
+    """The full W4 pipeline over the informer source produces the same
+    output as the file-source binding (test_streaming E2E twin)."""
+    src = str(tmp_path / "src")
+    _write_events(src)
+    sink = MemorySink()
+    q = run_pipeline(
+        spark,
+        src,
+        objects_df,
+        nodes_df,
+        sink_fn=sink_foreach_batch(sink, uid="informer-run"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        source_format="informer",
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = []
+    for data in sink.batches.values():
+        rows += [json.loads(line) for line in data.decode().splitlines()]
+    by_id = {r["id"]: r for r in rows}
+
+    assert set(by_id) == {"e1", "e3"}  # e2 filtered (kube-system), dup dropped
+    assert by_id["e1"]["message"] == "m1"
+    assert by_id["e1"]["labels"] == {"app": "web"}
+    assert by_id["e1"]["address"] == ["10.1.1.1", "fe80::1"]
+    assert by_id["e3"]["address"] == []
