@@ -112,6 +112,39 @@ def conditional_pod_enrich(
     )
 
 
+def _selective_anchor(nonempty_svc: DataFrame, pod_kv: DataFrame) -> DataFrame:
+    """Pick, per service, the selector entry matching the fewest pods.
+
+    One aggregation over the exploded pod labels gives count per distinct
+    (k, v) — map-side combined, output cardinality = distinct label pairs.
+    The tiny selector-entry frame broadcasts onto it; ``min_by`` over
+    (count, key) picks the rarest entry deterministically (key breaks
+    count ties; selector keys are unique within a map).  An entry absent
+    from every pod gets count 0 — maximally selective, and the anchor
+    join then correctly produces no candidates for that service.
+    """
+    freqs = pod_kv.groupBy("__k", "__v").agg(F.count(F.lit(1)).alias("__freq"))
+    entries = nonempty_svc.select(
+        "service_uid", "__sel", F.explode(F.col("__sel")).alias("__k", "__v")
+    )
+    scored = (
+        F.broadcast(entries)
+        .join(freqs, ["__k", "__v"], "left")
+        .na.fill({"__freq": 0})
+    )
+    return scored.groupBy("service_uid").agg(
+        F.min_by(
+            F.struct("__k", "__v"), F.struct("__freq", "__k")
+        ).alias("__a"),
+        F.first("__sel").alias("__sel"),
+    ).select(
+        "service_uid",
+        "__sel",
+        F.col("__a.__k").alias("__k"),
+        F.col("__a.__v").alias("__v"),
+    )
+
+
 def label_selector_join(
     services: DataFrame,
     pods: DataFrame,
@@ -121,20 +154,30 @@ def label_selector_join(
     pod_key: str = "uid",
     empty_selector_matches_all: bool = True,
     broadcast_selectors: bool = True,
+    anchor: str = "selective",
 ) -> DataFrame:
     """J4 — service ⋈ pods via k8s label-selector containment
     (reference k8sclient.go:76-89, event_service.go:10-17): pod matches iff
     every (k, v) in the service's selector appears in the pod's labels.
 
     Scale-safe anchor-entry equi-join (never crossJoin+forall): each
-    service joins pods on its selector's FIRST entry only — unique per
-    service, so every matching pair is produced exactly once and no
-    count-match aggregation (and its shuffle) is needed.  The remaining
-    selector entries are verified inline with ``forall`` against the
-    pod's labels map.  One broadcast hash join, zero shuffles; candidate
-    volume is pods sharing the anchor (k, v), same as the exploded
-    count-match form but without the groupBy exchange on the candidate
-    set.  Returns (service_uid, pod_uid) pairs.
+    service joins pods on ONE selector entry only — unique per service,
+    so every matching pair is produced exactly once and no count-match
+    aggregation (and its shuffle) is needed.  The remaining selector
+    entries are verified inline with ``forall`` against the pod's labels
+    map.  Returns (service_uid, pod_uid) pairs.
+
+    ``anchor`` picks which entry drives the join:
+
+    * ``"selective"`` (default) — the entry whose (k, v) matches the
+      FEWEST pods, found by one cheap stats pass over the exploded pod
+      labels (map-side-combined count per distinct (k, v) — the
+      aggregation is O(distinct label pairs), not O(pods)).  Candidate
+      volume per service is then governed by its rarest entry, so one
+      low-selectivity leading key (e.g. a 5-value "seg" label) cannot
+      make a hot bucket holding 20% of all pods.
+    * ``"first"`` — the selector's first entry, skipping the stats pass;
+      right when selectors are known to lead with a selective key.
 
     Empty-selector edge case, pinned per SURVEY §7.4: the reference formats
     an empty selector set to an empty string, and an empty k8s selector
@@ -146,22 +189,25 @@ def label_selector_join(
     )
     pod_ids = pods.select(F.col(pod_key).alias("pod_uid"))
 
-    nonempty = svc.where(F.size(F.col("__sel")) > 0)
-    anchor = F.element_at(F.map_entries(F.col("__sel")), 1)
-    sel = nonempty.select(
-        "service_uid",
-        "__sel",
-        anchor["key"].alias("__k"),
-        anchor["value"].alias("__v"),
-    )
-    if broadcast_selectors:
-        sel = F.broadcast(sel)
-
     pod_kv = pods.select(
         F.col(pod_key).alias("pod_uid"),
         F.col(labels_col).alias("__lab"),
         F.explode(F.col(labels_col)).alias("__k", "__v"),
     )
+
+    nonempty = svc.where(F.size(F.col("__sel")) > 0)
+    if anchor == "selective":
+        sel = _selective_anchor(nonempty, pod_kv)
+    else:
+        first_entry = F.element_at(F.map_entries(F.col("__sel")), 1)
+        sel = nonempty.select(
+            "service_uid",
+            "__sel",
+            first_entry["key"].alias("__k"),
+            first_entry["value"].alias("__v"),
+        )
+    if broadcast_selectors:
+        sel = F.broadcast(sel)
 
     # A pod missing a selector key yields element_at → null → forall null,
     # which the filter treats as false: non-matching pods drop, as required.

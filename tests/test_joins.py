@@ -83,3 +83,59 @@ def test_u1_union_fills_missing_columns(spark):
     out = joins.union_streams(a, b)
     assert out.count() == 2
     assert set(out.columns) == {"id", "only_a", "only_b"}
+
+
+def test_j4_selective_anchor_picks_rare_entry(spark):
+    """With a deliberately skewed leading selector key (matches 80% of
+    pods) and a rare second key (matches 1), the selective anchor drives
+    the join through the rare entry — and output stays correct."""
+    from pyspark.sql import functions as F
+
+    pods = spark.createDataFrame(
+        [(f"p{i}", {"seg": "hot", "app": f"app-{i}"}) for i in range(8)]
+        + [(f"q{i}", {"seg": "cold"}) for i in range(2)],
+        "uid string, labels map<string,string>",
+    )
+    services = spark.createDataFrame(
+        [("s1", {"seg": "hot", "app": "app-3"})],
+        "uid string, selector map<string,string>",
+    )
+
+    # Anchor choice: the rare (app, app-3) entry (1 pod), not (seg, hot)
+    # (8 pods) — checked via the helper the join uses.
+    from k8stream_spark.ops.joins import _selective_anchor
+
+    svc = services.select(
+        F.col("uid").alias("service_uid"), F.col("selector").alias("__sel")
+    ).where(F.size("__sel") > 0)
+    pod_kv = pods.select(
+        F.col("uid").alias("pod_uid"),
+        F.col("labels").alias("__lab"),
+        F.explode("labels").alias("__k", "__v"),
+    )
+    a = _selective_anchor(svc, pod_kv).collect()[0]
+    assert (a["__k"], a["__v"]) == ("app", "app-3")
+
+    got = {
+        (r.service_uid, r.pod_uid)
+        for r in joins.label_selector_join(services, pods).collect()
+    }
+    assert got == {("s1", "p3")}
+
+
+def test_j4_anchor_modes_agree(services_df, pods_df):
+    """anchor="first" and anchor="selective" produce identical pairs —
+    the anchor only shapes candidate generation, never the output."""
+    sel = {
+        (r.service_uid, r.pod_uid)
+        for r in joins.label_selector_join(
+            services_df, pods_df, anchor="selective"
+        ).collect()
+    }
+    first = {
+        (r.service_uid, r.pod_uid)
+        for r in joins.label_selector_join(
+            services_df, pods_df, anchor="first"
+        ).collect()
+    }
+    assert sel == first
