@@ -583,6 +583,30 @@ def _q_q14(spark, sf_dir):
     )
 
 
+def _q_q4(spark, sf_dir):
+    return tpch.q4_order_priority_check(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_q10(spark, sf_dir):
+    return tpch.q10_returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_q18(spark, sf_dir):
+    return tpch.q18_large_volume_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_window_top(spark, sf_dir):
     return tpch.top_orders_per_customer(load_table(spark, sf_dir, "orders"))
 
@@ -723,6 +747,20 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_audio_features(spark, sf_dir):
+    blobs = multimodal.synth_audio_blobs(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.audio_features(blobs)
+
+
+def _q_image_decode(spark, sf_dir):
+    blobs = multimodal.synth_image_blobs(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.decode_image(blobs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -744,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
         "mm_blob_meta": _q_blob_meta,
         "mm_frame_sample": _q_frame_sample,
+        "mm_audio_features": _q_audio_features,
+        "mm_image_decode": _q_image_decode,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -780,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": _q_q5,
         "q6_forecast_revenue": _q_q6,
         "q14_promo_revenue": _q_q14,
+        "q4_order_priority_check": _q_q4,
+        "q10_returned_items": _q_q10,
+        "q18_large_volume_customers": _q_q18,
         "window_top_orders_per_customer": _q_window_top,
         "rollup_order_priority": _q_rollup,
         "agg_customer_order_stats": _q_cust_stats,
@@ -811,8 +854,12 @@ def oracle_sql() -> dict[str, str]:
     results), and
     events_approx_user_counts (HLL++ estimates are implementation-defined;
     pytest bounds the relative error against the exact count)."""
+    # Round in DECIMAL space before the double cast (matches
+    # tpch.exact_sum): both engines use half-away-from-zero on decimals,
+    # so cent-boundary sums (…595) agree; rounding the double instead
+    # diverges on the binary approximation.
     exact_sum = (
-        lambda expr, scale=2: f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {scale})"
+        lambda expr, scale=2: f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,8))), {scale}) AS DOUBLE)"
     )
     exact_avg = (
         lambda expr, scale=4: f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)/COUNT(*), {scale})"
@@ -1075,6 +1122,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate <  TIMESTAMP '1996-04-01'
         """,
+        "q4_order_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, revenue, c_acctbal, n_name, rank FROM (
+              SELECT c_custkey, c_name, revenue, c_acctbal, n_name,
+                     row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+              FROM (
+                SELECT c.c_custkey, c.c_name,
+                       {exact_sum('l.l_extendedprice*(1-l.l_discount)')} AS revenue,
+                       c.c_acctbal, n.n_name
+                FROM orders o
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+                  AND l.l_returnflag = 'R'
+                GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name))
+            WHERE rank <= 20
+        """,
+        "q18_large_volume_customers": f"""
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty, rank FROM (
+              SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                     o.o_totalprice, big.sum_qty,
+                     row_number() OVER (ORDER BY o.o_totalprice DESC,
+                                        o.o_orderkey) AS rank
+              FROM (SELECT l_orderkey,
+                           {exact_sum('l_quantity')} AS sum_qty
+                    FROM lineitem GROUP BY l_orderkey
+                    HAVING {exact_sum('l_quantity')} > 250) big
+              JOIN orders o ON o.o_orderkey = big.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey)
+            WHERE rank <= 100
+        """,
         "window_top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1298,6 +1388,30 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": """
             SELECT doc_id,
                    unnest(range(0, octet_length(encode(text))//64, 10)) AS frame_idx
+            FROM documents
+        """,
+        # Real encode→decode checks: Spark GENERATES binary WAV/BMP blobs
+        # and DECODES them with a real parser (stdlib wave / BMP struct
+        # walk); the oracle computes the closed-form features the
+        # deterministic synthesis implies.  A decode bug on either leg
+        # breaks the match.
+        "mm_audio_features": """
+            SELECT doc_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(200 + doc_id % 256 AS BIGINT) AS n_samples,
+                   ROUND((200 + doc_id % 256) / 8000.0, 6) AS duration_s,
+                   CAST(1 + (doc_id * 37) % 20000 AS BIGINT) AS peak,
+                   ROUND(CAST(1 + (doc_id * 37) % 20000 AS DOUBLE), 6) AS rms
+            FROM documents
+        """,
+        "mm_image_decode": """
+            SELECT doc_id,
+                   CAST(4 + doc_id % 8 AS BIGINT) AS width,
+                   CAST(4 AS BIGINT) AS height,
+                   ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+                   ROUND(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+                   ROUND(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b
             FROM documents
         """,
     }

@@ -292,8 +292,9 @@ def cosine_near_dup_lsh(
     scale): the pair dedup runs on (id_a, id_b) ONLY — 16 bytes per row —
     and the vectors are joined back afterwards from the persisted,
     pre-normalized base.  Deduping with vectors attached would shuffle
-    ~1 KB per candidate; verification uses the unrolled fixed-dim dot on
-    unit vectors, which stays in whole-stage codegen.
+    ~1 KB per candidate; verification is the Arrow-batched ``pair_cos``
+    einsum UDF (see the inline note below for why it beats the unrolled
+    codegen expression here).
     """
     norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
         F.col(id_col).alias("__id"), F.col("__unit").alias("__u")

@@ -24,8 +24,14 @@ def exact_sum(col: Column, scale: int = 2) -> Column:
     DECIMAL before the (partial) aggregation, so the result does not depend
     on partition/accumulation order — a double sum over 600M rows drifts by
     more than a cent and would flap against the oracle; a decimal sum is
-    bit-stable at any parallelism.  Cast back to double at the end."""
-    return F.round(F.sum(col.cast("decimal(30,8)")).cast("double"), scale)
+    bit-stable at any parallelism.
+
+    The final rounding happens in DECIMAL space (HALF_UP), not on the
+    double: a sum landing exactly on a cent boundary (…595) rounds
+    differently through the double's binary approximation (…59499999…)
+    than through the exact decimal, and engines disagree on which — both
+    this and the oracle round the exact decimal, then cast."""
+    return F.round(F.sum(col.cast("decimal(30,8)")), scale).cast("double")
 
 
 def exact_avg(col: Column, scale: int = 4) -> Column:
@@ -212,4 +218,105 @@ def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
             exact_sum(F.col("o_totalprice")).alias("total_price"),
             exact_avg(F.col("o_totalprice")).alias("avg_price"),
         )
+    )
+
+
+def q4_order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one late
+    shipment (fixtures lack commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate).  The EXISTS is a LEFT SEMI join — each
+    qualifying order counts once no matter how many late lines it has,
+    and the lineitem payload never leaves the join.  One shuffle on the
+    order key; the quarter filter is a pushed scan predicate."""
+    in_quarter = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
+    )
+    late = in_quarter.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
+    quarter.  Dims broadcast; the facts join once on the order key; the
+    global top-k is a single-partition row_number over the (tiny)
+    aggregated frame — deterministic via the c_custkey tiebreak."""
+    revenue = exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
+        )
+        .join(
+            lineitem.where(F.col("l_returnflag") == "R").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rank")
+    )
+
+
+def q18_large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders above a total-quantity
+    threshold.  Aggregate lineitem FIRST (partial→final on l_orderkey),
+    filter to the rare big orders, then join the now-tiny result to
+    orders/customer — the agg-before-join ordering is what keeps the
+    shuffle at O(orders), never O(lineitem × orders)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
     )

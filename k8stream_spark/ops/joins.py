@@ -112,18 +112,34 @@ def conditional_pod_enrich(
     )
 
 
-def _selective_anchor(nonempty_svc: DataFrame, pod_kv: DataFrame) -> DataFrame:
+def _selective_anchor(
+    nonempty_svc: DataFrame,
+    pod_kv: DataFrame,
+    stats_fraction: float = 0.1,
+) -> DataFrame:
     """Pick, per service, the selector entry matching the fewest pods.
 
-    One aggregation over the exploded pod labels gives count per distinct
-    (k, v) — map-side combined, output cardinality = distinct label pairs.
-    The tiny selector-entry frame broadcasts onto it; ``min_by`` over
-    (count, key) picks the rarest entry deterministically (key breaks
-    count ties; selector keys are unique within a map).  An entry absent
-    from every pod gets count 0 — maximally selective, and the anchor
-    join then correctly produces no candidates for that service.
+    One aggregation over a ``stats_fraction`` sample of the exploded pod
+    labels gives an approximate count per distinct (k, v) — map-side
+    combined, output cardinality = distinct label pairs.  Sampling is
+    sound here because the counts only drive the anchor CHOICE (a
+    performance decision, never correctness — every anchor yields the
+    same verified pairs), and relative frequencies survive uniform
+    sampling.  The tiny selector-entry frame broadcasts onto it;
+    ``min_by`` over (count, key) picks the rarest entry deterministically
+    (key breaks count ties; selector keys are unique within a map).  An
+    entry absent from every sampled pod gets count 0 — maximally
+    selective; if that estimate is wrong the join is merely slower, still
+    exact.
     """
-    freqs = pod_kv.groupBy("__k", "__v").agg(F.count(F.lit(1)).alias("__freq"))
+    sampled = (
+        pod_kv.sample(fraction=stats_fraction, seed=42)
+        if stats_fraction < 1.0
+        else pod_kv
+    )
+    freqs = sampled.groupBy("__k", "__v").agg(
+        F.count(F.lit(1)).alias("__freq")
+    )
     entries = nonempty_svc.select(
         "service_uid", "__sel", F.explode(F.col("__sel")).alias("__k", "__v")
     )
@@ -155,6 +171,7 @@ def label_selector_join(
     empty_selector_matches_all: bool = True,
     broadcast_selectors: bool = True,
     anchor: str = "selective",
+    anchor_stats_fraction: float = 0.1,
 ) -> DataFrame:
     """J4 — service ⋈ pods via k8s label-selector containment
     (reference k8sclient.go:76-89, event_service.go:10-17): pod matches iff
@@ -197,7 +214,7 @@ def label_selector_join(
 
     nonempty = svc.where(F.size(F.col("__sel")) > 0)
     if anchor == "selective":
-        sel = _selective_anchor(nonempty, pod_kv)
+        sel = _selective_anchor(nonempty, pod_kv, anchor_stats_fraction)
     else:
         first_entry = F.element_at(F.map_entries(F.col("__sel")), 1)
         sel = nonempty.select(

@@ -113,7 +113,7 @@ def test_j4_selective_anchor_picks_rare_entry(spark):
         F.col("labels").alias("__lab"),
         F.explode("labels").alias("__k", "__v"),
     )
-    a = _selective_anchor(svc, pod_kv).collect()[0]
+    a = _selective_anchor(svc, pod_kv, stats_fraction=1.0).collect()[0]
     assert (a["__k"], a["__v"]) == ("app", "app-3")
 
     got = {

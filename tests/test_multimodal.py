@@ -28,9 +28,38 @@ def test_blob_meta_matches_hashlib(docs_df):
         assert metas[doc_id].sha256 == hashlib.sha256(raw).hexdigest()
 
 
-def test_decode_image_is_stubbed(docs_df):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(multimodal.attach_blob(docs_df))
+def test_audio_roundtrip_decode(spark):
+    """Real WAV encode → stdlib-wave decode: features match the synthesis
+    parameters exactly (sample count, rate, square-wave peak/rms)."""
+    df = spark.createDataFrame([(0,), (7,), (300,)], "doc_id bigint")
+    blobs = multimodal.synth_audio_blobs(df)
+    rows = {r.doc_id: r for r in multimodal.audio_features(blobs).collect()}
+    for d in (0, 7, 300):
+        r = rows[d]
+        assert r.sample_rate == 8000 and r.n_channels == 1
+        assert r.n_samples == 200 + d % 256
+        assert r.peak == 1 + (d * 37) % 20000
+        assert r.rms == float(r.peak)  # square wave: rms == |a|
+        assert r.duration_s == round(r.n_samples / 8000, 6)
+
+
+def test_image_roundtrip_decode(spark):
+    """Real BMP encode → decode (PIL when present, stdlib parser here):
+    solid fill means channel means equal the fill color exactly."""
+    df = spark.createDataFrame([(5,), (123,), (1000,)], "doc_id bigint")
+    blobs = multimodal.synth_image_blobs(df)
+    rows = {r.doc_id: r for r in multimodal.decode_image(blobs).collect()}
+    for d in (5, 123, 1000):
+        r = rows[d]
+        assert (r.width, r.height) == (4 + d % 8, 4)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            float(d % 256), float((d * 7) % 256), float((d * 13) % 256)
+        )
+
+
+def test_parse_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        multimodal._parse_bmp(b"PNG....definitely not a bmp")
 
 
 def test_fake_decode_features_shape(docs_df):
