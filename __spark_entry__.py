@@ -747,6 +747,39 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    return docdedup.dedup_clusters(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _q_asof_last_purchase(spark, sf_dir):
+    from k8stream_spark.analytics import asof
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=("purchase_value",),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_value_asof").alias("last_purchase_value"),
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     blobs = multimodal.synth_audio_blobs(
         load_table(spark, sf_dir, "documents")
@@ -784,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_frame_sample,
         "mm_audio_features": _q_audio_features,
         "mm_image_decode": _q_image_decode,
+        "docs_dedup_clusters": _q_dedup_clusters,
+        "events_asof_last_purchase": _q_asof_last_purchase,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1413,5 +1448,57 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
                    ROUND(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b
             FROM documents
+        """,
+        # Connected components over the exact near-dup pair graph via a
+        # recursive CTE — checks the Spark min-label-propagation fixpoint
+        # (dedup_clusters) against transitive closure computed a wholly
+        # different way.
+        "docs_dedup_clusters": "WITH RECURSIVE "
+        + SHINGLES_CTE.strip()[len("WITH ") :]
+        + """
+, sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT cand.doc_a, cand.doc_b
+  FROM cand
+  JOIN sz sa ON sa.doc_id = cand.doc_a
+  JOIN sz sb ON sb.doc_id = cand.doc_b
+  WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a FROM pr
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id,
+       (src = MIN(dst)) AS is_canonical
+FROM reach GROUP BY src
+""",
+        # DuckDB's native ASOF JOIN checks the union/last-value
+        # distributed as-of implementation.
+        "events_asof_last_purchase": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            purch AS (
+              SELECT user_id, ts, MAX(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.purchase_value AS last_purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
     }

@@ -41,3 +41,25 @@ def test_keep_latest_version_per_key(spark):
         ).collect()
     }
     assert out == {"a": "2", "b": "3"}
+
+
+def test_dedup_clusters_components(spark):
+    """Chain a-b-c collapses to one cluster labeled by the min id;
+    untouched docs are singleton canonicals."""
+    from k8stream_spark.analytics.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, base + "alpha"),           # near-dup of 2
+            (2, base + "beta"),            # near-dup of 1 and 3
+            (3, base + "beta gamma"),      # near-dup of 2 (not of 1 directly)
+            (10, "completely different text with no overlap at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_clusters(docs, threshold=0.5).collect()}
+    assert rows[1].cluster_id == 1 and rows[1].is_canonical
+    assert rows[2].cluster_id == 1 and not rows[2].is_canonical
+    assert rows[3].cluster_id == 1 and not rows[3].is_canonical
+    assert rows[10].cluster_id == 10 and rows[10].is_canonical

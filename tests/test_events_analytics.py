@@ -58,3 +58,31 @@ def test_approx_user_counts_error_bound(spark):
     for r in evan.approx_user_counts(ev).collect():
         rel = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel <= 0.15, f"{r.event_type}: rel err {rel}"
+
+
+def test_asof_join_backward_inclusive(spark):
+    """Backward as-of semantics: latest right row with ts <= left ts wins,
+    ties are inclusive, and rows with no prior state get null."""
+    import datetime as dt
+
+    from k8stream_spark.analytics.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(5)), (2, "u", t(10)), (3, "u", t(2)), (4, "v", t(9))],
+        "event_id bigint, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(3), 30.0), ("u", t(10), 100.0), ("v", t(20), 7.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: r.value_asof
+        for r in asof_join(
+            left, right, key="user_id", right_values=("value",)
+        ).collect()
+    }
+    assert out[1] == 30.0     # t=5: state from t=3
+    assert out[2] == 100.0    # t=10: tie is inclusive
+    assert out[3] is None     # t=2: no prior state
+    assert out[4] is None     # v: state only at t=20, after the event
