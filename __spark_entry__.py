@@ -747,6 +747,27 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_redact_pii(spark, sf_dir):
+    # Inject deterministic PII (both engines build the identical seeded
+    # text) so the redaction demonstrably fires on every row.
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return textan.redact_pii(seeded)
+
+
+def _q_rolling_stats(spark, sf_dir):
+    return evan.rolling_user_stats(load_table(spark, sf_dir, "events"))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     return docdedup.dedup_clusters(
         load_table(spark, sf_dir, "documents"), threshold=0.8
@@ -819,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_decode": _q_image_decode,
         "docs_dedup_clusters": _q_dedup_clusters,
         "events_asof_last_purchase": _q_asof_last_purchase,
+        "text_redact_pii": _q_redact_pii,
+        "events_rolling_stats": _q_rolling_stats,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1484,6 +1507,46 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id,
        (src = MIN(dst)) AS is_canonical
 FROM reach GROUP BY src
 """,
+        # Same regex constants as the Spark op (single source of truth);
+        # DuckDB regexp_replace needs the explicit 'g' flag to match
+        # Spark's replace-all semantics.
+        "text_redact_pii": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 555-010-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS text
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, 'EMAIL_RE'))
+                          AS BIGINT) AS n_emails,
+                     regexp_replace(text, 'EMAIL_RE', '<EMAIL>', 'g')
+                       AS no_email
+              FROM seeded
+            )
+            SELECT doc_id,
+                   regexp_replace(no_email, 'PHONE_RE', '<PHONE>', 'g')
+                     AS clean_text,
+                   n_emails,
+                   CAST(len(regexp_extract_all(no_email, 'PHONE_RE'))
+                        AS BIGINT) AS n_phones
+            FROM e
+        """.replace("EMAIL_RE", textan.EMAIL_RE).replace(
+            "PHONE_RE", textan.PHONE_RE
+        ),
+        "events_rolling_stats": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     AS rolling_sum,
+                   MAX(value) OVER w AS rolling_max,
+                   COUNT(*) OVER w AS rolling_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        """,
         # DuckDB's native ASOF JOIN checks the union/last-value
         # distributed as-of implementation.
         "events_asof_last_purchase": """

@@ -125,3 +125,34 @@ def user_type_matrix(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, types)
     )
+
+
+def rolling_user_stats(df: DataFrame, window_rows: int = 10) -> DataFrame:
+    """Per-user rolling sum/max of ``value`` over the previous
+    ``window_rows`` events (inclusive), ordered by time — the
+    feature-engineering window shape (trailing aggregates per entity).
+
+    One shuffle on user_id, per-key sort, bounded ROWS frame — no
+    growing state, no self-join; identical frame semantics in ANSI SQL,
+    so the oracle runs the same window verbatim.  event_id breaks
+    same-timestamp ordering ties deterministically.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    # Sum in exact decimal (the 2-dp values are not binary-exact; a
+    # sliding double accumulator can disagree with a recomputing one in
+    # the last bits) — same discipline as tpch.exact_sum.
+    rolling_sum = (
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        rolling_sum.alias("rolling_sum"),
+        F.max("value").over(w).alias("rolling_max"),
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+    )

@@ -179,3 +179,36 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_sort(F.array_distinct(tokens(text_col))), " "
     )
     return df.select("doc_id", F.md5(canonical).alias("fingerprint"))
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """PII scrubbing — the training-data hygiene pass: replace email
+    addresses and phone-number-shaped digit runs with placeholder tokens.
+    Pure ``regexp_replace`` chain — JVM-side, whole-stage codegen, no
+    Python; the patterns are RE2-compatible so the DuckDB oracle runs
+    the identical regexes.  Returns (doc_id, clean_text, n_emails,
+    n_phones) so the redaction is auditable, not silent.
+    """
+    c = F.col(text_col)
+    # group 0 = whole match (the patterns define no capture groups)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(c, EMAIL_RE, email_token)
+    n_phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0))
+    )
+    clean = F.regexp_replace(no_email, PHONE_RE, phone_token)
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+    )

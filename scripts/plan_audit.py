@@ -1,0 +1,80 @@
+"""Regenerate the PLANS.md physical-plan table: run each audited query
+at sf0.01, then count join/exchange/scan nodes in the AQE-final executed
+plan.
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from k8stream_spark.session import get_spark  # noqa: E402
+
+AUDITED = [
+    "p5_eligibility",
+    "p6_l9event_projection",
+    "d1_dedup_first_seen",
+    "j1_enrich_involved_object",
+    "j4_label_selector_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "window_top_orders_per_customer",
+    "events_sessionize",
+    "events_rolling_stats",
+    "events_asof_last_purchase",
+    "text_term_stats",
+    "text_redact_pii",
+    "docs_dedup_minhash_lsh",
+    "emb_cosine_topk",
+    "emb_cosine_near_dup_lsh",
+    "mm_blob_meta",
+    "mm_audio_features",
+    "mm_image_decode",
+]
+# docs_dedup_clusters is iterative (driver-controlled fixpoint loop); a
+# single executed plan doesn't describe it — see its docstring instead.
+
+
+def audit(df) -> dict[str, int]:
+    df.count()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
+        "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
+        "smj": len(re.findall(r"SortMergeJoin", plan)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    qs = entrymod.queries()
+    print("| query | shuffles | bhj | smj | bnlj | scans | pushed |")
+    print("|---|---|---|---|---|---|---|")
+    for name in AUDITED:
+        counts = audit(qs[name](spark, sf_dir))
+        spark.catalog.clearCache()
+        print(
+            f"| {name} | {counts['shuffles']} | {counts['bhj']} | "
+            f"{counts['smj']} | {counts['bnlj']} | {counts['scans']} | "
+            f"{counts['pushed']} |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

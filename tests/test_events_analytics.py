@@ -86,3 +86,22 @@ def test_asof_join_backward_inclusive(spark):
     assert out[2] == 100.0    # t=10: tie is inclusive
     assert out[3] is None     # t=2: no prior state
     assert out[4] is None     # v: state only at t=20, after the event
+
+
+def test_rolling_user_stats_frame(spark):
+    import datetime as dt
+
+    from k8stream_spark.analytics.events import rolling_user_stats
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [(i, "u", t(i), float(i)) for i in range(1, 15)],
+        "event_id bigint, user_id string, ts timestamp, value double",
+    )
+    rows = {r.event_id: r for r in rolling_user_stats(df, window_rows=10).collect()}
+    assert rows[1].rolling_n == 1 and rows[1].rolling_sum == 1.0
+    assert rows[10].rolling_n == 10 and rows[10].rolling_sum == sum(range(1, 11))
+    # row 14: frame = values 5..14 (10 rows)
+    assert rows[14].rolling_n == 10
+    assert rows[14].rolling_sum == sum(range(5, 15))
+    assert rows[14].rolling_max == 14.0

@@ -127,3 +127,23 @@ def test_rolling_fingerprint_overlap_for_near_dups(spark):
     # near-identical docs produce nearly equal fingerprint counts
     counts = {r.doc_id: r.n_fingerprints for r in fps}
     assert abs(counts[1] - counts[2]) <= 2
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from k8stream_spark.analytics.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "call +1 (555) 010-4242 or 555 010 9999 now"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].n_emails == 1 and "<EMAIL>" in rows[1].clean_text
+    assert "bob.smith" not in rows[1].clean_text
+    assert rows[2].n_phones == 2
+    assert rows[2].clean_text.count("<PHONE>") == 2
+    assert rows[3].n_emails == 0 and rows[3].n_phones == 0
+    assert rows[3].clean_text == "no pii here at all"
