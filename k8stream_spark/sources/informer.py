@@ -71,20 +71,31 @@ class InformerStreamReader(DataSourceStreamReader):
         self._resync_s = int(
             options.get("resyncinterval", options.get("resyncInterval", 0))
         )
+        self._mode = str(options.get("mode", "permissive")).lower()
         self._fields = [
             (f.name, isinstance(f.dataType, TimestampNTZType))
             for f in schema.fields
         ]
 
+    def _gen(self) -> int:
+        """Resync generation derived from the wall clock
+        (floor(now / resyncInterval)): epoch-anchored, so it needs no
+        reader-side state and survives restarts — a checkpointed offset
+        from any prior run compares correctly against a fresh reader.
+        (A counter held in reader memory would reset on restart and
+        silently suppress resyncs until it re-exceeded the checkpointed
+        value.)"""
+        if self._resync_s <= 0:
+            return 0
+        return int(time.time() // self._resync_s)
+
     # -- driver side -------------------------------------------------------
     def initialOffset(self) -> dict:
         # Empty counts → the first latestOffset delivers everything
         # currently in the spool: the informer's initial LIST/sync.
-        return {
-            "files": {},
-            "resync_gen": 0,
-            "last_resync_ms": int(time.time() * 1000),
-        }
+        # Starting at the CURRENT generation means the initial sync is
+        # not also counted as a resync.
+        return {"files": {}, "resync_gen": self._gen()}
 
     def latestOffset(self) -> dict:
         counts: dict[str, int] = {}
@@ -97,16 +108,7 @@ class InformerStreamReader(DataSourceStreamReader):
                     continue
                 with open(full, "rb") as fh:
                     counts[full] = sum(1 for line in fh if line.strip())
-        off = getattr(self, "_last_offset", None) or self.initialOffset()
-        gen = off["resync_gen"]
-        last_ms = off["last_resync_ms"]
-        now_ms = int(time.time() * 1000)
-        if self._resync_s > 0 and now_ms - last_ms >= self._resync_s * 1000:
-            gen += 1
-            last_ms = now_ms
-        new = {"files": counts, "resync_gen": gen, "last_resync_ms": last_ms}
-        self._last_offset = new
-        return new
+        return {"files": counts, "resync_gen": self._gen()}
 
     def partitions(
         self, start: dict, end: dict
@@ -130,6 +132,7 @@ class InformerStreamReader(DataSourceStreamReader):
 
     # -- executor side -----------------------------------------------------
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        permissive = self._mode != "failfast"
         with open(partition.path) as fh:
             idx = 0
             for line in fh:
@@ -138,7 +141,17 @@ class InformerStreamReader(DataSourceStreamReader):
                 if idx >= partition.end:
                     break
                 if idx >= partition.start:
-                    obj = json.loads(line)
+                    try:
+                        obj = json.loads(line)
+                    except ValueError:
+                        if permissive:
+                            # PERMISSIVE parity with the JSON file source:
+                            # a malformed line must not kill the stream.
+                            # Offsets count physical lines, so skipping
+                            # keeps ranges aligned.
+                            idx += 1
+                            continue
+                        raise
                     yield tuple(
                         _coerce(obj.get(name), is_ts)
                         for name, is_ts in self._fields

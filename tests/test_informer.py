@@ -74,9 +74,28 @@ def test_resync_redelivers_full_state(tmp_path):
 
     time.sleep(1.1)
     end2 = r.latestOffset()
-    assert end2["resync_gen"] == end1["resync_gen"] + 1
+    # epoch-anchored generation: 1.1s at interval=1 crosses >=1 boundary
+    assert end2["resync_gen"] > end1["resync_gen"]
     relist = r.partitions(end1, end2)
     assert [row[0] for row in _rows(r, relist)] == ["e1"]  # re-delivered
+
+
+def test_resync_generation_is_restart_safe(tmp_path):
+    """A FRESH reader (simulating restart) still fires resync against a
+    checkpointed offset from before the interval elapsed — the generation
+    is wall-clock-derived, not reader-memory."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"uid": "e1"}) + "\n")
+
+    old_offset = _reader(src, resync=1).latestOffset()  # "checkpointed"
+    time.sleep(1.1)
+    fresh = _reader(src, resync=1)  # restart: brand-new reader instance
+    end = fresh.latestOffset()
+    assert end["resync_gen"] > old_offset["resync_gen"]
+    relist = fresh.partitions(old_offset, end)
+    assert [row[0] for row in _rows(fresh, relist)] == ["e1"]
 
 
 def test_partition_ranges_are_deterministic(tmp_path):
@@ -125,3 +144,25 @@ def test_informer_pipeline_end_to_end(spark, objects_df, nodes_df, tmp_path):
     assert by_id["e1"]["labels"] == {"app": "web"}
     assert by_id["e1"]["address"] == ["10.1.1.1", "fe80::1"]
     assert by_id["e3"]["address"] == []
+
+
+def test_permissive_skips_malformed_lines(tmp_path):
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"uid": "e1"}) + "\n")
+        f.write("{not json at all\n")
+        f.write(json.dumps({"uid": "e2"}) + "\n")
+
+    r = _reader(src)
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert [row[0] for row in _rows(r, parts)] == ["e1", "e2"]
+
+    import pytest
+
+    strict = InformerStreamReader(
+        _schema_for("event"), {"path": src, "mode": "failfast"}
+    )
+    parts = strict.partitions(strict.initialOffset(), strict.latestOffset())
+    with pytest.raises(ValueError):
+        _rows(strict, parts)
