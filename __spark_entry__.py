@@ -747,6 +747,28 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_dataset_split(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    return splits.dataset_split(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return splits.stratified_sample(
+        ev,
+        class_col="event_type",
+        rates={"view": 10, "click": 50},
+        id_col="event_id",
+    )
+
+
 def _q_redact_pii(spark, sf_dir):
     # Inject deterministic PII (both engines build the identical seeded
     # text) so the redaction demonstrably fires on every row.
@@ -842,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_last_purchase": _q_asof_last_purchase,
         "text_redact_pii": _q_redact_pii,
         "events_rolling_stats": _q_rolling_stats,
+        "docs_dataset_split": _q_dataset_split,
+        "events_stratified_sample": _q_stratified_sample,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1537,6 +1561,31 @@ FROM reach GROUP BY src
         """.replace("EMAIL_RE", textan.EMAIL_RE).replace(
             "PHONE_RE", textan.PHONE_RE
         ),
+        # Identical md5 hash-bucketing on both engines: membership is a
+        # pure function of (seed, id), so the oracle reproduces the exact
+        # split/sample, not a statistical approximation.
+        "docs_dataset_split": """
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS UBIGINT) % 100 AS BIGINT) AS bucket,
+                   CASE
+                     WHEN CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS UBIGINT) % 100 < 90 THEN 'train'
+                     WHEN CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS UBIGINT) % 100 < 95 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
+        "events_stratified_sample": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            WHERE CAST('0x' || substr(md5('sample-v1:' || CAST(event_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 100
+                  < CASE event_type WHEN 'view' THEN 10
+                                    WHEN 'click' THEN 50
+                                    ELSE 100 END
+        """,
         "events_rolling_stats": """
             SELECT event_id, user_id, ts,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

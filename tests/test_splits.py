@@ -1,0 +1,44 @@
+"""Deterministic dataset splitting / stratified sampling
+(analytics/splits.py): membership is a pure function of (seed, id)."""
+
+from __future__ import annotations
+
+from k8stream_spark.analytics.splits import dataset_split, stratified_sample
+
+
+def test_dataset_split_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id bigint")
+    a = {r.doc_id: r.split for r in dataset_split(df).collect()}
+    b = {r.doc_id: r.split for r in dataset_split(df).collect()}
+    assert a == b  # rerun-stable
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 800  # ~90% of 1000, hash-uniform
+    assert 20 < counts["val"] < 90 and 20 < counts["test"] < 90
+
+
+def test_dataset_split_seed_changes_assignment(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    a = {r.doc_id: r.split for r in dataset_split(df, seed="s1").collect()}
+    b = {r.doc_id: r.split for r in dataset_split(df, seed="s2").collect()}
+    assert a != b
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "common") for i in range(1000)] + [
+        (10000 + i, "rare") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, cls string")
+    kept = stratified_sample(
+        df, class_col="cls", rates={"common": 10}, id_col="doc_id"
+    ).collect()
+    n_common = sum(1 for r in kept if r.cls == "common")
+    n_rare = sum(1 for r in kept if r.cls == "rare")
+    assert n_rare == 50          # default_rate=100 keeps every rare row
+    assert 50 < n_common < 180   # ~10% of 1000
+    again = stratified_sample(
+        df, class_col="cls", rates={"common": 10}, id_col="doc_id"
+    ).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
