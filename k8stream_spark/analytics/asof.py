@@ -47,10 +47,17 @@ def asof_join(
     l = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__src", F.lit(1)
     )
+    # The right values ride inside ONE struct column: last(ignorenulls)
+    # must skip left rows (which carry no state) but NOT a right row
+    # whose value happens to be NULL — a struct is non-null for every
+    # right row regardless of the values inside, so the latest matching
+    # row wins even when it carries NULL (matching ASOF JOIN / merge_asof
+    # semantics; per-column last(ignorenulls) would leak a stale older
+    # value through the NULL).
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("__rstate"),
     ).withColumn("__src", F.lit(0))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
@@ -62,14 +69,10 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    state = F.last("__rstate", ignorenulls=True).over(w)
     filled = unioned.select(
         *out_cols,
         F.col("__src"),
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}")
-            for c in right_values
-        ],
+        *[state[c].alias(f"{c}{suffix}") for c in right_values],
     )
     return filled.where(F.col("__src") == 1).drop("__src")

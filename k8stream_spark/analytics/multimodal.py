@@ -237,15 +237,17 @@ def decode_image(df: DataFrame) -> DataFrame:
     identical output either way (same pixels), so the query is
     deterministic across environments.  Unsupported formats without PIL
     raise, matching a production decoder's error contract."""
-    try:
-        from PIL import Image  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
-
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
+
+        # Probe INSIDE the executor-side closure: driver and executors
+        # may have different environments, and the decode runs here.
+        try:
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
 
         for pdf in batches:
             rows = {k: [] for k in (

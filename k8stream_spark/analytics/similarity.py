@@ -401,6 +401,9 @@ def cosine_topk_ivf(
         model.transform(feats).select("__id", "__u", "__cell").persist()
     )
     assigned.count()  # materialize before the probe join
+    # feats fed the fit and the (now-materialized) assignment; release it
+    # so repeated invocations in a long session don't stack dead caches.
+    feats.unpersist()
 
     centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     qrows = assigned.where(F.col("__id").isin(*query_ids)).collect()

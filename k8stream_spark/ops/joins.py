@@ -125,7 +125,7 @@ def _selective_anchor(
     sound here because the counts only drive the anchor CHOICE (a
     performance decision, never correctness — every anchor yields the
     same verified pairs), and relative frequencies survive uniform
-    sampling.  The tiny selector-entry frame broadcasts onto it;
+    sampling.  The count table broadcasts onto the selector entries;
     ``min_by`` over (count, key) picks the rarest entry deterministically
     (key breaks count ties; selector keys are unique within a map).  An
     entry absent from every sampled pod gets count 0 — maximally
@@ -143,9 +143,11 @@ def _selective_anchor(
     entries = nonempty_svc.select(
         "service_uid", "__sel", F.explode(F.col("__sel")).alias("__k", "__v")
     )
+    # The hint goes on freqs: Spark cannot broadcast the stream-preserved
+    # LEFT side of a left outer join (a hint there is silently dropped),
+    # and freqs is small anyway — O(distinct label pairs) count rows.
     scored = (
-        F.broadcast(entries)
-        .join(freqs, ["__k", "__v"], "left")
+        entries.join(F.broadcast(freqs), ["__k", "__v"], "left")
         .na.fill({"__freq": 0})
     )
     return scored.groupBy("service_uid").agg(

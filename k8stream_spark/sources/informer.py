@@ -72,6 +72,9 @@ class InformerStreamReader(DataSourceStreamReader):
             options.get("resyncinterval", options.get("resyncInterval", 0))
         )
         self._mode = str(options.get("mode", "permissive")).lower()
+        # (path → (size, mtime_ns, count)) so unchanged files are not
+        # re-read on every trigger (driver-side; offsets stay pure data).
+        self._count_cache: dict[str, tuple[int, int, int]] = {}
         self._fields = [
             (f.name, isinstance(f.dataType, TimestampNTZType))
             for f in schema.fields
@@ -106,8 +109,15 @@ class InformerStreamReader(DataSourceStreamReader):
                 full = os.path.join(self._path, name)
                 if not os.path.isfile(full):
                     continue
+                st = os.stat(full)
+                cached = self._count_cache.get(full)
+                if cached and cached[0] == st.st_size and cached[1] == st.st_mtime_ns:
+                    counts[full] = cached[2]
+                    continue
                 with open(full, "rb") as fh:
-                    counts[full] = sum(1 for line in fh if line.strip())
+                    n = sum(1 for line in fh if line.strip())
+                self._count_cache[full] = (st.st_size, st.st_mtime_ns, n)
+                counts[full] = n
         return {"files": counts, "resync_gen": self._gen()}
 
     def partitions(
@@ -147,8 +157,9 @@ class InformerStreamReader(DataSourceStreamReader):
                         if permissive:
                             # PERMISSIVE parity with the JSON file source:
                             # a malformed line must not kill the stream.
-                            # Offsets count physical lines, so skipping
-                            # keeps ranges aligned.
+                            # Offsets count non-blank lines (same rule as
+                            # latestOffset), so the skipped line still
+                            # advances idx to keep ranges aligned.
                             idx += 1
                             continue
                         raise

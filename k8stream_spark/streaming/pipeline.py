@@ -143,15 +143,27 @@ def run_unified_pipeline(
     available_now: bool = False,
     namespaces: Sequence[str] = (),
     reasons: Sequence[str] = (),
+    source_format: str = "files",
+    resync_interval: int = 0,
 ):
     """U1 in streaming form — the reference's two informer streams feed one
     channel (main.go:84-90); here both streaming frames union into ONE
     streaming query with one sink and one checkpoint."""
-    events = build_event_stream(spark, event_source_dir)
+    events = build_event_stream(
+        spark,
+        event_source_dir,
+        source_format=source_format,
+        resync_interval=resync_interval,
+    )
     ev_l9 = transform_events(
         events, objects, nodes, namespaces=namespaces, reasons=reasons
     )
-    services = build_service_stream(spark, service_source_dir)
+    services = build_service_stream(
+        spark,
+        service_source_dir,
+        source_format=source_format,
+        resync_interval=resync_interval,
+    )
     svc_l9 = transform_services(services, namespaces=namespaces)
     unified = joins.union_streams(ev_l9, svc_l9)
 
@@ -281,11 +293,19 @@ def run_pipeline(
     namespaces: Sequence[str] = (),
     reasons: Sequence[str] = (),
     source_format: str = "files",
+    resync_interval: int = 0,
 ):
     """Assemble and start the full streaming query (reference main.go:73-94).
     Returns the StreamingQuery; callers own ``awaitTermination``/``stop``
-    (the reference's trapSignal, main.go:96-112)."""
-    events = build_event_stream(spark, source_dir, source_format=source_format)
+    (the reference's trapSignal, main.go:96-112).  ``resync_interval``
+    (informer source only) enables the periodic re-list, reference
+    default 120 s (config.go:8)."""
+    events = build_event_stream(
+        spark,
+        source_dir,
+        source_format=source_format,
+        resync_interval=resync_interval,
+    )
     l9 = transform_events(
         events, objects, nodes, namespaces=namespaces, reasons=reasons
     )

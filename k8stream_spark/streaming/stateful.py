@@ -83,9 +83,14 @@ def dedup_ttl_stateful(
             # cache GET after expiry misses, handler.go:142-151).
             (deadline_ms,) = state.get
             if now_ms < deadline_ms:
-                # Marked and still live → duplicate → drop.  No refresh:
-                # the reference's mark expires from WRITE time, not
-                # last-seen (flush.go:57-62 sets expiry once, at mark).
+                # Marked and still live → duplicate → drop.  The deadline
+                # itself is NOT refreshed (the reference's mark expires
+                # from WRITE time, flush.go:57-62) — but the engine-side
+                # timeout MUST be re-armed: Spark clears a key's timeout
+                # on every function invocation, so returning without
+                # setTimeoutDuration would cancel eviction and leak the
+                # state entry if this key never appears again.
+                state.setTimeoutDuration(max(1, deadline_ms - now_ms))
                 return
         state.update((now_ms + ttl_ms,))
         state.setTimeoutDuration(ttl_ms)
@@ -165,12 +170,18 @@ def keep_latest_stateful(
             if len(out):
                 kept_any = True
                 yield out
-        # Re-arm only on emit: the reference re-ExpireSets the mark when a
-        # kept event flushes; a dropped duplicate leaves the cache entry
-        # (and its deadline) untouched.
+        # The DEADLINE refreshes only on emit (the reference re-ExpireSets
+        # the mark when a kept event flushes; a dropped duplicate leaves
+        # the cache entry untouched) — but the engine-side timeout must be
+        # re-armed on EVERY invocation, because Spark clears a key's
+        # timeout whenever the function runs for it; skipping that on a
+        # duplicate-only batch would cancel eviction and leak the entry.
         if kept_any:
             state.update((max_seen, now_ms + ttl_ms))
             state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            _, deadline_ms = state.get
+            state.setTimeoutDuration(max(1, deadline_ms - now_ms))
 
     return df.groupBy(key).applyInPandasWithState(
         fn,

@@ -47,8 +47,13 @@ AUDITED = [
 
 
 def audit(df) -> dict[str, int]:
-    df.count()  # materialize so AQE finalizes the plan
+    # collect() executes THIS DataFrame's QueryExecution (count() would
+    # build a separate one, leaving this plan's AQE non-finalized).
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # An executed AdaptiveSparkPlan prints the final plan followed by an
+    # "== Initial Plan ==" section; count only the final one.
+    plan = plan.split("== Initial Plan ==")[0]
     return {
         "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
         "bhj": len(re.findall(r"BroadcastHashJoin", plan)),

@@ -105,3 +105,22 @@ def test_rolling_user_stats_frame(spark):
     assert rows[14].rolling_n == 10
     assert rows[14].rolling_sum == sum(range(5, 15))
     assert rows[14].rolling_max == 14.0
+
+
+def test_asof_join_null_value_in_latest_row_wins(spark):
+    """A NULL value in the LATEST matching right row must come through as
+    NULL (ASOF semantics), not be skipped in favor of a stale older value."""
+    import datetime as dt
+
+    from k8stream_spark.analytics.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(12))], "event_id bigint, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", t(3), 30.0), ("u", t(10), None)],
+        "user_id string, ts timestamp, value double",
+    )
+    out = asof_join(left, right, key="user_id", right_values=("value",))
+    assert out.collect()[0].value_asof is None
