@@ -112,3 +112,42 @@ def make_flusher(conf: dict[str, Any]) -> Flusher:
     if sink == "s3":
         return S3Sink(conf["bucket"], conf.get("prefix", ""), conf.get("uploader"))
     raise ValueError(f"unknown sink {sink!r}; expected one of s3|file|memory")
+
+
+def write_sized_json(
+    df,
+    path: str,
+    target_mb: int = 128,
+    compression: str | None = "gzip",
+    sample_rows: int = 200,
+) -> int:
+    """Size-aware distributed JSON writer — the small-files guard for the
+    100 TB sink path.  Estimates bytes/row from a bounded sample of the
+    NDJSON serialization, derives ``maxRecordsPerFile`` for the target
+    object size, and lets every task roll files at that record count —
+    fully distributed (no repartition, no extra shuffle), unlike a
+    driver-computed ``repartition(n)`` which adds an exchange just to
+    control file sizes.  Returns the records-per-file it chose.
+
+    The sample is ``limit(sample_rows)`` — bounded driver work by
+    construction; gzip's ~4x text ratio is folded into the estimate when
+    compression is on.
+    """
+    import json as _json
+
+    sample = df.limit(sample_rows).toJSON().collect()
+    if not sample:
+        df.write.mode("overwrite").json(path)
+        return 0
+    avg = max(1, sum(len(s) + 1 for s in sample) // len(sample))
+    target_bytes = target_mb * 1024 * 1024
+    if compression == "gzip":
+        target_bytes *= 4  # uncompressed target for a ~4x text ratio
+    per_file = max(1, target_bytes // avg)
+    writer = (
+        df.write.mode("overwrite").option("maxRecordsPerFile", per_file)
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+    return per_file

@@ -97,3 +97,24 @@ def test_write_single_ndjson(spark, tmp_path):
     gz = str(tmp_path / "out" / "batch.log.gz")
     write_single_ndjson(df, gz, compress_gzip=True)
     assert len([json.loads(l) for l in gzip.open(gz, "rt")]) == 2
+
+
+def test_write_sized_json_rolls_files(spark, tmp_path):
+    import os
+
+    from k8stream_spark.io.sinks import write_sized_json
+
+    df = spark.createDataFrame(
+        [(i, "x" * 1000) for i in range(2000)], "id bigint, payload string"
+    ).coalesce(1)
+    out = str(tmp_path / "sized")
+    # ~1 MB of rows with a tiny target -> must roll multiple files
+    per_file = write_sized_json(df, out, target_mb=1, compression=None)
+    files = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert per_file > 0
+    assert len(files) >= 2
+
+    out2 = str(tmp_path / "sized-big")
+    write_sized_json(df, out2, target_mb=1024, compression=None)
+    files2 = [f for f in os.listdir(out2) if f.endswith(".json")]
+    assert len(files2) == 1  # big target, one partition -> one file
