@@ -747,6 +747,12 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    return docdedup.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), span_tokens=10
+    )
+
+
 def _q_dataset_split(spark, sf_dir):
     from k8stream_spark.analytics import splits
 
@@ -866,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_stats": _q_rolling_stats,
         "docs_dataset_split": _q_dataset_split,
         "events_stratified_sample": _q_stratified_sample,
+        "docs_duplicate_spans": _q_duplicate_spans,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1561,6 +1568,32 @@ FROM reach GROUP BY src
         """.replace("EMAIL_RE", textan.EMAIL_RE).replace(
             "PHONE_RE", textan.PHONE_RE
         ),
+        # Exact substring-dedup signal: md5-keyed token windows, so the
+        # oracle reproduces identical span keys.
+        "docs_duplicate_spans": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest([md5(list_aggregate(tk[i:i+9], 'string_agg', ' '))
+                             for i in range(1, len(tk) - 8)]) AS h
+              FROM t WHERE len(tk) >= 10
+            ),
+            shared AS (
+              SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM g GROUP BY doc_id),
+            dup AS (
+              SELECT g.doc_id, COUNT(*) AS n_dup_spans
+              FROM g JOIN shared USING (h) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(tot.n_spans, 0) AS n_spans,
+                   COALESCE(dup.n_dup_spans, 0) AS n_dup_spans
+            FROM documents d
+            LEFT JOIN tot ON tot.doc_id = d.doc_id
+            LEFT JOIN dup ON dup.doc_id = d.doc_id
+        """,
         # Identical md5 hash-bucketing on both engines: membership is a
         # pure function of (seed, id), so the oracle reproduces the exact
         # split/sample, not a statistical approximation.

@@ -463,3 +463,53 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str = "text", span_tokens: int = 10
+) -> DataFrame:
+    """Cross-document duplicate-SPAN detection — exact substring-level
+    dedup signal (the Lee et al. "Deduplicating Training Data" shape):
+    for every document, count its ``span_tokens``-token windows that also
+    occur in at least one OTHER document.
+
+    Distributed form: posexplode the rolling token windows, key each by
+    md5 (engine-portable, so the oracle reproduces the exact keys),
+    find keys spanning >= 2 distinct docs with one groupBy, and count
+    per-doc occurrences of those keys.  Shuffles carry (hash, doc_id)
+    pairs only — never text.  Returns (doc_id, n_spans, n_dup_spans)
+    for every document (0 for clean ones).
+    """
+    toks = F.split(F.col(text_col), " ")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - span_tokens),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, span_tokens), " ")),
+    )
+    spans = df.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= span_tokens, windows).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("h"),
+    ).persist()
+    spans.count()
+    shared = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_counts = (
+        spans.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    out = (
+        df.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(dup_counts, "doc_id", "left")
+        .na.fill({"n_spans": 0, "n_dup_spans": 0})
+    )
+    return out

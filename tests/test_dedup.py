@@ -63,3 +63,25 @@ def test_dedup_clusters_components(spark):
     assert rows[2].cluster_id == 1 and not rows[2].is_canonical
     assert rows[3].cluster_id == 1 and not rows[3].is_canonical
     assert rows[10].cluster_id == 10 and rows[10].is_canonical
+
+
+def test_duplicate_spans_cross_doc_only(spark):
+    """Spans shared across docs count; a doc with unique text counts 0;
+    short docs yield no spans at all."""
+    from k8stream_spark.analytics.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail a"),
+            (2, shared + " tail b"),
+            (3, "totally different words " + " ".join(f"w{i}" for i in range(10))),
+            (4, "short doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in duplicate_spans(docs, span_tokens=10).collect()}
+    # docs 1 and 2 share the 10-token prefix window
+    assert rows[1].n_dup_spans >= 1 and rows[2].n_dup_spans >= 1
+    assert rows[3].n_dup_spans == 0 and rows[3].n_spans > 0
+    assert rows[4].n_spans == 0 and rows[4].n_dup_spans == 0
