@@ -1,0 +1,79 @@
+"""End-to-end streaming throughput: run the full W4 pipeline
+(eligibility → dedup → enrichment joins → L9 projection → distributed
+JSON sink) over the sf-dir events rendered as the k8s-event JSON shape,
+and report events/s.
+
+The reference's only published throughput anchor is its channel/batch
+sizing (~333 events/s design point, BASELINE.md); this measures the
+same single-node contract on the Spark binding.
+
+Usage: python scripts/stream_bench.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from k8stream_spark.session import get_spark  # noqa: E402
+from k8stream_spark.streaming.pipeline import (  # noqa: E402
+    distributed_json_sink,
+    run_pipeline,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="sb-")
+    spark = get_spark("stream-bench")
+
+    # Render the k8s-shaped event stream to NDJSON spool files (source
+    # prep — not timed; the reference equivalently receives its events
+    # from the API server).
+    events = entrymod._k8s_events(spark, sf_dir)
+    n = events.count()
+    src = f"{work}/src"
+    events.write.mode("overwrite").json(src)
+
+    objects = entrymod._objects(spark, sf_dir)
+    nodes = entrymod._nodes(spark, sf_dir)
+
+    t0 = time.time()
+    q = run_pipeline(
+        spark,
+        src,
+        objects,
+        nodes,
+        sink_fn=distributed_json_sink(f"{work}/out", compress_gzip=True),
+        checkpoint_dir=f"{work}/ckpt",
+        available_now=True,
+        namespaces=(),
+        reasons=(),
+    )
+    q.awaitTermination(600)
+    elapsed = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "stream_pipeline_throughput",
+                "events_in": n,
+                "seconds": round(elapsed, 2),
+                "events_per_sec": round(n / elapsed, 1),
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+    if len(sys.argv) <= 2:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
