@@ -1,6 +1,7 @@
 """Document deduplication for training-data pipelines: exact, canonical
-(word-order-insensitive), MinHash+LSH near-dup, SimHash, and n-gram
-Jaccard verification.
+(word-order-insensitive), MinHash+LSH near-dup, SimHash, n-gram Jaccard
+verification, duplicate-span (substring) detection, and cluster
+assignment over the near-dup graph.
 
 Scale design (the whole point at 100 TB):
 
@@ -13,8 +14,13 @@ Scale design (the whole point at 100 TB):
   * SimHash — 64-bit signature per doc; candidates blocked by 16-bit
     bands (Hamming ≤ 3 ⇒ at least one of four 16-bit quarters equal, by
     pigeonhole), then exact popcount filter.
-  * Everything is built-in expressions (xxhash64, transform, aggregate);
-    no Python in the path.
+  * Duplicate spans — md5-keyed rolling token windows; shuffles carry
+    (hash, doc_id) pairs only, never text.
+  * Clusters — min-label propagation to fixpoint over the verified pair
+    graph; each round shuffles 16-byte id rows.
+  * Everything is built-in expressions (xxhash64, md5, transform,
+    aggregate) except the minhash minima, which are Arrow-batched numpy
+    with a written justification.
 """
 
 from __future__ import annotations
