@@ -347,6 +347,49 @@ def cosine_near_dup_lsh(
     )
 
 
+def _sample_kmeans(
+    norm_d: DataFrame,
+    nlist: int,
+    n_rows: int,
+    max_train: int = 20000,
+    iters: int = 8,
+) -> np.ndarray:
+    """Spherical k-means trained on a bounded, deterministic sample —
+    the FAISS pattern: quantizer training needs only a sample (cells
+    must roughly follow the data; recall is governed by nprobe), so the
+    fit is O(sample) driver-side numpy instead of a distributed
+    iteration.  On unit vectors euclidean assignment is monotone in
+    cosine, so spherical centroids are the right geometry.
+
+    Determinism: the sample is hash-selected (no RNG, no partition-order
+    dependence), init takes the hash-least ``nlist`` sample rows, and
+    Lloyd iterations are pure numpy — identical centroids every run.
+    Returns the (nlist, dim) centroid matrix, unit-normalized.
+    """
+    frac_permille = min(1000, int(max_train * 1000 / max(1, n_rows)))
+    sample = norm_d.select(
+        "__u", F.pmod(F.xxhash64(F.col("__id").cast("string")), 1000).alias("__h")
+    ).where(F.col("__h") < frac_permille)
+    rows = sample.orderBy("__h").limit(max_train).collect()
+    X = np.asarray([r["__u"] for r in rows], dtype=float)
+    if len(X) < nlist:
+        raise ValueError(
+            f"sample ({len(X)}) smaller than nlist ({nlist}); "
+            "raise max_train or lower nlist"
+        )
+    C = X[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(nlist):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[c] = m / norm
+    return C
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_ids: tuple[int, ...],
@@ -356,6 +399,7 @@ def cosine_topk_ivf(
     dim: int = 64,
     nlist: int | None = None,
     nprobe: int = 8,
+    quantizer: str = "sample",
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file index): a KMeans
     coarse quantizer partitions the vectors into ``nlist`` cells; each
@@ -364,48 +408,74 @@ def cosine_topk_ivf(
     on clustered real-world embeddings IVF prunes harder because cells
     follow the data distribution instead of random hyperplanes.
 
-    Spark-first shape: the quantizer is ``pyspark.ml`` KMeans (seeded →
-    deterministic), cell assignment is the model's distributed transform,
-    and candidate generation is an equi-join on the cell id — the cell
-    list is the only driver-side state (nlist × dim floats).  Only the
-    query vectors themselves are collected (a few rows by contract).
+    Quantizer options (both deterministic; candidate generation is an
+    equi-join on the cell id either way, and the centroid matrix is the
+    only driver-side state beyond the query vectors):
+
+    * ``"sample"`` (default) — spherical k-means trained on a bounded
+      hash-selected sample (``_sample_kmeans``), assignment via one
+      Arrow-batched argmax matmul.  The FAISS pattern: training is
+      O(sample) however big the table, and there are no ml-fit jobs.
+    * ``"ml"`` — seeded ``pyspark.ml`` KMeans with distributed Lloyd
+      iterations; the fully-distributed alternative when even the
+      training sample shouldn't touch the driver.
+
     Same output columns as ``cosine_topk``; recall measured by pytest.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
         F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
     )
+    n_rows = norm_d.count()
     if nlist is None:
-        nlist = max(4, int(norm_d.count() ** 0.5 / 2))
-    # Cache the feature frame: KMeans re-reads its input once per
-    # iteration, and without the persist each pass would recompute the
-    # normalization chain from the parquet scan up.
-    feats = norm_d.withColumn("__feat", array_to_vector("__u")).persist()
-    feats.count()
-    # Few iterations + random init: the coarse quantizer only needs cells
-    # that roughly follow the data; recall is governed by nprobe, not
-    # centroid polish (FAISS does the same).  k-means|| init alone costs
-    # several distributed passes — random init removes them, and at
-    # oracle scale that's most of the query's wall-clock.
-    model = KMeans(
-        k=nlist,
-        seed=42,
-        maxIter=5,
-        initMode="random",
-        featuresCol="__feat",
-        predictionCol="__cell",
-    ).fit(feats)
-    assigned = (
-        model.transform(feats).select("__id", "__u", "__cell").persist()
-    )
-    assigned.count()  # materialize before the probe join
-    # feats fed the fit and the (now-materialized) assignment; release it
-    # so repeated invocations in a long session don't stack dead caches.
-    feats.unpersist()
+        nlist = max(4, int(n_rows ** 0.5 / 2))
 
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    if quantizer == "sample":
+        # Sample-trained spherical k-means + distributed argmax
+        # assignment: no pyspark.ml fit jobs at all.  The centroid matrix
+        # (nlist × dim) broadcasts in the UDF closure; assignment is one
+        # Arrow-batched matmul pass over the table.
+        norm_d = norm_d.persist()
+        centers = _sample_kmeans(norm_d, nlist, n_rows)
+        C = centers
+
+        @pandas_udf("int")
+        def cell_of(u: pd.Series) -> pd.Series:
+            if u.empty:
+                return pd.Series([], dtype="int32")
+            U = np.vstack(u.to_numpy())
+            return pd.Series(np.argmax(U @ C.T, axis=1).astype("int32"))
+
+        assigned = norm_d.withColumn("__cell", cell_of(F.col("__u"))).persist()
+        assigned.count()  # materialize before the probe join
+        norm_d.unpersist()
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        # Cache the feature frame: KMeans re-reads its input once per
+        # iteration, and without the persist each pass would recompute
+        # the normalization chain from the parquet scan up.  Few
+        # iterations + random init: the coarse quantizer only needs
+        # cells that roughly follow the data; recall is governed by
+        # nprobe, not centroid polish.
+        feats = norm_d.withColumn("__feat", array_to_vector("__u")).persist()
+        feats.count()
+        model = KMeans(
+            k=nlist,
+            seed=42,
+            maxIter=5,
+            initMode="random",
+            featuresCol="__feat",
+            predictionCol="__cell",
+        ).fit(feats)
+        assigned = (
+            model.transform(feats).select("__id", "__u", "__cell").persist()
+        )
+        assigned.count()  # materialize before the probe join
+        # feats fed the fit and the (now-materialized) assignment;
+        # release it so repeated invocations don't stack dead caches.
+        feats.unpersist()
+        centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     qrows = assigned.where(F.col("__id").isin(*query_ids)).collect()
     probes = [
         (int(row["__id"]), int(cell))
