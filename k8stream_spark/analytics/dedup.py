@@ -402,16 +402,18 @@ def dedup_clusters(
     doc_id in the component (singletons are their own cluster), and
     is_canonical marks the kept representative.
 
-    Algorithm: min-label propagation to fixpoint — labels start as self;
-    each round every node takes the min of its own and its neighbors'
-    labels; converged when no label changes.  Rounds needed = component
-    diameter (near-dup components are tiny chains in practice).  Each
-    round is one equi-join edges⋈labels plus one groupBy-min — both
-    shuffle on doc_id only (16-byte rows), never on text.  This is the
-    standard distributed connected-components (the two-phase star
-    variants optimize the same recurrence); driver-side control flow is
-    limited to the convergence test, which is the documented pattern for
-    iterative algorithms.
+    Algorithm: min-label propagation with PATH HALVING — labels start as
+    self; each round every node takes the min of its own and its
+    neighbors' labels, then follows its label's label one hop (pointer
+    jumping).  The halving step makes label chains collapse
+    geometrically, so rounds needed = O(log diameter) instead of
+    O(diameter) — a 10k-long duplicate chain converges in ~14 rounds,
+    not 10k.  Each round is two equi-joins plus one groupBy-min, all
+    shuffling (doc_id, label) 16-byte rows, never text.  This is the
+    standard distributed connected-components recurrence (the
+    large-star/small-star formulation optimizes the same loop);
+    driver-side control flow is limited to the convergence test, the
+    documented pattern for iterative algorithms.
 
     The pair graph comes from ``minhash_lsh_pairs`` — at the default
     (128 hashes, 32 bands) S-curve the verified output equals the exact
@@ -430,7 +432,14 @@ def dedup_clusters(
     )
     edges.count()
 
-    labels = df.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # localCheckpoint (eager) rather than persist: each round's frame
+    # must TRUNCATE the logical plan, not just cache it — the nested
+    # join-of-join lineage otherwise grows geometrically and blows up
+    # query planning after a handful of rounds (the standard failure
+    # mode of iterative DataFrame algorithms).
+    labels = df.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
     # Convergence test: labels only ever decrease under min-propagation,
     # so the label SUM is strictly decreasing until fixpoint — one cheap
     # scalar aggregate per round instead of a change-detection join.
@@ -447,14 +456,27 @@ def dedup_clusters(
             )
             .select(F.col("dst").alias("doc_id"), F.col("nlabel").alias("label"))
         )
-        new_labels = (
+        # Checkpointed: merged feeds both sides of the halving join below
+        # and must not re-derive (or re-nest) the round's plan.
+        merged = (
             labels.unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
+        )
+        # Path halving: follow the label's own label one hop.  Labels are
+        # min-monotone (every label IS some doc's id and label[x] <= x),
+        # so the jump only ever lowers the label — correctness unchanged,
+        # chain length halves per round.
+        hop = merged.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("__label2")
+        )
+        new_labels = (
+            merged.join(hop, "label")
+            .select("doc_id", F.col("__label2").alias("label"))
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break

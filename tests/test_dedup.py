@@ -85,3 +85,21 @@ def test_duplicate_spans_cross_doc_only(spark):
     assert rows[1].n_dup_spans >= 1 and rows[2].n_dup_spans >= 1
     assert rows[3].n_dup_spans == 0 and rows[3].n_spans > 0
     assert rows[4].n_spans == 0 and rows[4].n_dup_spans == 0
+
+
+def test_dedup_clusters_long_chain_converges_logarithmically(spark):
+    """A 40-link near-dup chain (diameter ~40) must converge within
+    max_iter=10 — only possible with the path-halving step (plain
+    min-propagation needs ~40 rounds)."""
+    from k8stream_spark.analytics.dedup import dedup_clusters
+
+    vocab = [f"w{i}" for i in range(140)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(vocab[i * 2 : i * 2 + 60])) for i in range(41)],
+        "doc_id bigint, text string",
+    )
+    # consecutive docs share 58 of 60 tokens -> high shingle Jaccard
+    rows = dedup_clusters(docs, threshold=0.5, max_iter=10).collect()
+    clusters = {r.cluster_id for r in rows}
+    assert clusters == {0}, f"expected one component, got {clusters}"
+    assert sum(1 for r in rows if r.is_canonical) == 1
