@@ -747,6 +747,14 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_rare_token_ratio(spark, sf_dir):
+    return textan.rare_token_ratio(load_table(spark, sf_dir, "documents"))
+
+
+def _q_funnel(spark, sf_dir):
+    return evan.funnel_counts(load_table(spark, sf_dir, "events"))
+
+
 def _q_duplicate_spans(spark, sf_dir):
     return docdedup.duplicate_spans(
         load_table(spark, sf_dir, "documents"), span_tokens=10
@@ -873,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dataset_split": _q_dataset_split,
         "events_stratified_sample": _q_stratified_sample,
         "docs_duplicate_spans": _q_duplicate_spans,
+        "text_rare_token_ratio": _q_rare_token_ratio,
+        "events_funnel": _q_funnel,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1568,6 +1578,40 @@ FROM reach GROUP BY src
         """.replace("EMAIL_RE", textan.EMAIL_RE).replace(
             "PHONE_RE", textan.PHONE_RE
         ),
+        "text_rare_token_ratio": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ),
+            freqs AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token)
+            SELECT tok.doc_id,
+                   COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN f.cf <= 2 THEN 1 ELSE 0 END) AS n_rare,
+                   ROUND(CAST(SUM(CASE WHEN f.cf <= 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 4) AS rare_ratio
+            FROM tok JOIN freqs f USING (token)
+            GROUP BY tok.doc_id
+        """,
+        "events_funnel": """
+            WITH mins AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type='view' THEN ts END) AS t0,
+                     MIN(CASE WHEN event_type='click' THEN ts END) AS t1,
+                     MIN(CASE WHEN event_type='purchase' THEN ts END) AS t2
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                   COUNT(*) FILTER (t0 IS NOT NULL) AS n_users FROM mins
+            UNION ALL
+            SELECT 1, 'click',
+                   COUNT(*) FILTER (t0 IS NOT NULL AND t1 IS NOT NULL
+                                    AND t0 <= t1) FROM mins
+            UNION ALL
+            SELECT 2, 'purchase',
+                   COUNT(*) FILTER (t0 IS NOT NULL AND t1 IS NOT NULL
+                                    AND t0 <= t1 AND t2 IS NOT NULL
+                                    AND t1 <= t2) FROM mins
+        """,
         # Exact substring-dedup signal: md5-keyed token windows, so the
         # oracle reproduces identical span keys.
         "docs_duplicate_spans": """

@@ -156,3 +156,45 @@ def rolling_user_stats(df: DataFrame, window_rows: int = 10) -> DataFrame:
         F.max("value").over(w).alias("rolling_max"),
         F.count(F.lit(1)).over(w).alias("rolling_n"),
     )
+
+
+def funnel_counts(
+    df: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel: how many users reached each stage IN ORDER — a
+    user counts for stage k iff their first occurrence of every earlier
+    stage happened at or before their first occurrence of stage k.
+
+    One shuffle (groupBy user_id with conditional min-ts per stage —
+    partial agg map-side), then the ordering test is a pure expression
+    and the final count is a tiny global aggregate.  Output: one row per
+    stage with the user count, deterministic integers.
+    """
+    mins = df.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
+                f"__t{i}"
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    reached = []
+    for i, s in enumerate(stages):
+        cond = F.col("__t0").isNotNull()
+        for j in range(1, i + 1):
+            cond = cond & (
+                F.col(f"__t{j}").isNotNull()
+                & (F.col(f"__t{j-1}") <= F.col(f"__t{j}"))
+            )
+        reached.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
+    agg = mins.agg(*reached)
+    # stack() unpivots the single aggregate row into one row per stage —
+    # fully declarative, no driver-side collect.
+    parts = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', __n{i}" for i, s in enumerate(stages)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(stages)}, {parts}) AS (stage_idx, stage, n_users)"
+        )
+    )

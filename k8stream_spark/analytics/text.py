@@ -212,3 +212,41 @@ def redact_pii(
         n_emails.cast("bigint").alias("n_emails"),
         n_phones.cast("bigint").alias("n_phones"),
     )
+
+
+def rare_token_ratio(
+    df: DataFrame, text_col: str = "text", rare_max_count: int = 2
+) -> DataFrame:
+    """Corpus-statistics quality signal (the two-pass CCNet-style shape):
+    pass 1 aggregates corpus-wide token counts; pass 2 scores each doc by
+    its fraction of rare tokens (corpus count <= ``rare_max_count``) —
+    high ratios flag noisy/garbled documents.
+
+    All integer counting until the final ratio, so the oracle comparison
+    is exact (a mean-log-prob variant would sum doubles in engine-
+    dependent order).  Shuffles: one groupBy on token for the stats, one
+    token-keyed join for scoring, one groupBy doc_id — all (token/doc,
+    count) rows.
+    """
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__cf"))
+    scored = tok.join(freqs, "token")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__cf") <= rare_max_count, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.round(
+                F.col("n_rare").cast("double") / F.col("n_tokens"), 4
+            ).alias("rare_ratio"),
+        )
+    )

@@ -124,3 +124,26 @@ def test_asof_join_null_value_in_latest_row_wins(spark):
     )
     out = asof_join(left, right, key="user_id", right_values=("value",))
     assert out.collect()[0].value_asof is None
+
+
+def test_funnel_requires_stage_order(spark):
+    """A user who purchased BEFORE ever viewing does not count for the
+    purchase stage; one who did view->click->purchase counts everywhere."""
+    import datetime as dt
+
+    from k8stream_spark.analytics.events import funnel_counts
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = []
+    # u1: proper order
+    rows += [(1, "u1", "view", t(1)), (2, "u1", "click", t(2)),
+             (3, "u1", "purchase", t(3))]
+    # u2: purchase first -> only reaches 'view'
+    rows += [(4, "u2", "purchase", t(1)), (5, "u2", "view", t(2))]
+    # u3: view then click, no purchase
+    rows += [(6, "u3", "view", t(1)), (7, "u3", "click", t(5))]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id string, event_type string, ts timestamp"
+    )
+    out = {r.stage: r.n_users for r in funnel_counts(df).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
