@@ -729,6 +729,11 @@ def _q_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+def _q_class_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.class_centroids(emb, class_col=F.col("vec_id") % 10)
+
+
 def _q_vector_norms(spark, sf_dir):
     return similarity.vector_norms(load_table(spark, sf_dir, "embeddings"))
 
@@ -883,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_duplicate_spans": _q_duplicate_spans,
         "text_rare_token_ratio": _q_rare_token_ratio,
         "events_funnel": _q_funnel,
+        "emb_class_centroids": _q_class_centroids,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1578,6 +1584,25 @@ FROM reach GROUP BY src
         """.replace("EMAIL_RE", textan.EMAIL_RE).replace(
             "PHONE_RE", textan.PHONE_RE
         ),
+        # Element sums in exact DECIMAL on both engines (double summation
+        # order differs across engines/partitionings).
+        "emb_class_centroids": """
+            WITH ex AS (
+              SELECT vec_id % 10 AS class, i.i AS d,
+                     CAST(embedding[i.i] AS DOUBLE) AS x
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+            ),
+            per_dim AS (
+              SELECT class, d,
+                     ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                           / COUNT(*), 6) AS m,
+                     COUNT(*) AS n
+              FROM ex GROUP BY class, d
+            )
+            SELECT class, MAX(n) AS n_vectors,
+                   list(m ORDER BY d) AS centroid
+            FROM per_dim GROUP BY class
+        """,
         "text_rare_token_ratio": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS token

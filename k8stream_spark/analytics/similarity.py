@@ -524,3 +524,59 @@ def vector_norms(
         F.col(id_col).alias("vec_id"),
         F.round(_norm(vec_d), 6).alias("l2_norm"),
     )
+
+
+def class_centroids(
+    embeddings: DataFrame,
+    class_col,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-class embedding centroid (class prototypes — the building
+    block of semantic dedup, prototype classification, and cluster
+    seeding).  ``class_col`` may be a column name or a Column expression.
+
+    Distributed shape: posexplode the vector so the aggregate is a plain
+    (class, dim_idx) groupBy — partial aggregation map-side, one
+    shuffle, no vector ever collected.  Element sums run in exact
+    DECIMAL: double summation order differs across partitionings (and
+    engines), so a double sum would flap the oracle; the decimal sum is
+    bit-stable at any parallelism (same discipline as tpch.exact_sum).
+    Output: (class, n_vectors, centroid array<double> rounded ``scale``).
+    """
+    cls = F.col(class_col) if isinstance(class_col, str) else class_col
+    exploded = embeddings.select(
+        cls.alias("class"),
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__d", "__x"),
+    )
+    per_dim = exploded.groupBy("class", "__d").agg(
+        F.round(
+            (
+                F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            scale,
+        ).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_dim.groupBy("class")
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__d"), F.col("__m")))
+            ).alias("__pairs"),
+        )
+        .select(
+            "class",
+            "n_vectors",
+            F.transform(F.col("__pairs"), lambda p: p["__m"]).alias(
+                "centroid"
+            ),
+        )
+    )

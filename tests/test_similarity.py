@@ -79,3 +79,28 @@ def test_ivf_recall_against_bruteforce(spark):
            for r in similarity.cosine_topk_ivf(emb, qids, k=10).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall} too low"  # 0.98 measured
+
+
+def test_class_centroids_elementwise_mean(spark):
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.analytics.similarity import class_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 3.0]),
+            (2, [3.0, 2.0, 5.0]),
+            (1, [10.0, 20.0, 30.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {
+        r["class"]: r
+        for r in class_centroids(
+            df, class_col=F.col("vec_id") % 2, dim=3
+        ).collect()
+    }
+    assert rows[0].n_vectors == 2
+    assert rows[0].centroid == [2.0, 1.0, 4.0]
+    assert rows[1].n_vectors == 1
+    assert rows[1].centroid == [10.0, 20.0, 30.0]
