@@ -752,6 +752,10 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_top_terms(spark, sf_dir):
+    return textan.top_terms_per_doc(load_table(spark, sf_dir, "documents"))
+
+
 def _q_rare_token_ratio(spark, sf_dir):
     return textan.rare_token_ratio(load_table(spark, sf_dir, "documents"))
 
@@ -889,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rare_token_ratio": _q_rare_token_ratio,
         "events_funnel": _q_funnel,
         "emb_class_centroids": _q_class_centroids,
+        "text_top_terms": _q_top_terms,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1602,6 +1607,25 @@ FROM reach GROUP BY src
             SELECT class, MAX(n) AS n_vectors,
                    list(m ORDER BY d) AS centroid
             FROM per_dim GROUP BY class
+        """,
+        "text_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                      FROM tok GROUP BY token)
+            SELECT doc_id, token, tf, df, score, rank FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                     ROUND(CAST(tf.tf AS DOUBLE) / dfreq.df, 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY ROUND(CAST(tf.tf AS DOUBLE) / dfreq.df, 6)
+                                DESC, tf.token) AS rank
+              FROM tf JOIN dfreq USING (token))
+            WHERE rank <= 3
         """,
         "text_rare_token_ratio": """
             WITH tok AS (

@@ -15,7 +15,7 @@ only (doc_id, text) into these functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
@@ -249,4 +249,41 @@ def rare_token_ratio(
                 F.col("n_rare").cast("double") / F.col("n_tokens"), 4
             ).alias("rare_ratio"),
         )
+    )
+
+
+def top_terms_per_doc(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k distinctive terms per document by tf·idf ordering — the
+    keyword-extraction pass.  Score = tf_doc / df_corpus (rank-equivalent
+    to tf·idf for a fixed corpus); both factors are exact integers and
+    the single division produces bit-identical doubles on any engine, so
+    the ranking (ties broken by token) is oracle-exact — no aggregated
+    floats anywhere.
+
+    Shuffles: token groupBy for document frequencies, (doc, token)
+    groupBy for tf, one token-keyed join, and the per-doc ranking window
+    — all (id, count) rows.
+    """
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(dfreq, "token").withColumn(
+        "score",
+        F.round(F.col("tf").cast("double") / F.col("df"), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
     )
