@@ -55,6 +55,14 @@ def get_spark(
         # The driver fixtures are TIMESTAMP(NANOS) parquet; read nanos as
         # long and let the loader convert (sources/fixtures.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # In local mode the driver JVM hosts every executor thread;
+        # Spark's 1g default starves 32 of them (observed: GC-locker
+        # death on map-heavy aggregates at sf0.1).  Size the single heap
+        # for the thread count; harmless when spark-submit overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         # Streaming state at scale: RocksDB keeps dedup state off-heap and
         # incrementally checkpointed (reference's buntdb cache analog,
