@@ -206,3 +206,40 @@ def test_service_stream_keep_latest_drops_older(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
 
     assert sorted(emitted) == [("s1-5", "5"), ("s1-7", "7")]
+
+
+def test_streaming_windowed_aggregation_with_watermark(spark, tmp_path):
+    """Event-time tumbling-window aggregation under a watermark — the
+    streaming twin of events_hourly_type_counts: counts per (window,
+    reason) arrive through foreachBatch in update mode."""
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.schemas import K8S_EVENT_SCHEMA
+
+    src = str(tmp_path / "src")
+    _write_events(src)
+
+    stream = spark.readStream.schema(K8S_EVENT_SCHEMA).json(src)
+    agg = (
+        stream.withColumn("ts", F.col("creation_ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {}
+
+    def collect(batch_df, _bid):
+        for r in batch_df.collect():
+            got[r.reason] = got.get(r.reason, 0) + r.n
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt-agg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # fixture: Scheduled x2 (e1 + dup), Pulled x1, Created x1 — the agg
+    # sees raw events (no dedup upstream of it here)
+    assert got == {"Scheduled": 2, "Pulled": 1, "Created": 1}
