@@ -770,6 +770,13 @@ def _q_duplicate_spans(spark, sf_dir):
     )
 
 
+def _q_pack_chunks(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    with_counts = textan.token_count(load_table(spark, sf_dir, "documents"))
+    return splits.pack_chunks(with_counts, capacity=2048)
+
+
 def _q_dataset_split(spark, sf_dir):
     from k8stream_spark.analytics import splits
 
@@ -894,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_funnel,
         "emb_class_centroids": _q_class_centroids,
         "text_top_terms": _q_top_terms,
+        "docs_pack_chunks": _q_pack_chunks,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1607,6 +1615,23 @@ FROM reach GROUP BY src
             SELECT class, MAX(n) AS n_vectors,
                    list(m ORDER BY d) AS centroid
             FROM per_dim GROUP BY class
+        """,
+        "docs_pack_chunks": """
+            WITH counts AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     md5('pack-v1:' || CAST(doc_id AS VARCHAR)) AS ok
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   row_number() OVER w AS pack_pos,
+                   CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0)
+                        AS BIGINT) AS start_chunk,
+                   CAST(FLOOR((SUM(n_tokens) OVER w - 1) / 2048.0)
+                        AS BIGINT) AS end_chunk
+            FROM counts
+            WINDOW w AS (ORDER BY ok, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "text_top_terms": """
             WITH tok AS (

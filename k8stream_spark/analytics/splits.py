@@ -74,3 +74,44 @@ def stratified_sample(
         rate = F.when(cond, r) if rate is None else rate.when(cond, r)
     rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
     return df.where(bucket < rate)
+
+
+def pack_chunks(
+    df,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    seed: str = "pack-v1",
+):
+    """Sequence-packing accounting (the concat-and-chunk strategy LLM
+    training pipelines use): documents are laid out in a deterministic
+    hash-shuffled order, token counts accumulate, and the stream is cut
+    into fixed ``capacity``-token context windows.  Returns, per doc,
+    its position and the [start_chunk, end_chunk] window range it lands
+    in (a doc longer than the remaining window spans several).
+
+    Deterministic by construction: the order is md5(seed:id) (engine-
+    portable — the oracle reproduces it exactly), and chunk indices are
+    pure prefix-sum arithmetic, so the layout is reproducible run over
+    run — the property that makes training resumable.  One global
+    window over the hash order; at 100 TB the same math shards by
+    ``bucket`` first (hash-split the corpus, pack per shard in
+    parallel) — the per-shard form is this function applied per group.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order_key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.orderBy(order_key.asc(), F.col(id_col).asc())
+    cum = F.sum(F.col(n_tokens_col)).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(n_tokens_col),
+        F.row_number().over(w).cast("bigint").alias("pack_pos"),
+        F.floor((cum - F.col(n_tokens_col)) / capacity)
+        .cast("bigint")
+        .alias("start_chunk"),
+        F.floor((cum - 1) / capacity).cast("bigint").alias("end_chunk"),
+    )

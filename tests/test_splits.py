@@ -42,3 +42,27 @@ def test_stratified_sample_rates_and_determinism(spark):
         df, class_col="cls", rates={"common": 10}, id_col="doc_id"
     ).collect()
     assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+
+
+def test_pack_chunks_prefix_sum_layout(spark):
+    from k8stream_spark.analytics.splits import pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id bigint, n_tokens bigint"
+    )
+    rows = sorted(
+        pack_chunks(df, capacity=250).collect(), key=lambda r: r.pack_pos
+    )
+    # 10 docs x 100 tokens into 250-token windows: cumsum boundaries at
+    # positions 3 (crosses 250) and 5 (crosses 500) etc.
+    assert rows[0].start_chunk == 0 and rows[0].end_chunk == 0
+    cum = 0
+    for r in rows:
+        assert r.start_chunk == cum // 250
+        assert r.end_chunk == (cum + r.n_tokens - 1) // 250
+        cum += r.n_tokens
+    # deterministic rerun
+    again = sorted(
+        pack_chunks(df, capacity=250).collect(), key=lambda r: r.pack_pos
+    )
+    assert [r.doc_id for r in rows] == [r.doc_id for r in again]
