@@ -33,8 +33,14 @@ AUDITED = [
     "events_sessionize",
     "events_rolling_stats",
     "events_asof_last_purchase",
+    "events_funnel",
     "text_term_stats",
     "text_redact_pii",
+    "text_rare_token_ratio",
+    "text_top_terms",
+    "docs_pack_chunks",
+    "docs_dataset_split",
+    "emb_class_centroids",
     "docs_dedup_minhash_lsh",
     "emb_cosine_topk",
     "emb_cosine_near_dup_lsh",
@@ -56,6 +62,9 @@ def audit(df) -> dict[str, int]:
     plan = plan.split("== Initial Plan ==")[0]
     return {
         "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
+        # Global orderBy windows / global limits gather to ONE partition —
+        # the honest scale flag for "this stage is sequential".
+        "1p": len(re.findall(r"Exchange SinglePartition", plan)),
         "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
         "smj": len(re.findall(r"SortMergeJoin", plan)),
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
@@ -68,15 +77,15 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
-    print("| query | shuffles | bhj | smj | bnlj | scans | pushed |")
-    print("|---|---|---|---|---|---|---|")
+    print("| query | shuffles | 1p | bhj | smj | bnlj | scans | pushed |")
+    print("|---|---|---|---|---|---|---|---|")
     for name in AUDITED:
         counts = audit(qs[name](spark, sf_dir))
         spark.catalog.clearCache()
         print(
-            f"| {name} | {counts['shuffles']} | {counts['bhj']} | "
-            f"{counts['smj']} | {counts['bnlj']} | {counts['scans']} | "
-            f"{counts['pushed']} |"
+            f"| {name} | {counts['shuffles']} | {counts['1p']} | "
+            f"{counts['bhj']} | {counts['smj']} | {counts['bnlj']} | "
+            f"{counts['scans']} | {counts['pushed']} |"
         )
     spark.stop()
 
