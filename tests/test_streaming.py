@@ -243,3 +243,36 @@ def test_streaming_windowed_aggregation_with_watermark(spark, tmp_path):
     # fixture: Scheduled x2 (e1 + dup), Pulled x1, Created x1 — the agg
     # sees raw events (no dedup upstream of it here)
     assert got == {"Scheduled": 2, "Pulled": 1, "Created": 1}
+
+
+def test_unified_pipeline_on_informer_sources(
+    spark, objects_df, nodes_df, tmp_path
+):
+    """Both streams of the unified pipeline read through the custom
+    k8s_informer source (event AND service kinds) — same output as the
+    file-source binding."""
+    from k8stream_spark.streaming.pipeline import run_unified_pipeline
+
+    ev_src = str(tmp_path / "ev_src")
+    svc_src = str(tmp_path / "svc_src")
+    _write_events(ev_src)
+    _write_services(svc_src)
+    sink = MemorySink()
+    q = run_unified_pipeline(
+        spark,
+        ev_src,
+        svc_src,
+        objects_df,
+        nodes_df,
+        sink_fn=sink_foreach_batch(sink, uid="unified-informer"),
+        checkpoint_dir=str(tmp_path / "ckpt-ui"),
+        available_now=True,
+        source_format="informer",
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = []
+    for data in sink.batches.values():
+        rows += [json.loads(l) for l in data.decode().splitlines()]
+    assert {r["id"] for r in rows} == {"e1", "e3", "s1-10"}
