@@ -513,6 +513,11 @@ def duplicate_spans(
         F.sequence(F.lit(0), F.size(toks) - span_tokens),
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, span_tokens), " ")),
     )
+    # Persisted because three branches (shared keys, per-pair counts,
+    # per-doc totals) read it; the cache lives as long as the returned
+    # (lazy) frame needs it — callers release via
+    # spark.catalog.clearCache() between queries, as the oracle gate and
+    # bench do (same contract as minhash_lsh_pairs' signature cache).
     spans = df.select(
         "doc_id",
         F.explode(

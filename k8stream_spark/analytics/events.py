@@ -186,12 +186,19 @@ def funnel_counts(
                 F.col(f"__t{j}").isNotNull()
                 & (F.col(f"__t{j-1}") <= F.col(f"__t{j}"))
             )
-        reached.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
+        # count(when(...)) — never NULL on empty input, matching the
+        # oracle's COUNT FILTER (a sum of casts would be NULL over 0 rows)
+        reached.append(F.count(F.when(cond, 1)).alias(f"__n{i}"))
     agg = mins.agg(*reached)
     # stack() unpivots the single aggregate row into one row per stage —
-    # fully declarative, no driver-side collect.
+    # fully declarative, no driver-side collect.  Stage names are spliced
+    # into an expression string, so quotes must be escaped.
+    def _lit(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     parts = ", ".join(
-        f"CAST({i} AS BIGINT), '{s}', __n{i}" for i, s in enumerate(stages)
+        f"CAST({i} AS BIGINT), '{_lit(s)}', __n{i}"
+        for i, s in enumerate(stages)
     )
     return agg.select(
         F.expr(

@@ -366,11 +366,19 @@ def _sample_kmeans(
     Lloyd iterations are pure numpy — identical centroids every run.
     Returns the (nlist, dim) centroid matrix, unit-normalized.
     """
-    frac_permille = min(1000, int(max_train * 1000 / max(1, n_rows)))
+    # max(1, ...): at n_rows > max_train*1000 the integer ratio floors to
+    # 0 and the sample would be empty — exactly at the scale this path
+    # exists for.  The hash-ordered sort has __id as tiebreak so the
+    # sampled rows (and therefore the C = X[:nlist] init) are identical
+    # on any partitioning — hash buckets alone have only 1000 distinct
+    # values, which would leave tie order partition-dependent.
+    frac_permille = max(1, min(1000, int(max_train * 1000 / max(1, n_rows))))
     sample = norm_d.select(
-        "__u", F.pmod(F.xxhash64(F.col("__id").cast("string")), 1000).alias("__h")
+        "__id",
+        "__u",
+        F.pmod(F.xxhash64(F.col("__id").cast("string")), 1000).alias("__h"),
     ).where(F.col("__h") < frac_permille)
-    rows = sample.orderBy("__h").limit(max_train).collect()
+    rows = sample.orderBy("__h", "__id").limit(max_train).collect()
     X = np.asarray([r["__u"] for r in rows], dtype=float)
     if len(X) < nlist:
         raise ValueError(
@@ -530,8 +538,6 @@ def class_centroids(
     embeddings: DataFrame,
     class_col,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    dim: int = 64,
     scale: int = 6,
 ) -> DataFrame:
     """Per-class embedding centroid (class prototypes — the building
@@ -549,7 +555,6 @@ def class_centroids(
     cls = F.col(class_col) if isinstance(class_col, str) else class_col
     exploded = embeddings.select(
         cls.alias("class"),
-        F.col(id_col).alias("__id"),
         F.posexplode(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("__d", "__x"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -98,9 +98,6 @@ def pack_chunks(
     ``bucket`` first (hash-split the corpus, pack per shard in
     parallel) — the per-shard form is this function applied per group.
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     order_key = F.md5(
         F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
     )

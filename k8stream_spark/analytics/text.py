@@ -229,7 +229,7 @@ def rare_token_ratio(
     count) rows.
     """
     tok = df.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+        "doc_id", F.explode(tokens(text_col)).alias("token")
     )
     freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__cf"))
     scored = tok.join(freqs, "token")
@@ -267,7 +267,7 @@ def top_terms_per_doc(
     — all (id, count) rows.
     """
     tok = df.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+        "doc_id", F.explode(tokens(text_col)).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")

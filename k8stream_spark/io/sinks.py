@@ -137,7 +137,10 @@ def write_sized_json(
 
     sample = df.limit(sample_rows).toJSON().collect()
     if not sample:
-        df.write.mode("overwrite").json(path)
+        writer = df.write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.json(path)
         return 0
     avg = max(1, sum(len(s) + 1 for s in sample) // len(sample))
     target_bytes = target_mb * 1024 * 1024

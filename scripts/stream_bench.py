@@ -56,8 +56,14 @@ def main() -> None:
         namespaces=(),
         reasons=(),
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
     elapsed = time.time() - t0
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "pipeline did not finish within 600s - refusing to report "
+            "a throughput number for an incomplete run"
+        )
 
     print(
         json.dumps(

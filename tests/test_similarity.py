@@ -97,7 +97,7 @@ def test_class_centroids_elementwise_mean(spark):
     rows = {
         r["class"]: r
         for r in class_centroids(
-            df, class_col=F.col("vec_id") % 2, dim=3
+            df, class_col=F.col("vec_id") % 2
         ).collect()
     }
     assert rows[0].n_vectors == 2
