@@ -591,6 +591,7 @@ def _q_q4(spark, sf_dir):
 
 
 def _q_q10(spark, sf_dir):
+    # customer carries no broadcast hint (fact-sized at scale; AQE decides)
     return tpch.q10_returned_items(
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
@@ -600,6 +601,7 @@ def _q_q10(spark, sf_dir):
 
 
 def _q_q18(spark, sf_dir):
+    # customer carries no broadcast hint (fact-sized at scale; AQE decides)
     return tpch.q18_large_volume_customers(
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
@@ -730,8 +732,12 @@ def _q_cosine_topk_ivf(spark, sf_dir):
 
 
 def _q_class_centroids(spark, sf_dir):
+    # as_string: the centroid rides as a comma-joined micro-int scalar so
+    # every output column is hashable (array<double> is not).
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.class_centroids(emb, class_col=F.col("vec_id") % 10)
+    return similarity.class_centroids(
+        emb, class_col=F.col("vec_id") % 10, as_string=True
+    )
 
 
 def _q_vector_norms(spark, sf_dir):
@@ -1247,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate <  TIMESTAMP '1996-04-01'
               AND EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > TIMESTAMP '1996-01-01'
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
         """,
@@ -1598,7 +1605,10 @@ FROM reach GROUP BY src
             "PHONE_RE", textan.PHONE_RE
         ),
         # Element sums in exact DECIMAL on both engines (double summation
-        # order differs across engines/partitionings).
+        # order differs across engines/partitionings).  The centroid is
+        # serialized to a comma-joined micro-int string (round(m*1e6) per
+        # element) — the same scalar encoding the Spark side emits, so
+        # the comparison never touches an unhashable list column.
         "emb_class_centroids": """
             WITH ex AS (
               SELECT vec_id % 10 AS class, i.i AS d,
@@ -1613,7 +1623,12 @@ FROM reach GROUP BY src
               FROM ex GROUP BY class, d
             )
             SELECT class, MAX(n) AS n_vectors,
-                   list(m ORDER BY d) AS centroid
+                   list_aggregate(
+                     list_transform(
+                       list(m ORDER BY d),
+                       x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT)
+                                 AS VARCHAR)),
+                     'string_agg', ',') AS centroid
             FROM per_dim GROUP BY class
         """,
         "docs_pack_chunks": """
@@ -1660,7 +1675,8 @@ FROM reach GROUP BY src
             freqs AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token)
             SELECT tok.doc_id,
                    COUNT(*) AS n_tokens,
-                   SUM(CASE WHEN f.cf <= 2 THEN 1 ELSE 0 END) AS n_rare,
+                   CAST(SUM(CASE WHEN f.cf <= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rare,
                    ROUND(CAST(SUM(CASE WHEN f.cf <= 2 THEN 1 ELSE 0 END)
                               AS DOUBLE) / COUNT(*), 4) AS rare_ratio
             FROM tok JOIN freqs f USING (token)

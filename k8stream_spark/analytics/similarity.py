@@ -539,6 +539,7 @@ def class_centroids(
     class_col,
     vec_col: str = "embedding",
     scale: int = 6,
+    as_string: bool = False,
 ) -> DataFrame:
     """Per-class embedding centroid (class prototypes — the building
     block of semantic dedup, prototype classification, and cluster
@@ -551,6 +552,14 @@ def class_centroids(
     engines), so a double sum would flap the oracle; the decimal sum is
     bit-stable at any parallelism (same discipline as tpch.exact_sum).
     Output: (class, n_vectors, centroid array<double> rounded ``scale``).
+
+    ``as_string=True`` emits the centroid as a comma-joined string of
+    micro-units (each element ``round(m * 10^scale)`` as int64) instead
+    of ``array<double>`` — an engine-portable scalar encoding for
+    downstream systems that can't key/hash array columns.  Integer
+    micro-units rather than formatted floats: every engine prints
+    ``-0.0``/exponents differently, but ``round(m*1e6)`` of an
+    already-``scale``-rounded mean is the same integer everywhere.
     """
     cls = F.col(class_col) if isinstance(class_col, str) else class_col
     exploded = embeddings.select(
@@ -569,6 +578,17 @@ def class_centroids(
         ).alias("__m"),
         F.count(F.lit(1)).alias("__n"),
     )
+    if as_string:
+        elem = lambda p: (  # noqa: E731
+            F.round(p["__m"] * (10**scale), 0).cast("long").cast("string")
+        )
+        centroid = F.array_join(
+            F.transform(F.col("__pairs"), elem), ","
+        ).alias("centroid")
+    else:
+        centroid = F.transform(F.col("__pairs"), lambda p: p["__m"]).alias(
+            "centroid"
+        )
     return (
         per_dim.groupBy("class")
         .agg(
@@ -577,11 +597,5 @@ def class_centroids(
                 F.collect_list(F.struct(F.col("__d"), F.col("__m")))
             ).alias("__pairs"),
         )
-        .select(
-            "class",
-            "n_vectors",
-            F.transform(F.col("__pairs"), lambda p: p["__m"]).alias(
-                "centroid"
-            ),
-        )
+        .select("class", "n_vectors", centroid)
     )

@@ -232,13 +232,18 @@ def q4_order_priority_check(
     l_shipdate > o_orderdate).  The EXISTS is a LEFT SEMI join — each
     qualifying order counts once no matter how many late lines it has,
     and the lineitem payload never leaves the join.  One shuffle on the
-    order key; the quarter filter is a pushed scan predicate."""
+    order key; the quarter filter is a pushed scan predicate on orders,
+    and the implied bound l_shipdate > date_from (late ⇒ shipdate >
+    orderdate ≥ date_from) is pushed to the lineitem scan so row groups
+    prune before the shuffle."""
     in_quarter = orders.where(
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
     )
     late = in_quarter.join(
-        lineitem.select("l_orderkey", "l_shipdate"),
+        lineitem.where(
+            F.col("l_shipdate") > F.lit(date_from).cast("timestamp_ntz")
+        ).select("l_orderkey", "l_shipdate"),
         (F.col("o_orderkey") == F.col("l_orderkey"))
         & (F.col("l_shipdate") > F.col("o_orderdate")),
         "left_semi",
@@ -258,9 +263,13 @@ def q10_returned_items(
     k: int = 20,
 ) -> DataFrame:
     """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
-    quarter.  Dims broadcast; the facts join once on the order key; the
-    global top-k is a single-partition row_number over the (tiny)
-    aggregated frame — deterministic via the c_custkey tiebreak."""
+    quarter.  nation broadcasts (true dim, 25 rows at any sf); customer
+    is fact-sized in TPC-H (sf × 150k rows) so it carries NO broadcast
+    hint — the quarter-filtered orders⋈lineitem aggregate is small, and
+    AQE picks broadcast at runtime when the stats allow, without the
+    hint OOMing a 100 TB run.  The global top-k is a single-partition
+    row_number over the (tiny) aggregated frame — deterministic via the
+    c_custkey tiebreak."""
     revenue = exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     agg = (
         orders.where(
@@ -274,7 +283,7 @@ def q10_returned_items(
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -303,7 +312,10 @@ def q18_large_volume_customers(
     threshold.  Aggregate lineitem FIRST (partial→final on l_orderkey),
     filter to the rare big orders, then join the now-tiny result to
     orders/customer — the agg-before-join ordering is what keeps the
-    shuffle at O(orders), never O(lineitem × orders)."""
+    shuffle at O(orders), never O(lineitem × orders).  customer is
+    fact-sized in TPC-H (sf × 150k rows), so no broadcast hint on it —
+    the post-filter frames are small and AQE converts to broadcast at
+    runtime when stats allow, without the hint OOMing at 100 TB."""
     big = (
         lineitem.groupBy("l_orderkey")
         .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"))
@@ -313,7 +325,7 @@ def q18_large_volume_customers(
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_name")),
+            customer.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
