@@ -112,10 +112,32 @@ def conditional_pod_enrich(
     )
 
 
+def pod_label_frequencies(
+    pods: DataFrame,
+    labels_col: str = "labels",
+    fraction: float = 0.1,
+) -> DataFrame:
+    """Approximate pod count per distinct label (key, value) — the stats
+    table that drives J4's selective-anchor choice.
+
+    Label frequencies are slowly-changing statistics: they drift with
+    deployments, not with individual queries.  Compute this once,
+    ``persist()`` it, and hand it to ``label_selector_join`` via
+    ``label_freqs`` so repeated joins (a streaming pipeline's per-batch
+    enrichment, a bench loop, a dashboard) amortize the stats pass
+    instead of re-scanning pod labels per invocation.  The output is
+    O(distinct label pairs) rows — safely broadcastable at any pod count.
+    """
+    kv = pods.select(F.explode(F.col(labels_col)).alias("__k", "__v"))
+    sampled = kv.sample(fraction=fraction, seed=42) if fraction < 1.0 else kv
+    return sampled.groupBy("__k", "__v").agg(F.count(F.lit(1)).alias("__freq"))
+
+
 def _selective_anchor(
     nonempty_svc: DataFrame,
     pod_kv: DataFrame,
     stats_fraction: float = 0.1,
+    label_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Pick, per service, the selector entry matching the fewest pods.
 
@@ -131,15 +153,21 @@ def _selective_anchor(
     entry absent from every sampled pod gets count 0 — maximally
     selective; if that estimate is wrong the join is merely slower, still
     exact.
+
+    ``label_freqs`` (from :func:`pod_label_frequencies`, ideally
+    persisted by the caller) skips the inline stats pass entirely.
     """
-    sampled = (
-        pod_kv.sample(fraction=stats_fraction, seed=42)
-        if stats_fraction < 1.0
-        else pod_kv
-    )
-    freqs = sampled.groupBy("__k", "__v").agg(
-        F.count(F.lit(1)).alias("__freq")
-    )
+    if label_freqs is not None:
+        freqs = label_freqs
+    else:
+        sampled = (
+            pod_kv.sample(fraction=stats_fraction, seed=42)
+            if stats_fraction < 1.0
+            else pod_kv
+        )
+        freqs = sampled.groupBy("__k", "__v").agg(
+            F.count(F.lit(1)).alias("__freq")
+        )
     entries = nonempty_svc.select(
         "service_uid", "__sel", F.explode(F.col("__sel")).alias("__k", "__v")
     )
@@ -174,6 +202,7 @@ def label_selector_join(
     broadcast_selectors: bool = True,
     anchor: str = "selective",
     anchor_stats_fraction: float = 0.1,
+    label_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """J4 — service ⋈ pods via k8s label-selector containment
     (reference k8sclient.go:76-89, event_service.go:10-17): pod matches iff
@@ -198,6 +227,11 @@ def label_selector_join(
     * ``"first"`` — the selector's first entry, skipping the stats pass;
       right when selectors are known to lead with a selective key.
 
+    ``label_freqs`` — a precomputed (persisted) stats frame from
+    :func:`pod_label_frequencies`; skips the inline stats pass under
+    ``anchor="selective"``.  Use it wherever the join runs repeatedly
+    against slowly-changing pods (streaming enrichment, dashboards).
+
     Empty-selector edge case, pinned per SURVEY §7.4: the reference formats
     an empty selector set to an empty string, and an empty k8s selector
     string lists ALL pods (k8sclient.go:78-81) — so by default an
@@ -216,7 +250,9 @@ def label_selector_join(
 
     nonempty = svc.where(F.size(F.col("__sel")) > 0)
     if anchor == "selective":
-        sel = _selective_anchor(nonempty, pod_kv, anchor_stats_fraction)
+        sel = _selective_anchor(
+            nonempty, pod_kv, anchor_stats_fraction, label_freqs
+        )
     else:
         first_entry = F.element_at(F.map_entries(F.col("__sel")), 1)
         sel = nonempty.select(

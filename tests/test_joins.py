@@ -139,3 +139,24 @@ def test_j4_anchor_modes_agree(services_df, pods_df):
         ).collect()
     }
     assert sel == first
+
+
+def test_j4_precomputed_label_freqs(services_df, pods_df):
+    """A persisted pod_label_frequencies table skips the inline stats
+    pass and yields identical pairs — the amortized form a repeated
+    caller (streaming enrichment, bench loop) should use."""
+    freqs = joins.pod_label_frequencies(pods_df, fraction=1.0).persist()
+    try:
+        with_stats = {
+            (r.service_uid, r.pod_uid)
+            for r in joins.label_selector_join(
+                services_df, pods_df, label_freqs=freqs
+            ).collect()
+        }
+        inline = {
+            (r.service_uid, r.pod_uid)
+            for r in joins.label_selector_join(services_df, pods_df).collect()
+        }
+        assert with_stats == inline
+    finally:
+        freqs.unpersist()
