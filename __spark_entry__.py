@@ -783,6 +783,13 @@ def _q_pack_chunks(spark, sf_dir):
     return splits.pack_chunks(with_counts, capacity=2048)
 
 
+def _q_pack_chunks_sharded(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    with_counts = textan.token_count(load_table(spark, sf_dir, "documents"))
+    return splits.pack_chunks_sharded(with_counts, capacity=2048, n_shards=8)
+
+
 def _q_dataset_split(spark, sf_dir):
     from k8stream_spark.analytics import splits
 
@@ -908,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_class_centroids": _q_class_centroids,
         "text_top_terms": _q_top_terms,
         "docs_pack_chunks": _q_pack_chunks,
+        "docs_pack_chunks_sharded": _q_pack_chunks_sharded,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -1647,6 +1655,43 @@ FROM reach GROUP BY src
             FROM counts
             WINDOW w AS (ORDER BY ok, doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # Sharded packing: same prefix-sum math per hash shard, then the
+        # per-shard chunk counts prefix-sum into global base offsets so
+        # shard chunk spaces are disjoint and contiguous in shard order.
+        "docs_pack_chunks_sharded": """
+            WITH counts AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     md5('pack-v1:' || CAST(doc_id AS VARCHAR)) AS ok,
+                     CAST(CAST('0x' || substr(md5('pack-v1:shard:'
+                               || CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS UBIGINT) % 8 AS BIGINT) AS shard
+              FROM documents
+            ),
+            local AS (
+              SELECT shard, doc_id, n_tokens,
+                     row_number() OVER w AS pack_pos,
+                     CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0)
+                          AS BIGINT) AS ls,
+                     CAST(FLOOR((SUM(n_tokens) OVER w - 1) / 2048.0)
+                          AS BIGINT) AS le
+              FROM counts
+              WINDOW w AS (PARTITION BY shard ORDER BY ok, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            bases AS (
+              SELECT shard,
+                     CAST(COALESCE(SUM(n_chunks) OVER (ORDER BY shard
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS base
+              FROM (SELECT shard, MAX(le) + 1 AS n_chunks
+                    FROM local GROUP BY shard)
+            )
+            SELECT l.shard, l.doc_id, l.n_tokens, l.pack_pos,
+                   l.ls + b.base AS start_chunk,
+                   l.le + b.base AS end_chunk
+            FROM local l JOIN bases b USING (shard)
         """,
         "text_top_terms": """
             WITH tok AS (

@@ -94,9 +94,9 @@ def pack_chunks(
     portable — the oracle reproduces it exactly), and chunk indices are
     pure prefix-sum arithmetic, so the layout is reproducible run over
     run — the property that makes training resumable.  One global
-    window over the hash order; at 100 TB the same math shards by
-    ``bucket`` first (hash-split the corpus, pack per shard in
-    parallel) — the per-shard form is this function applied per group.
+    window over the hash order; at 100 TB use
+    :func:`pack_chunks_sharded`, which runs the same math per hash
+    shard in parallel with no single-partition exchange.
     """
     order_key = F.md5(
         F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
@@ -111,4 +111,88 @@ def pack_chunks(
         .cast("bigint")
         .alias("start_chunk"),
         F.floor((cum - 1) / capacity).cast("bigint").alias("end_chunk"),
+    )
+
+
+def pack_chunks_sharded(
+    df,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    seed: str = "pack-v1",
+    n_shards: int = 32,
+):
+    """The 100 TB form of :func:`pack_chunks`: hash-shard the corpus,
+    pack every shard independently (the window PARTITIONs BY shard, so
+    the prefix sum runs on ``n_shards`` parallel streams — no
+    single-partition exchange over the data), then lift each shard's
+    local chunk indices into one global, non-overlapping chunk space.
+
+    The lift needs only an ``n_shards``-row offset table: per shard,
+    the number of chunks it produces (``max(local_end) + 1``), prefix-
+    summed in shard order via a triangular self-join (shard b < shard a)
+    — the distributed prefix-sum over a small key space, so the executed
+    plan has ZERO single-partition exchanges; the n_shards² pair volume
+    is trivial for any sane shard count.  The offset table then
+    broadcasts back onto the data.  Each
+    doc's (shard, pack_pos, start/end chunk) stays a pure function of
+    (seed, id, corpus) — deterministic and resumable, same as the
+    unsharded form — but the global doc interleaving differs from
+    ``pack_chunks`` (shard-major instead of one global hash order):
+    equally valid as a layout, not byte-identical to the 1-shard one.
+
+    Chunk-space invariants (pinned by tests): within a shard, chunk
+    indices follow the prefix sum exactly; across shards the
+    [base, base + n_chunks) ranges are disjoint and contiguous in shard
+    order; ``n_shards=1`` reproduces ``pack_chunks`` row-for-row.
+    """
+    shard = hash_bucket(F.col(id_col), f"{seed}:shard", n_shards)
+    order_key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        order_key.asc(), F.col(id_col).asc()
+    )
+    cum = F.sum(F.col(n_tokens_col)).over(w)
+    local = df.withColumn("shard", shard.cast("bigint")).select(
+        F.col("shard"),
+        F.col(id_col),
+        F.col(n_tokens_col),
+        F.row_number().over(w).cast("bigint").alias("pack_pos"),
+        F.floor((cum - F.col(n_tokens_col)) / capacity)
+        .cast("bigint")
+        .alias("__ls"),
+        F.floor((cum - 1) / capacity).cast("bigint").alias("__le"),
+    )
+    # n_shards rows: chunks produced per shard, prefix-summed in shard
+    # order.  A global-order window would pull even this tiny frame into
+    # one partition; the triangular self-join keeps the plan free of
+    # SinglePartition exchanges at O(n_shards²) pairs — nothing at any
+    # realistic shard count.
+    nch = local.groupBy("shard").agg(
+        (F.max("__le") + 1).alias("__n_chunks")
+    )
+    prior = F.broadcast(
+        nch.select(
+            F.col("shard").alias("__pshard"),
+            F.col("__n_chunks").alias("__pn"),
+        )
+    )
+    bases = (
+        nch.join(prior, F.col("__pshard") < F.col("shard"), "left")
+        .groupBy("shard")
+        .agg(
+            F.coalesce(F.sum("__pn"), F.lit(0)).cast("bigint").alias("__base")
+        )
+    )
+    return (
+        local.join(F.broadcast(bases), "shard")
+        .select(
+            "shard",
+            id_col,
+            n_tokens_col,
+            "pack_pos",
+            (F.col("__base") + F.col("__ls")).alias("start_chunk"),
+            (F.col("__base") + F.col("__le")).alias("end_chunk"),
+        )
     )

@@ -39,6 +39,7 @@ AUDITED = [
     "text_rare_token_ratio",
     "text_top_terms",
     "docs_pack_chunks",
+    "docs_pack_chunks_sharded",
     "docs_dataset_split",
     "emb_class_centroids",
     "docs_dedup_minhash_lsh",

@@ -66,3 +66,44 @@ def test_pack_chunks_prefix_sum_layout(spark):
         pack_chunks(df, capacity=250).collect(), key=lambda r: r.pack_pos
     )
     assert [r.doc_id for r in rows] == [r.doc_id for r in again]
+
+
+def test_pack_chunks_sharded_invariants(spark):
+    from k8stream_spark.analytics.splits import pack_chunks, pack_chunks_sharded
+
+    df = spark.createDataFrame(
+        [(i, 30 + (i * 17) % 90) for i in range(200)],
+        "doc_id bigint, n_tokens bigint",
+    )
+    rows = pack_chunks_sharded(df, capacity=100, n_shards=4).collect()
+    assert len(rows) == 200 and len({r.doc_id for r in rows}) == 200
+
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1  # the hash actually spreads shards
+
+    base_expected = 0
+    for shard in sorted(by_shard):
+        docs = sorted(by_shard[shard], key=lambda r: r.pack_pos)
+        assert [r.pack_pos for r in docs] == list(range(1, len(docs) + 1))
+        # per-shard prefix-sum invariant, offset by the shard's base
+        base = docs[0].start_chunk
+        assert base == base_expected  # contiguous, disjoint chunk spaces
+        cum = 0
+        for r in docs:
+            assert r.start_chunk == base + cum // 100
+            assert r.end_chunk == base + (cum + r.n_tokens - 1) // 100
+            cum += r.n_tokens
+        base_expected = base + (cum - 1) // 100 + 1
+
+    # n_shards=1 reproduces the unsharded layout row-for-row
+    one = {
+        (r.doc_id, r.pack_pos, r.start_chunk, r.end_chunk)
+        for r in pack_chunks_sharded(df, capacity=100, n_shards=1).collect()
+    }
+    flat = {
+        (r.doc_id, r.pack_pos, r.start_chunk, r.end_chunk)
+        for r in pack_chunks(df, capacity=100).collect()
+    }
+    assert one == flat
