@@ -54,11 +54,19 @@ def asof_join(
     # row wins even when it carries NULL (matching ASOF JOIN / merge_asof
     # semantics; per-column last(ignorenulls) would leak a stale older
     # value through the NULL).
-    r = right.select(
-        F.col(key),
-        F.col(right_ts).alias("__ts"),
-        F.struct(*[F.col(c) for c in right_values]).alias("__rstate"),
-    ).withColumn("__src", F.lit(0))
+    # NULL keys never match in SQL ASOF/equi-join semantics, but a window
+    # PARTITION BY groups all NULL keys together — drop NULL-key right
+    # rows so a NULL-key left row cannot inherit their state (it gets
+    # NULL columns, the no-match result, like DuckDB ASOF JOIN).
+    r = (
+        right.where(F.col(key).isNotNull())
+        .select(
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            F.struct(*[F.col(c) for c in right_values]).alias("__rstate"),
+        )
+        .withColumn("__src", F.lit(0))
+    )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     # Right rows sort BEFORE left rows at the same timestamp (__src asc),

@@ -443,8 +443,11 @@ def dedup_clusters(
     # Convergence test: labels only ever decrease under min-propagation,
     # so the label SUM is strictly decreasing until fixpoint — one cheap
     # scalar aggregate per round instead of a change-detection join.
-    # (Fits a long comfortably: even 1e9 docs sums to ~5e17.)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Summed in DECIMAL(38,0): a bigint sum over hash-derived 64-bit ids
+    # wraps silently (non-ANSI), and a wrap collision would end the loop
+    # early with wrong labels; the decimal sum is exact at any id scale.
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(max_iter):
         neighbor = (
             edges.join(
@@ -476,7 +479,7 @@ def dedup_clusters(
             .select("doc_id", F.col("__label2").alias("label"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -33,7 +33,7 @@ import json
 import os
 import time
 from collections.abc import Iterator, Sequence
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -128,6 +128,15 @@ class InformerStreamReader(DataSourceStreamReader):
             start_n = start["files"].get(path, 0)
             if end_n > start_n:
                 parts.append(_RangePartition(path, start_n, end_n, False))
+            elif 0 < end_n < start_n:
+                # The file SHRANK: it was truncated/rotated in place, so
+                # the checkpointed line count no longer describes this
+                # content.  Deliver the new content from line 0 — the
+                # informer-parity behavior (a replaced spool is new
+                # state; duplicates resolve downstream, same as resync).
+                # Without this branch the new file would be silently
+                # swallowed up to its old line count.
+                parts.append(_RangePartition(path, 0, end_n, False))
         if end["resync_gen"] > start["resync_gen"]:
             # RESYNC: re-deliver the full known state (OnUpdate for every
             # cached object).  Overlap with the incremental slices above
@@ -171,11 +180,19 @@ class InformerStreamReader(DataSourceStreamReader):
 
 
 def _coerce(value, is_ts: bool):
+    """Normalize epoch seconds / ISO strings to NAIVE UTC datetimes —
+    the schema is TimestampNTZ, and a tz-aware value (ISO '...Z' or
+    '+02:00') would error or shift with the session timezone."""
     if value is None or not is_ts:
         return value
     if isinstance(value, (int, float)):
-        return datetime.utcfromtimestamp(value)
-    return datetime.fromisoformat(str(value))
+        return datetime.fromtimestamp(value, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+    ts = datetime.fromisoformat(str(value))
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts
 
 
 class K8sInformerDataSource(DataSource):

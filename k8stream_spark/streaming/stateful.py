@@ -131,8 +131,15 @@ def keep_latest_stateful(
     State is (max_version, deadline_ms) per key; the mark expires
     ``ttl_seconds`` after its last WRITE (the reference re-arms expiry on
     every flush via ExpireSet, flush.go:57-62 — unlike the D1 mark, which
-    is written once).  Within a micro-batch rows are processed in frame
-    order, mirroring the reference's arrival-order handler loop.
+    is written once).  Ordering caveat: rows are processed in the order
+    the grouped iterator yields them, which ``applyInPandasWithState``
+    guarantees only WITHIN a shuffled partition's frames — when two
+    versions of one key land in the same micro-batch from different
+    source partitions, which one is "seen first" is not pinned to file/
+    arrival order.  The reference has the same property (its handler
+    loop order is channel-delivery order, main.go:84-90); pre-sort each
+    batch by a monotonic source offset upstream if a total order is
+    required.
 
     Same deployment note as ``dedup_ttl_stateful`` re noDataMicroBatches.
     """

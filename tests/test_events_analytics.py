@@ -126,6 +126,33 @@ def test_asof_join_null_value_in_latest_row_wins(spark):
     assert out.collect()[0].value_asof is None
 
 
+def test_asof_join_null_key_never_matches(spark):
+    """NULL keys never match (SQL ASOF/equi-join semantics): a NULL-key
+    left row gets NULL state even when NULL-key right rows exist, and
+    non-null keys are unaffected."""
+    import datetime as dt
+
+    from k8stream_spark.analytics.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, None, t(12)), (2, "u", t(12))],
+        "event_id bigint, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, t(3), 99.0), ("u", t(5), 42.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    rows = {
+        r.event_id: r.value_asof
+        for r in asof_join(
+            left, right, key="user_id", right_values=("value",)
+        ).collect()
+    }
+    assert rows[1] is None   # NULL key inherits nothing
+    assert rows[2] == 42.0   # non-null path unaffected
+
+
 def test_funnel_requires_stage_order(spark):
     """A user who purchased BEFORE ever viewing does not count for the
     purchase stage; one who did view->click->purchase counts everywhere."""

@@ -166,3 +166,48 @@ def test_permissive_skips_malformed_lines(tmp_path):
     parts = strict.partitions(strict.initialOffset(), strict.latestOffset())
     with pytest.raises(ValueError):
         _rows(strict, parts)
+
+
+def test_shrunk_file_redelivers_new_content(tmp_path):
+    """A spool file that shrinks (truncate/rotate-in-place) is new state:
+    its content re-delivers from line 0 instead of being swallowed up to
+    the stale checkpointed count."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    path = os.path.join(src, "a.json")
+    with open(path, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"uid": f"old{i}"}) + "\n")
+
+    r = _reader(src)
+    end1 = r.latestOffset()
+    assert [row[0] for row in _rows(r, r.partitions(r.initialOffset(), end1))] == [
+        f"old{i}" for i in range(5)
+    ]
+
+    with open(path, "w") as f:  # rotate: replaced with 2 fresh rows
+        f.write(json.dumps({"uid": "new0"}) + "\n")
+        f.write(json.dumps({"uid": "new1"}) + "\n")
+    end2 = r.latestOffset()
+    assert [row[0] for row in _rows(r, r.partitions(end1, end2))] == [
+        "new0",
+        "new1",
+    ]
+    # and the offset settles: nothing re-delivers on the next trigger
+    assert r.partitions(end2, r.latestOffset()) == []
+
+
+def test_timestamp_coercion_normalizes_to_naive_utc(tmp_path):
+    """Epoch numbers and ISO strings — tz-aware ('Z' / '+02:00') or naive
+    — all coerce to NAIVE UTC datetimes, matching the TimestampNTZ
+    schema regardless of session timezone."""
+    from k8stream_spark.sources.informer import _coerce
+
+    want = __import__("datetime").datetime(2024, 3, 1, 12, 0, 0)
+    assert _coerce(1709294400, True) == want
+    assert _coerce(1709294400.0, True) == want
+    assert _coerce("2024-03-01T12:00:00", True) == want
+    assert _coerce("2024-03-01T12:00:00Z", True) == want
+    assert _coerce("2024-03-01T14:00:00+02:00", True) == want
+    assert _coerce(None, True) is None
+    assert _coerce("left alone", False) == "left alone"
