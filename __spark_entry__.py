@@ -609,6 +609,48 @@ def _q_q18(spark, sf_dir):
     )
 
 
+def _q_q12(spark, sf_dir):
+    return tpch.q12_priority_by_flag(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_q13(spark, sf_dir):
+    return tpch.q13_customer_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_q15(spark, sf_dir):
+    return tpch.q15_top_supplier(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_q17(spark, sf_dir):
+    return tpch.q17_small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_q19(spark, sf_dir):
+    return tpch.q19_discounted_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_q22(spark, sf_dir):
+    return tpch.q22_global_sales_opportunity(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _q_window_top(spark, sf_dir):
     return tpch.top_orders_per_customer(load_table(spark, sf_dir, "orders"))
 
@@ -742,6 +784,16 @@ def _q_class_centroids(spark, sf_dir):
 
 def _q_vector_norms(spark, sf_dir):
     return similarity.vector_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_quantize_int8(spark, sf_dir):
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_repetition_metrics(spark, sf_dir):
+    return textan.repetition_metrics(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 def _q_blob_meta(spark, sf_dir):
@@ -914,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_funnel,
         "emb_class_centroids": _q_class_centroids,
         "text_top_terms": _q_top_terms,
+        "text_repetition_metrics": _q_repetition_metrics,
+        "emb_quantize_int8": _q_quantize_int8,
         "docs_pack_chunks": _q_pack_chunks,
         "docs_pack_chunks_sharded": _q_pack_chunks_sharded,
         # P — filters / projections (SURVEY §2.2)
@@ -954,7 +1008,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q_q14,
         "q4_order_priority_check": _q_q4,
         "q10_returned_items": _q_q10,
+        "q12_priority_by_flag": _q_q12,
+        "q13_customer_distribution": _q_q13,
+        "q15_top_supplier": _q_q15,
+        "q17_small_quantity_revenue": _q_q17,
+        "q19_discounted_revenue": _q_q19,
         "q18_large_volume_customers": _q_q18,
+        "q22_global_sales_opportunity": _q_q22,
         "window_top_orders_per_customer": _q_window_top,
         "rollup_order_priority": _q_rollup,
         "agg_customer_order_stats": _q_cust_stats,
@@ -1297,6 +1357,87 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders o ON o.o_orderkey = big.l_orderkey
               JOIN customer c ON c.c_custkey = o.o_custkey)
             WHERE rank <= 100
+        """,
+        "q12_priority_by_flag": """
+            SELECT l.l_returnflag,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l.l_returnflag
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                     {exact_sum('l_extendedprice*(1-l_discount)')}
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        # Exact-decimal means on both sides (q17's per-part quantity
+        # limit, q22's balance cutoff): a double-sum average differs in
+        # the last ulp across engines and a boundary row would flip.
+        "q17_small_quantity_revenue": """
+            WITH li AS (
+              SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#1'),
+            lim AS (
+              SELECT l_partkey,
+                     0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
+                                 AS DOUBLE) / COUNT(*)) AS qty_limit
+              FROM li GROUP BY l_partkey)
+            SELECT ROUND(CAST(SUM(CAST(li.l_extendedprice
+                                       AS DECIMAL(30,8))) AS DOUBLE)
+                         / 7.0, 2) AS avg_yearly
+            FROM li JOIN lim ON li.l_partkey = lim.l_partkey
+            WHERE li.l_quantity < lim.qty_limit
+        """,
+        "q19_discounted_revenue": f"""
+            SELECT {exact_sum('l.l_extendedprice*(1-l.l_discount)')}
+                     AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_global_sales_opportunity": f"""
+            WITH avg_bal AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+                     / COUNT(*) AS ab
+              FROM customer WHERE c_acctbal > 0),
+            rich AS (
+              SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+              FROM customer c, avg_bal WHERE c.c_acctbal > avg_bal.ab)
+            SELECT r.c_nationkey,
+                   COUNT(*) AS numcust,
+                   {exact_sum('r.c_acctbal')} AS totacctbal
+            FROM rich r
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = r.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2000-01-01')
+            GROUP BY r.c_nationkey
         """,
         "window_top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
@@ -1726,6 +1867,69 @@ FROM reach GROUP BY src
                               AS DOUBLE) / COUNT(*), 4) AS rare_ratio
             FROM tok JOIN freqs f USING (token)
             GROUP BY tok.doc_id
+        """,
+        # Gopher-rule repetition signals: exact integer counts, one
+        # division — bit-identical ranking across engines.
+        "text_repetition_metrics": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+            uc AS (
+              SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(tk) AS g FROM t)
+              GROUP BY doc_id, g),
+            ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS top
+                   FROM uc GROUP BY doc_id),
+            bc AS (
+              SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id,
+                           unnest([tk[i] || ' ' || tk[i+1]
+                                   for i in range(1, len(tk))]) AS g
+                    FROM t WHERE len(tk) >= 2)
+              GROUP BY doc_id, g),
+            ba AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS top,
+                          SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                   FROM bc GROUP BY doc_id)
+            SELECT ua.doc_id, ua.n AS n_tokens,
+                   ROUND(CAST(ua.top AS DOUBLE) / ua.n, 6)
+                     AS top_unigram_frac,
+                   COALESCE(ROUND(CAST(ba.top AS DOUBLE) / ba.n, 6), 0.0)
+                     AS top_bigram_frac,
+                   COALESCE(ROUND(CAST(ba.dup AS DOUBLE) / ba.n, 6), 0.0)
+                     AS dup_bigram_frac
+            FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+        """,
+        # Per-element double math is bit-identical across engines; every
+        # aggregate here is an order-free max or an integer sum, so no
+        # float-summation flap is possible.
+        "emb_quantize_int8": """
+            WITH c AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS e,
+                     list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) AS amax
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, e, amax,
+                     CASE WHEN amax > 0 THEN amax / 127.0
+                          ELSE 1.0 END AS scale
+              FROM c
+            )
+            SELECT vec_id,
+                   CAST(len(e) AS BIGINT) AS n_dims,
+                   ROUND(amax, 6) AS amax,
+                   CAST(list_sum(list_transform(e,
+                        x -> CAST(ROUND(x / scale) AS BIGINT)))
+                        AS BIGINT) AS sum_codes,
+                   CAST(len(list_filter(e,
+                        x -> abs(CAST(ROUND(x / scale) AS BIGINT)) = 127))
+                        AS BIGINT) AS n_saturated,
+                   CAST(list_max(list_transform(e,
+                        x -> CAST(ROUND(abs(x - CAST(ROUND(x / scale)
+                                 AS BIGINT) * scale) * 1000000)
+                             AS BIGINT))) AS BIGINT) AS max_err_micro
+            FROM s
         """,
         "events_funnel": """
             WITH mins AS (

@@ -599,3 +599,47 @@ def class_centroids(
         )
         .select("class", "n_vectors", centroid)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization accounting — the compression
+    audit a vector pipeline runs before shipping embeddings to an ANN
+    index (FAISS SQ8 / Milvus IVF_SQ8 layout): per vector,
+    ``scale = max|x| / 127`` and ``code_i = round(x_i / scale)``.
+
+    Emits per-vector summary stats, all engine-portable scalars:
+    ``n_dims``, ``amax`` (the scale numerator, rounded 6dp — an
+    order-free max, never an aggregated float sum), ``sum_codes``
+    (integer checksum of the code vector), ``n_saturated`` (codes at
+    ±127), and ``max_err_micro`` (worst per-dim reconstruction error
+    ×1e6 as int64 — per-element double math is bit-identical across
+    engines, and the max is order-free, so no float-sum flap).
+
+    Pure array expressions — transform/aggregate stay in codegen; one
+    projection, no shuffle, no Python.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vec, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    codes = F.transform(vec, lambda x: F.round(x / scale, 0).cast("bigint"))
+    err_micro = F.zip_with(
+        vec,
+        codes,
+        lambda x, c: F.round(F.abs(x - c * scale) * 1e6, 0).cast("bigint"),
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(F.col(vec_col)).cast("bigint").alias("n_dims"),
+        F.round(amax, 6).alias("amax"),
+        F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda a, c: a + c
+        ).alias("sum_codes"),
+        F.size(F.filter(codes, lambda c: F.abs(c) == 127))
+        .cast("bigint")
+        .alias("n_saturated"),
+        F.array_max(err_micro).alias("max_err_micro"),
+    )

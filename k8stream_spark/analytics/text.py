@@ -287,3 +287,86 @@ def top_terms_per_doc(
         .where(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", "score", "rank")
     )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals — the filter rules
+    (Rae et al. 2021, §A1.1) that catch boilerplate and degenerate
+    generations before training:
+
+    * ``top_unigram_frac`` — share of tokens taken by the single most
+      frequent token;
+    * ``top_bigram_frac`` — share of bigram occurrences taken by the most
+      frequent bigram;
+    * ``dup_bigram_frac`` — share of bigram occurrences whose bigram
+      appears more than once in the document.
+
+    All ratios are exact-integer counts with one final division, so the
+    oracle reproduces them bit-for-bit.  Shape: explode to (doc, gram)
+    rows, count per gram, aggregate per doc — two shuffles keyed by
+    doc_id (+gram), partial aggregation map-side, nothing but ids and
+    counts on the wire.  Single-token docs have no bigrams: their bigram
+    fractions are 0.0 by definition here (not null) so downstream
+    filters need no special case.
+    """
+    tk = tokens(text_col)
+    base = df.select("doc_id", tk.alias("__tk"))
+    uni = (
+        base.select("doc_id", F.explode(F.col("__tk")).alias("__g"))
+        .groupBy("doc_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.max("__c").alias("__top"),
+        )
+        .select(
+            "doc_id",
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.round(F.col("__top").cast("double") / F.col("__n"), 6).alias(
+                "top_unigram_frac"
+            ),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__tk")) - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("__tk"), i),
+            F.element_at(F.col("__tk"), i + 1),
+        ),
+    )
+    bi = (
+        base.where(F.size(F.col("__tk")) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("__g"))
+        .groupBy("doc_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.max("__c").alias("__top"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+                "__dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("__top").cast("double") / F.col("__n"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("__dup").cast("double") / F.col("__n"), 6).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .na.fill({"top_bigram_frac": 0.0, "dup_bigram_frac": 0.0})
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_unigram_frac",
+            "top_bigram_frac",
+            "dup_bigram_frac",
+        )
+    )

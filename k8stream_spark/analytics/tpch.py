@@ -183,6 +183,224 @@ def q14_promo_revenue(
     )
 
 
+def q12_priority_by_flag(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape (fixtures lack l_shipmode, so the group key is
+    l_returnflag): per flag, how many shipped lines belong to
+    high-priority (URGENT/HIGH) vs low-priority orders.  The conditional
+    counts are map-side partial aggregates; the orders⋈lineitem join is
+    the one honest shuffle (both fact-sized — no broadcast hint; AQE
+    decides at runtime)."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_returnflag")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers (the LEFT join).  Two aggregations:
+    per-customer count (shuffle on custkey — both sides fact-sized, no
+    hint), then the tiny distribution rollup."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q15_top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+    Revenue per supplier is one agg shuffle; the global max is a 1-row
+    aggregate broadcast back as an equi-condition (never a global sort);
+    supplier attaches at the end, when only the winners remain."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    top = F.broadcast(rev.agg(F.max("total_revenue").alias("__max_rev")))
+    return (
+        rev.join(top, rev.total_revenue == F.col("__max_rev"))
+        .join(
+            supplier.select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#1",
+    qty_factor: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q17 shape: weekly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) for one brand moved to
+    bulk.  The correlated scalar subquery decorrelates into a per-part
+    aggregate joined back — both sides already filtered to one brand via
+    the broadcast part list, so the agg and join touch a sliver of
+    lineitem."""
+    pk = F.broadcast(
+        part.where(F.col("p_brand") == brand).select("p_partkey")
+    )
+    li = lineitem.join(pk, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # Threshold from the exact-decimal mean (not F.avg): a double-sum
+    # average differs across engines/partitionings in the last ulp, and a
+    # row sitting on the boundary would flip — same discipline as
+    # exact_avg, without the rounding.
+    lim = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (
+            qty_factor
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            )
+        ).alias("__qty_limit")
+    )
+    return (
+        li.join(F.broadcast(lim), F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("l_quantity") < F.col("__qty_limit"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive (brand, size,
+    quantity) branches.  One equi-join on partkey with the OR residual —
+    Catalyst pulls the common l_quantity bounds into the lineitem scan
+    as a pushed range filter; the branches stay a codegen residual."""
+    p = part.select("p_partkey", "p_brand", "p_size")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.where(F.col("l_quantity").between(1, 30))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+def q22_global_sales_opportunity(
+    customer: DataFrame,
+    orders: DataFrame,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape (fixtures lack c_phone, so the group key is
+    c_nationkey): customers with above-average positive balance and no
+    orders since the cutoff (Q22's "7 years" dormancy test).  The global
+    average is a 1-row broadcast; the no-recent-orders test is a LEFT
+    ANTI join (never NOT IN, which a null key poisons) whose right side
+    carries a pushed date filter; per-nation rollup is the only data
+    shuffle."""
+    # Exact-decimal mean: the cutoff must be bit-identical across
+    # engines/partitionings or boundary customers flip membership.
+    avg_bal = F.broadcast(
+        customer.where(F.col("c_acctbal") > 0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("__avg_bal")
+        )
+    )
+    rich = (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(avg_bal)
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+    )
+    return (
+        rich.join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit(since).cast("timestamp_ntz")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window ranking: top-k orders by total price per customer.
     Single shuffle on o_custkey; per-key sort only (no global sort)."""

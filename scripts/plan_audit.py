@@ -27,8 +27,14 @@ AUDITED = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q12_priority_by_flag",
+    "q13_customer_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
     "q18_large_volume_customers",
+    "q22_global_sales_opportunity",
     "window_top_orders_per_customer",
     "events_sessionize",
     "events_rolling_stats",
@@ -38,6 +44,8 @@ AUDITED = [
     "text_redact_pii",
     "text_rare_token_ratio",
     "text_top_terms",
+    "text_repetition_metrics",
+    "emb_quantize_int8",
     "docs_pack_chunks",
     "docs_pack_chunks_sharded",
     "docs_dataset_split",

@@ -104,3 +104,30 @@ def test_class_centroids_elementwise_mean(spark):
     assert rows[0].centroid == [2.0, 1.0, 4.0]
     assert rows[1].n_vectors == 1
     assert rows[1].centroid == [10.0, 20.0, 30.0]
+
+
+def test_quantize_int8_closed_form(spark):
+    from k8stream_spark.analytics.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            # amax=12.7, scale=0.1: codes [127, -64, 0, 10]
+            (1, [12.7, -6.35, 0.0, 1.0]),
+            # zero vector: scale falls back to 1.0, all codes 0
+            (2, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    r1 = rows[1]
+    assert r1.n_dims == 4
+    assert r1.amax == 12.7
+    # -6.35/0.1 = -63.5 -> rounds away from zero to -64
+    assert r1.sum_codes == 127 - 64 + 0 + 10
+    assert r1.n_saturated == 1
+    # worst reconstruction error is the half-step at the -63.5 boundary:
+    # |-6.35 - (-64 * 0.1)| = 0.05 -> 50000 micro (float noise aside)
+    assert abs(r1.max_err_micro - 50000) <= 1
+    r2 = rows[2]
+    assert r2.sum_codes == 0 and r2.n_saturated == 0
+    assert r2.amax == 0.0 and r2.max_err_micro == 0

@@ -147,3 +147,30 @@ def test_redact_pii_replaces_and_counts(spark):
     assert rows[2].clean_text.count("<PHONE>") == 2
     assert rows[3].n_emails == 0 and rows[3].n_phones == 0
     assert rows[3].clean_text == "no pii here at all"
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from k8stream_spark.analytics.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            # "a a a b": top unigram a=3/4; bigrams [a a, a a, a b]:
+            # top=2/3, dup=2/3
+            (1, "a a a b"),
+            # all distinct: top unigram 1/4; bigrams all unique: 1/3, 0
+            (2, "w x y z"),
+            # single token: no bigrams -> 0.0 by definition
+            (3, "solo"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].top_unigram_frac == 0.75
+    assert rows[1].top_bigram_frac == round(2 / 3, 6)
+    assert rows[1].dup_bigram_frac == round(2 / 3, 6)
+    assert rows[2].top_unigram_frac == 0.25
+    assert rows[2].top_bigram_frac == round(1 / 3, 6)
+    assert rows[2].dup_bigram_frac == 0.0
+    assert rows[3].n_tokens == 1
+    assert rows[3].top_bigram_frac == 0.0 and rows[3].dup_bigram_frac == 0.0
