@@ -932,17 +932,55 @@ def _q_image_decode(spark, sf_dir):
     return multimodal.decode_image(blobs)
 
 
+def _latest_graded_round() -> dict[str, int]:
+    """Newest driver-grading round per query name, parsed from the
+    committed ``CORRECTNESS_r*.json`` snapshots next to this file.
+
+    Names absent from every snapshot have never been graded and map to 0.
+    Any parse/read failure degrades to "never graded" for the affected
+    file — the rotation then just preserves registration order, which is
+    a safe static fallback.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    latest: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
-    Ordering is deliberate: the round-2 correctness run was cut off on a
-    time budget before the last 10 registered queries, so the entries that
-    went ungraded there (emb_*, mm_*, docs_dedup_ngram/simhash) now run
-    FIRST — if a budget ever bites again it cuts queries that already have
-    green r02 rows, not the never-graded tail.
+    ROTATION RULE (institutionalized round 5 — do not hand-order): the
+    driver grades only the first ~50 registered entries per round, so the
+    returned dict is sorted by grading age — never-graded names first,
+    then ascending by the newest round each name was graded in
+    (``_latest_graded_round`` over the committed CORRECTNESS_r*.json
+    files), registration order as the stable tiebreak.  With ~90 entries
+    and a 50/round budget every entry is re-graded at worst every other
+    round, and a newly added query is automatically graded the round it
+    lands.  Hand-reordering this literal is never needed again — rounds
+    2–4 each fixed one cutoff by hand and created the next.
     """
-    return {
-        # Previously-ungraded tail (r02 cut-off) — graded first this round.
+    reg = {
+        # Registration order only breaks ties within a grading-age class.
         "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
         "docs_dedup_simhash": _q_simhash,
         "emb_vector_norms": _q_vector_norms,
@@ -1036,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_canonical": _q_dedup_canonical,
         "docs_dedup_minhash_lsh": _q_minhash_lsh,
     }
+    age = _latest_graded_round()
+    return {name: reg[name] for name in sorted(reg, key=lambda n: age.get(n, 0))}
 
 
 def oracle_sql() -> dict[str, str]:
