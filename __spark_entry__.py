@@ -651,6 +651,49 @@ def _q_q22(spark, sf_dir):
     )
 
 
+def _q_q2(spark, sf_dir):
+    return tpch.q2_min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_q11(spark, sf_dir):
+    return tpch.q11_important_part_value(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_q16(spark, sf_dir):
+    return tpch.q16_supplier_count(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_q20(spark, sf_dir):
+    return tpch.q20_excess_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_q21(spark, sf_dir):
+    return tpch.q21_waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _q_window_top(spark, sf_dir):
     return tpch.top_orders_per_customer(load_table(spark, sf_dir, "orders"))
 
@@ -1053,6 +1096,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": _q_q19,
         "q18_large_volume_customers": _q_q18,
         "q22_global_sales_opportunity": _q_q22,
+        "q2_min_cost_supplier": _q_q2,
+        "q11_important_part_value": _q_q11,
+        "q16_supplier_count": _q_q16,
+        "q20_excess_suppliers": _q_q20,
+        "q21_waiting_suppliers": _q_q21,
         "window_top_orders_per_customer": _q_window_top,
         "rollup_order_priority": _q_rollup,
         "agg_customer_order_stats": _q_cust_stats,
@@ -1478,6 +1526,92 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >=
                                     TIMESTAMP '2000-01-01')
             GROUP BY r.c_nationkey
+        """,
+        # q2: supplycost is MIN(extprice/qty) — IEEE division + MIN is a
+        # deterministic selection (no accumulation), so the min-equality
+        # join and the 4-dp decimal round agree across engines.
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(l_extendedprice / l_quantity) AS supplycost
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            eps AS (
+              SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+              FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = 'EUROPE'),
+            mn AS (SELECT l_partkey, MIN(supplycost) AS min_cost
+                   FROM eps GROUP BY l_partkey)
+            SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+                   CAST(ROUND(CAST(e.supplycost AS DECIMAL(30,8)), 4)
+                        AS DOUBLE) AS supplycost
+            FROM part p
+            JOIN eps e ON e.l_partkey = p.p_partkey
+            JOIN mn ON mn.l_partkey = p.p_partkey
+                   AND e.supplycost = mn.min_cost
+            WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+        """,
+        # q11: share test runs in double on BOTH engines over exact
+        # decimal sums — deterministic, no accumulation-order dependence.
+        "q11_important_part_value": """
+            WITH val AS (
+              SELECT l.l_partkey,
+                     SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) AS v
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              WHERE n.n_name IN ('NATION_3','NATION_7')
+              GROUP BY l.l_partkey)
+            SELECT l_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS part_value
+            FROM val
+            WHERE CAST(v AS DOUBLE) * 1000 >
+                  CAST((SELECT SUM(v) FROM val) AS DOUBLE)
+        """,
+        # q16: the NOT IN shape — legal here because s_suppkey is
+        # non-nullable; the engine side runs the equivalent LEFT ANTI.
+        "q16_supplier_count": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   COUNT(DISTINCT pl.l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pl
+            JOIN part p ON p.p_partkey = pl.l_partkey
+            WHERE p.p_brand <> 'Brand#1'
+              AND p.p_type NOT LIKE 'STA%'
+              AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND pl.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+            GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "q20_excess_suppliers": """
+            SELECT s.s_suppkey, s.s_name, n.n_name
+            FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE s.s_suppkey IN (
+              SELECT l.l_suppkey FROM lineitem l
+              WHERE l.l_partkey IN
+                    (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY l.l_partkey, l.l_suppkey
+              HAVING SUM(CAST(l.l_quantity AS DECIMAL(30,8))) > 60)
+        """,
+        # q21: the literal correlated EXISTS/NOT-EXISTS form — pins the
+        # engine's per-order aggregate decorrelation as equivalent.
+        "q21_waiting_suppliers": """
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM supplier s
+            JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate >
+                                    o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY s.s_name
         """,
         "window_top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

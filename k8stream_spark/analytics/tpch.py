@@ -285,9 +285,11 @@ def q17_small_quantity_revenue(
     aggregate joined back — both sides already filtered to one brand via
     the broadcast part list, so the agg and join touch a sliver of
     lineitem."""
-    pk = F.broadcast(
-        part.where(F.col("p_brand") == brand).select("p_partkey")
-    )
+    # No broadcast hint on pk/lim: a single brand is ~1/25 of part, which
+    # scales linearly with sf (hundreds of millions of rows at the 100 TB
+    # posture) — same discipline as q10/q18's customer side.  AQE converts
+    # to broadcast at runtime when the stats allow.
+    pk = part.where(F.col("p_brand") == brand).select("p_partkey")
     li = lineitem.join(pk, F.col("l_partkey") == F.col("p_partkey")).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -307,7 +309,7 @@ def q17_small_quantity_revenue(
         ).alias("__qty_limit")
     )
     return (
-        li.join(F.broadcast(lim), F.col("l_partkey") == F.col("__pk"))
+        li.join(lim, F.col("l_partkey") == F.col("__pk"))
         .where(F.col("l_quantity") < F.col("__qty_limit"))
         .agg(
             F.round(
@@ -398,6 +400,257 @@ def q22_global_sales_opportunity(
             F.count(F.lit(1)).alias("numcust"),
             exact_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    max_size: int = 15,
+    p_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering the minimum supply cost.  The fixtures carry no
+    partsupp table, so the supply relation is derived from lineitem —
+    supplycost(part, supp) = MIN unit price ever charged
+    (l_extendedprice / l_quantity), a deterministic IEEE selection both
+    engines compute bit-identically (division then MIN: no accumulation
+    order involved), so the correlated-min equi-match cannot flap.
+
+    Plan shape pinned here: the correlated scalar min decorrelates into a
+    per-part aggregate joined back on (partkey, cost == min_cost).  Both
+    aggregates hash-partition on l_partkey(+l_suppkey), so the min-join is
+    co-partitioned; nation⋈region is a true fixed-cardinality dim (≤25
+    rows at any sf) and broadcasts; supplier and the filtered part carry
+    NO hints — both scale with sf, AQE promotes them at runtime when
+    small (the q10/q18 discipline)."""
+    dim_nat = F.broadcast(
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost")
+    )
+    eps = (
+        ps.join(
+            supplier.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(dim_nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "l_suppkey", "__cost", "s_name", "s_acctbal", "n_name")
+    )
+    mn = eps.groupBy(F.col("l_partkey").alias("__mpk")).agg(
+        F.min("__cost").alias("__min_cost")
+    )
+    pq = part.where(
+        (F.col("p_size") <= max_size) & (F.col("p_type") == p_type)
+    ).select("p_partkey", "p_type")
+    return (
+        eps.join(
+            mn,
+            (F.col("l_partkey") == F.col("__mpk"))
+            & (F.col("__cost") == F.col("__min_cost")),
+        )
+        .join(pq, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            # Round in DECIMAL space (HALF_UP both engines), then double.
+            F.round(F.col("__cost").cast("decimal(30,8)"), 4)
+            .cast("double")
+            .alias("supplycost"),
+        )
+    )
+
+
+def q11_important_part_value(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nations: tuple[str, ...] = ("NATION_3", "NATION_7"),
+    share_denom: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11 shape (global-share HAVING): per-part shipped value for
+    suppliers in a nation group, keeping parts whose value exceeds
+    1/share_denom of the group total.  The global total is a 1-row
+    broadcast joined onto the per-part aggregate — never a window, never
+    a collect.
+
+    Boundary discipline: both the per-part value and the total are exact
+    decimal sums; the share test then runs in DOUBLE on both engines
+    (cast-exact-decimal → nearest double, × share_denom, compare), a
+    deterministic computation with no accumulation order, so both engines
+    agree bit-for-bit on membership."""
+    nat = F.broadcast(
+        nation.where(F.col("n_name").isin(*nations)).select("n_nationkey")
+    )
+    supp = supplier.join(
+        nat, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).alias("__v")
+        )
+    )
+    total = val.agg(F.sum("__v").alias("__total"))
+    return (
+        val.join(F.broadcast(total))
+        .where(
+            F.col("__v").cast("double") * share_denom
+            > F.col("__total").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("__v"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+def q16_supplier_count(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#1",
+    excl_type_prefix: str = "STA",
+    sizes: tuple[int, ...] = (1, 4, 7, 10, 13, 16, 19, 22),
+    complaint_name_pattern: str = "%7",
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for parts outside one brand/type family, excluding "complaint"
+    suppliers via NOT IN.  The supply relation is the distinct
+    (partkey, suppkey) projection of lineitem (fixtures lack partsupp);
+    the complaint set is a name-pattern filter (fixtures lack s_comment).
+
+    The NOT IN compiles to a LEFT ANTI join on the engine side —
+    s_suppkey is non-nullable so the semantics are identical, and an anti
+    join sidesteps NOT IN's null-poisoning, the engine's standing rule
+    (see q22).  The anti join's right side is a filtered dim slice; AQE
+    broadcasts it.  The distinct and both joins hash on partkey/suppkey —
+    no global exchange anywhere."""
+    pl = lineitem.select("l_partkey", "l_suppkey").distinct()
+    pq = part.where(
+        (F.col("p_brand") != excl_brand)
+        & ~F.col("p_type").like(excl_type_prefix + "%")
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.where(
+        F.col("s_name").like(complaint_name_pattern)
+    ).select("s_suppkey")
+    return (
+        pl.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(pq, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_prefix: str = "small",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    qty_threshold: int = 60,
+) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-chain): suppliers who moved more than
+    a threshold quantity of name-matched parts inside one year.  Without
+    partsupp/availqty the innermost correlated "excess stock" test becomes
+    a per-(part, supplier) shipped-quantity HAVING — the chain part-filter
+    → grouped lineitem HAVING → supplier LEFT SEMI is preserved.
+
+    The quantity HAVING sums in exact decimal (quantities are
+    integer-valued, the > threshold test cannot sit on a float boundary).
+    The date filter is pushed to the lineitem scan; the part-name filter
+    joins before the aggregate so only matched parts shuffle; the semi
+    join's right side is a distinct suppkey set, broadcast by AQE."""
+    pk = part.where(F.col("p_name").like(name_prefix + "%")).select("p_partkey")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp_ntz"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(pk, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("__q"))
+        .where(F.col("__q") > qty_threshold)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q21 shape (multi-EXISTS): suppliers who were the SOLE late
+    shipper on finished multi-supplier orders.  Fixtures lack
+    commit/receipt dates, so "late" is l_shipdate > o_orderdate +
+    late_days.
+
+    The EXISTS / NOT EXISTS pair decorrelates into one per-order
+    aggregate: n_supp = countDistinct(supplier), n_late_supp =
+    countDistinct(supplier | late).  A late line l1 qualifies iff
+    n_supp > 1 (EXISTS another supplier) and n_late_supp == 1 (l1's
+    supplier is late, so exactly-one-late-supplier means NO OTHER late
+    supplier — the NOT EXISTS).  One lineitem⋈orders shuffle on orderkey,
+    the stats aggregate and the stats join both reuse that partitioning,
+    supplier names arrive by AQE-broadcast equi-join: two effective
+    exchanges total, versus four correlated subquery rescans in the
+    literal SQL form (which the oracle runs, pinning the rewrite's
+    equivalence)."""
+    o = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    stats = l.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    sole_late = (
+        l.where(late)
+        .join(stats, F.col("l_orderkey") == F.col("__ok"))
+        .where((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1))
+    )
+    return (
+        sole_late.join(
+            supplier.select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
