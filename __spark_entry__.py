@@ -840,8 +840,11 @@ def _q_repetition_metrics(spark, sf_dir):
 
 
 def _q_blob_meta(spark, sf_dir):
+    # Expression-side metadata (sha2/crc32 are built-ins): stays in
+    # whole-stage codegen; the mapInPandas twin (blob_meta_pandas) is
+    # pytest-pinned equal and carries the UDF-plumbing coverage.
     blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
-    return multimodal.blob_meta_pandas(blobs).select(
+    return multimodal.blob_meta(blobs).select(
         "doc_id", "n_bytes", "sha256"
     )
 

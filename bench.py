@@ -58,6 +58,21 @@ BENCH_QUERIES = (
     "docs_pack_chunks",
     "emb_class_centroids",
     "emb_cosine_topk_ivf",
+    # full TPC-H layer (r5/r6: the 9 late-graded + the last-5 shapes)
+    "q4_order_priority_check",
+    "q10_returned_items",
+    "q12_priority_by_flag",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q16_supplier_count",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 )
 
 
@@ -77,9 +92,11 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    maxes: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        best = None
+        samples: list[float] = []
         for _ in range(reps):
             t0 = time.time()
             # noop write materializes EVERY output column (count() would
@@ -88,13 +105,18 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.time() - t0)
             # Persisted intermediates (LSH signatures, IVF centroids) must
             # be re-earned by every repeat, and one query's cache must not
             # occupy storage memory during the next query.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        # Spread disclosed alongside the min so a regression that only
+        # widens the tail (or a min hiding a flaky rep) stays visible in
+        # round-over-round diffs.
+        medians[name] = round(samples[len(samples) // 2], 3)
+        maxes[name] = round(samples[-1], 3)
         total += timings[name]
 
     print(
@@ -104,6 +126,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_max": maxes,
                 "sf": sf,
                 "reps": reps,
                 "agg": "min",

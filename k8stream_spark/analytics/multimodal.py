@@ -48,6 +48,22 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def blob_meta(df: DataFrame) -> DataFrame:
+    """Blob metadata JVM-side: length/sha256/crc32 are all built-in
+    expressions, so the hot path stays in whole-stage codegen with zero
+    Python (the module rule: Python only for the actual decode).
+    ``blob_meta_pandas`` below is the Arrow-batched twin kept for the
+    UDF-plumbing tests; this one is what production metadata extraction
+    should run — at 100 TB the difference is every byte crossing the
+    Arrow boundary twice for a hash the JVM computes in place."""
+    return df.select(
+        "doc_id",
+        F.octet_length("blob").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("blob"), 256).alias("sha256"),
+        F.crc32(F.col("blob")).alias("crc32"),
+    )
+
+
 def blob_meta_pandas(df: DataFrame) -> DataFrame:
     """Extract metadata from the binary column with mapInPandas — the real
     Arrow-batched UDF plumbing a decoder would use.  Deterministic, so it

@@ -29,6 +29,7 @@ re-delivers), mirroring the reference's at-least-once contract
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -72,9 +73,10 @@ class InformerStreamReader(DataSourceStreamReader):
             options.get("resyncinterval", options.get("resyncInterval", 0))
         )
         self._mode = str(options.get("mode", "permissive")).lower()
-        # (path → (size, mtime_ns, count)) so unchanged files are not
-        # re-read on every trigger (driver-side; offsets stay pure data).
-        self._count_cache: dict[str, tuple[int, int, int]] = {}
+        # (path → (size, mtime_ns, count, sig)) so unchanged files are
+        # not re-read on every trigger (driver-side; offsets stay pure
+        # data).
+        self._count_cache: dict[str, tuple[int, int, int, str]] = {}
         self._fields = [
             (f.name, isinstance(f.dataType, TimestampNTZType))
             for f in schema.fields
@@ -101,7 +103,7 @@ class InformerStreamReader(DataSourceStreamReader):
         return {"files": {}, "resync_gen": self._gen()}
 
     def latestOffset(self) -> dict:
-        counts: dict[str, int] = {}
+        counts: dict[str, list] = {}
         if os.path.isdir(self._path):
             for name in sorted(os.listdir(self._path)):
                 if name.startswith(".") or name.startswith("_"):
@@ -112,36 +114,79 @@ class InformerStreamReader(DataSourceStreamReader):
                 st = os.stat(full)
                 cached = self._count_cache.get(full)
                 if cached and cached[0] == st.st_size and cached[1] == st.st_mtime_ns:
-                    counts[full] = cached[2]
+                    counts[full] = [cached[2], cached[3]]
                     continue
+                n = 0
+                first = b""
                 with open(full, "rb") as fh:
-                    n = sum(1 for line in fh if line.strip())
-                self._count_cache[full] = (st.st_size, st.st_mtime_ns, n)
-                counts[full] = n
+                    for line in fh:
+                        if line.strip():
+                            if n == 0:
+                                first = line
+                            n += 1
+                # File identity = inode + first-line hash.  A rotation
+                # (rename-over / recreate) changes the inode; an in-place
+                # truncate+rewrite usually changes the first line.  A
+                # rewrite that keeps BOTH while growing past the old count
+                # is indistinguishable from an append without hashing the
+                # whole file every trigger — accepted residual, and it
+                # errs toward under- not over-delivery only in that case.
+                sig = "%x:%s" % (
+                    st.st_ino,
+                    hashlib.md5(first).hexdigest()[:12] if first else "empty",
+                )
+                self._count_cache[full] = (st.st_size, st.st_mtime_ns, n, sig)
+                counts[full] = [n, sig]
         return {"files": counts, "resync_gen": self._gen()}
+
+    @staticmethod
+    def _entry(files: dict, path: str) -> tuple[int, str | None]:
+        """Normalize an offset entry: new offsets store [count, sig],
+        checkpoints written before the identity signature store a bare
+        int (sig unknown → None, count-only comparison)."""
+        v = files.get(path, 0)
+        if isinstance(v, (list, tuple)):
+            return int(v[0]), v[1]
+        return int(v), None
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         parts: list[InputPartition] = []
-        for path, end_n in end["files"].items():
-            start_n = start["files"].get(path, 0)
-            if end_n > start_n:
+        for path in end["files"]:
+            end_n, end_sig = self._entry(end["files"], path)
+            known = path in start["files"]
+            start_n, start_sig = (
+                self._entry(start["files"], path) if known else (0, None)
+            )
+            rotated = (
+                known
+                and start_sig is not None
+                and end_sig is not None
+                and start_sig != end_sig
+            )
+            if rotated and end_n > 0:
+                # The file was REPLACED (inode or first line changed):
+                # the checkpointed line count describes the old content,
+                # so deliver the new content from line 0 even when it
+                # already has >= the old count — the case a pure count
+                # comparison silently swallows.  Duplicates (old lines
+                # re-read if the prefix happens to match) resolve
+                # downstream, same as resync: at-least-once.
+                parts.append(_RangePartition(path, 0, end_n, False))
+            elif end_n > start_n:
                 parts.append(_RangePartition(path, start_n, end_n, False))
             elif 0 < end_n < start_n:
-                # The file SHRANK: it was truncated/rotated in place, so
-                # the checkpointed line count no longer describes this
-                # content.  Deliver the new content from line 0 — the
-                # informer-parity behavior (a replaced spool is new
-                # state; duplicates resolve downstream, same as resync).
-                # Without this branch the new file would be silently
-                # swallowed up to its old line count.
+                # The file SHRANK under a signature-less (pre-upgrade)
+                # checkpoint: truncated/rotated in place, the stale count
+                # no longer describes this content — deliver from line 0.
                 parts.append(_RangePartition(path, 0, end_n, False))
         if end["resync_gen"] > start["resync_gen"]:
             # RESYNC: re-deliver the full known state (OnUpdate for every
             # cached object).  Overlap with the incremental slices above
             # is deliberate — at-least-once, resolved by downstream dedup.
-            for path, end_n in end["files"].items():
+            for path in end["files"]:
+                end_n, _ = self._entry(end["files"], path)
                 if end_n > 0:
                     parts.append(_RangePartition(path, 0, end_n, True))
         return parts

@@ -79,7 +79,16 @@ def audit(df) -> dict[str, int]:
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "scans": len(re.findall(r"Scan parquet", plan)),
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "topk": len(re.findall(r"TakeOrderedAndProject", plan)),
     }
+
+
+# Hard scale assertions: these queries' safety rests on a Catalyst
+# rewrite (global-window rank filter → distributed TakeOrderedAndProject,
+# verified on Spark 4.1.2).  An innocent expression change could silently
+# defeat the rewrite and re-introduce an O(customers) single-partition
+# window — fail the audit loudly instead of letting PLANS.md drift.
+ASSERT_TOPK_REWRITE = {"q10_returned_items", "q18_large_volume_customers"}
 
 
 def main() -> None:
@@ -88,6 +97,7 @@ def main() -> None:
     qs = entrymod.queries()
     print("| query | shuffles | 1p | bhj | smj | bnlj | scans | pushed |")
     print("|---|---|---|---|---|---|---|---|")
+    failures: list[str] = []
     for name in AUDITED:
         counts = audit(qs[name](spark, sf_dir))
         spark.catalog.clearCache()
@@ -96,7 +106,17 @@ def main() -> None:
             f"{counts['bhj']} | {counts['smj']} | {counts['bnlj']} | "
             f"{counts['scans']} | {counts['pushed']} |"
         )
+        if name in ASSERT_TOPK_REWRITE:
+            if counts["1p"] != 0:
+                failures.append(f"{name}: Exchange SinglePartition = {counts['1p']} (want 0)")
+            if counts["topk"] == 0:
+                failures.append(f"{name}: TakeOrderedAndProject rewrite did not fire")
     spark.stop()
+    if failures:
+        print("\nPLAN AUDIT FAILURES:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -197,6 +197,63 @@ def test_shrunk_file_redelivers_new_content(tmp_path):
     assert r.partitions(end2, r.latestOffset()) == []
 
 
+def test_rotated_file_with_equal_or_more_lines_redelivers(tmp_path):
+    """A rotation whose replacement reaches or EXCEEDS the old line count
+    (busy spool) is caught by the file-identity signature — a pure count
+    comparison would silently swallow the first old-count lines."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    path = os.path.join(src, "a.json")
+    with open(path, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"uid": f"old{i}"}) + "\n")
+
+    r = _reader(src)
+    end1 = r.latestOffset()
+    assert len(_rows(r, r.partitions(r.initialOffset(), end1))) == 3
+
+    # rotate via rename-over (new inode), replacement has MORE lines
+    tmp = os.path.join(src, "_a.json.tmp")  # "_" prefix: not listed
+    with open(tmp, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"uid": f"new{i}"}) + "\n")
+    os.replace(tmp, path)
+    end2 = r.latestOffset()
+    got = [row[0] for row in _rows(r, r.partitions(end1, end2))]
+    assert got == [f"new{i}" for i in range(5)]  # from line 0, not 3
+    assert r.partitions(end2, r.latestOffset()) == []  # settles
+
+    # in-place rewrite, same inode, EQUAL count, different first line
+    with open(path, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"uid": f"v3_{i}"}) + "\n")
+    end3 = r.latestOffset()
+    got = [row[0] for row in _rows(r, r.partitions(end2, end3))]
+    assert got == [f"v3_{i}" for i in range(5)]
+
+
+def test_legacy_count_only_offsets_still_work(tmp_path):
+    """Checkpoints written before the identity signature store bare int
+    counts — partitions() must accept them (append + shrink semantics)."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    path = os.path.join(src, "a.json")
+    with open(path, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"uid": f"e{i}"}) + "\n")
+
+    r = _reader(src)
+    legacy = {"files": {path: 2}, "resync_gen": 0}  # pre-upgrade shape
+    got = [row[0] for row in _rows(r, r.partitions(legacy, r.latestOffset()))]
+    assert got == ["e2"]  # append path
+
+    with open(path, "w") as f:
+        f.write(json.dumps({"uid": "n0"}) + "\n")
+    legacy = {"files": {path: 3}, "resync_gen": 0}
+    got = [row[0] for row in _rows(r, r.partitions(legacy, r.latestOffset()))]
+    assert got == ["n0"]  # shrink path
+
+
 def test_timestamp_coercion_normalizes_to_naive_utc(tmp_path):
     """Epoch numbers and ISO strings — tz-aware ('Z' / '+02:00') or naive
     — all coerce to NAIVE UTC datetimes, matching the TimestampNTZ

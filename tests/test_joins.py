@@ -160,3 +160,75 @@ def test_j4_precomputed_label_freqs(services_df, pods_df):
         assert with_stats == inline
     finally:
         freqs.unpersist()
+
+
+def test_j4_randomized_brute_force_oracle(spark):
+    """Property sweep (VERDICT r4 #8): ~250 random selector configs x ~80
+    random pod label maps, including NULL/empty selectors, NULL/empty
+    label maps, and selector keys absent from every pod.  Expected pairs
+    come from a pure-Python containment brute force; the join must agree
+    EXACTLY under both anchor modes and both empty-selector semantics.
+    Seeded RNG -> deterministic; one Spark job per variant, not one per
+    example, so the sweep stays fast."""
+    import random
+
+    rng = random.Random(20260813)
+    keys = ["app", "tier", "env", "seg", "zone"]
+    vals = ["a", "b", "c", "d"]
+
+    def rand_map(max_n):
+        if rng.random() < 0.15:
+            return None  # NULL selector / NULL labels edge
+        n = rng.randint(0, max_n)  # 0 → empty map edge
+        return {k: rng.choice(vals) for k in rng.sample(keys, n)}
+
+    pods = []
+    for i in range(80):
+        labels = rand_map(4)
+        pods.append((f"p{i}", labels))
+    services = []
+    for i in range(250):
+        sel = rand_map(3)
+        # sprinkle selectors with a key no pod ever carries
+        if rng.random() < 0.1:
+            sel = dict(sel or {})
+            sel["ghost"] = rng.choice(vals)
+        services.append((f"s{i}", sel))
+
+    pods_df = spark.createDataFrame(
+        pods, "uid string, labels map<string,string>"
+    )
+    services_df = spark.createDataFrame(
+        services, "uid string, selector map<string,string>"
+    )
+
+    def brute(empty_matches_all):
+        out = set()
+        for suid, sel in services:
+            if not sel:  # None or {}
+                if empty_matches_all:
+                    out.update((suid, puid) for puid, _ in pods)
+                continue
+            for puid, labels in pods:
+                lab = labels or {}
+                if all(lab.get(k) == v for k, v in sel.items()):
+                    out.add((suid, puid))
+        return out
+
+    for anchor in ("selective", "first"):
+        for empty_all in (True, False):
+            got = {
+                (r.service_uid, r.pod_uid)
+                for r in joins.label_selector_join(
+                    services_df,
+                    pods_df,
+                    anchor=anchor,
+                    anchor_stats_fraction=1.0,
+                    empty_selector_matches_all=empty_all,
+                ).collect()
+            }
+            want = brute(empty_all)
+            assert got == want, (
+                f"anchor={anchor} empty_all={empty_all}: "
+                f"extra={sorted(got - want)[:5]} missing={sorted(want - got)[:5]}"
+            )

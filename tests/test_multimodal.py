@@ -28,6 +28,18 @@ def test_blob_meta_matches_hashlib(docs_df):
         assert metas[doc_id].sha256 == hashlib.sha256(raw).hexdigest()
 
 
+def test_blob_meta_expression_matches_pandas(docs_df):
+    """The JVM expression path (sha2/crc32 built-ins — what production
+    runs) and the Arrow mapInPandas twin produce identical metadata."""
+    blobs = multimodal.attach_blob(docs_df)
+    expr = {r.doc_id: r for r in multimodal.blob_meta(blobs).collect()}
+    pnd = {r.doc_id: r for r in multimodal.blob_meta_pandas(blobs).collect()}
+    assert set(expr) == set(pnd)
+    for doc_id, r in expr.items():
+        p = pnd[doc_id]
+        assert (r.n_bytes, r.sha256, r.crc32) == (p.n_bytes, p.sha256, p.crc32)
+
+
 def test_audio_roundtrip_decode(spark):
     """Real WAV encode → stdlib-wave decode: features match the synthesis
     parameters exactly (sample count, rate, square-wave peak/rms)."""
