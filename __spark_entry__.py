@@ -694,6 +694,38 @@ def _q_q21(spark, sf_dir):
     )
 
 
+def _q_q7(spark, sf_dir):
+    return tpch.q7_volume_shipping(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_q8(spark, sf_dir):
+    return tpch.q8_market_share(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_q9(spark, sf_dir):
+    return tpch.q9_product_type_profit(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def _q_window_top(spark, sf_dir):
     return tpch.top_orders_per_customer(load_table(spark, sf_dir, "orders"))
 
@@ -1104,6 +1136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": _q_q16,
         "q20_excess_suppliers": _q_q20,
         "q21_waiting_suppliers": _q_q21,
+        "q7_volume_shipping": _q_q7,
+        "q8_market_share": _q_q8,
+        "q9_product_type_profit": _q_q9,
         "window_top_orders_per_customer": _q_window_top,
         "rollup_order_priority": _q_rollup,
         "agg_customer_order_stats": _q_cust_stats,
@@ -1615,6 +1650,73 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_shipdate >
                                     o.o_orderdate + INTERVAL 30 DAY)
             GROUP BY s.s_name
+        """,
+        # q7: the literal two-direction OR form; the engine's
+        # filter-both-sides + supp!=cust rewrite must be equivalent.
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(30,8))), 2) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                 AND TIMESTAMP '1997-12-31'
+            GROUP BY 1, 2, 3
+        """,
+        # q8: ratio of conditional to total volume over the SAME rows,
+        # exact-decimal sums before the double division.
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   ROUND(
+                     CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END AS DECIMAL(30,8)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(30,8))) AS DOUBLE),
+                     6) AS mkt_share
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n1.n_regionkey
+            JOIN nation n2 ON n2.n_nationkey = s_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1997-12-31'
+            GROUP BY 1
+        """,
+        # q9: supplycost is q2's derived relation (MIN unit price per
+        # (part, supp)) — IEEE division + MIN, no accumulation order.
+        "q9_product_type_profit": """
+            WITH ps AS (
+              SELECT l_partkey AS pk, l_suppkey AS sk,
+                     MIN(l_extendedprice / l_quantity) AS cost
+              FROM lineitem GROUP BY 1, 2)
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       - cost * l_quantity
+                                       AS DECIMAL(30,8))), 2) AS DOUBLE)
+                       AS sum_profit
+            FROM lineitem
+            JOIN ps ON pk = l_partkey AND sk = l_suppkey
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
         """,
         "window_top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

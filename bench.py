@@ -73,6 +73,9 @@ BENCH_QUERIES = (
     "q16_supplier_count",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
 )
 
 

@@ -654,6 +654,169 @@ def q21_waiting_suppliers(
     )
 
 
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-12-31",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year, in
+    both directions.  The symmetric OR condition ((A→B) | (B→A)) does NOT
+    become a join predicate: supplier and customer are each pre-filtered
+    to the two nations (broadcast nation dim), the facts join on their
+    normal keys, and the OR collapses to a cheap residual
+    ``supp_nation != cust_nation`` — so the plan is the standard
+    lineitem⋈orders shuffle plus dim lookups, with the nation filter
+    pruning both fact sides before the big join.  supplier/customer carry
+    no broadcast hints (they scale with sf); AQE promotes the
+    nation-filtered slivers at runtime."""
+    nat = F.broadcast(
+        nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = (
+        supplier.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit(date_to).cast("timestamp_ntz"))
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    p_type: str = "STANDARD",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-12-31",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional market volume per
+    order year.  The share is a ratio of two sums over the SAME joined
+    rows, so it is one aggregation with a conditional numerator — never
+    two scans.  Both sums go through the exact-decimal trick before the
+    double division (accumulation-order-stable at any parallelism);
+    nation⋈region broadcasts (≤25 rows), part's type filter is a pushed
+    scan predicate, customer/supplier carry no hints (q10/q18
+    discipline)."""
+    buyer_nat = F.broadcast(
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("__bn"))
+    )
+    supp_nat = F.broadcast(nation.select("n_nationkey", "n_name"))
+    pq = part.where(F.col("p_type") == p_type).select("p_partkey")
+    cust = customer.join(
+        buyer_nat, F.col("c_nationkey") == F.col("__bn")
+    ).select("c_custkey")
+    supp = supplier.join(
+        supp_nat, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("__supp_nation"))
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit(date_to).cast("timestamp_ntz"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target_volume = F.when(
+        F.col("__supp_nation") == target_nation, volume
+    ).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(pq, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target_volume.cast("decimal(30,8)")).cast("double")
+                / F.sum(volume.cast("decimal(30,8)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_like: str = "%widget%",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern.  Fixtures carry no partsupp, so supplycost
+    reuses q2's derived relation — MIN unit price ever charged per
+    (part, supp), a deterministic IEEE selection both engines compute
+    bit-identically.  The cost aggregate and the lineitem side
+    hash-partition on the same (l_partkey, l_suppkey) keys, so the
+    cost join is co-partitioned; the name-filtered part list and the
+    25-row nation dim ride equi-joins (AQE promotes the slivers);
+    profit sums via exact decimals."""
+    ps = lineitem.groupBy(
+        F.col("l_partkey").alias("__pk"), F.col("l_suppkey").alias("__sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost"))
+    pq = part.where(F.col("p_name").like(name_like)).select("p_partkey")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(nation.select("n_nationkey", "n_name"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "__cost"
+    ) * F.col("l_quantity")
+    return (
+        lineitem.join(pq, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("l_suppkey") == F.col("__sk")),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(exact_sum(amount).alias("sum_profit"))
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window ranking: top-k orders by total price per customer.
     Single shuffle on o_custkey; per-key sort only (no global sort)."""

@@ -35,6 +35,14 @@ AUDITED = [
     "q19_discounted_revenue",
     "q18_large_volume_customers",
     "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_part_value",
+    "q16_supplier_count",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     "window_top_orders_per_customer",
     "events_sessionize",
     "events_rolling_stats",
