@@ -798,6 +798,19 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_eval_contamination(spark, sf_dir):
+    # Eval set = a deterministic benchmark-sized slice of the corpus
+    # (doc_id % 31); contamination = other docs leaking its 5-grams.
+    docs = load_table(spark, sf_dir, "documents")
+    return docdedup.eval_contamination(
+        docs, docs.where(F.col("doc_id") % 31 == 0)
+    )
+
+
+def _q_source_mix(spark, sf_dir):
+    return textan.source_mix_stats(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     return docdedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8
@@ -1059,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     reg = {
         # Registration order only breaks ties within a grading-age class.
+        "docs_eval_contamination": _q_eval_contamination,
+        "docs_source_mix_stats": _q_source_mix,
         "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
         "docs_dedup_simhash": _q_simhash,
         "emb_vector_norms": _q_vector_norms,
@@ -1868,6 +1883,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_minhash_lsh": NEAR_DUP_SQL,
         "docs_dedup_ngram_jaccard": NEAR_DUP_SQL,
+        # Decontamination: overlap counted on distinct 5-gram strings
+        # (the engine joins on xxhash64 of the same strings — identical
+        # counts absent a 64-bit collision, same convention as the
+        # near-dup verifiers).
+        "docs_eval_contamination": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       range(1, len(string_split(text,' ')) - 3),
+                       i -> array_to_string(string_split(text,' ')[i:i+4], ' ')
+                     )) AS sh
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 5),
+            ev AS (SELECT doc_id AS eval_doc_id, sh
+                   FROM sh WHERE doc_id % 31 = 0),
+            ev_sizes AS (SELECT eval_doc_id, COUNT(*) AS n_sh
+                         FROM ev GROUP BY 1),
+            hits AS (
+              SELECT s.doc_id, e.eval_doc_id, COUNT(*) AS n_overlap
+              FROM sh s JOIN ev e ON s.sh = e.sh
+              WHERE s.doc_id <> e.eval_doc_id
+              GROUP BY 1, 2)
+            SELECT h.doc_id, h.eval_doc_id, h.n_overlap,
+                   ROUND(CAST(h.n_overlap AS DOUBLE) / z.n_sh, 6)
+                       AS overlap_frac
+            FROM hits h JOIN ev_sizes z USING (eval_doc_id)
+            WHERE ROUND(CAST(h.n_overlap AS DOUBLE) / z.n_sh, 6) >= 0.2
+        """,
+        "docs_source_mix_stats": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST(len(string_split(text,' ')) AS BIGINT))
+                       AS n_tokens,
+                   ROUND(CAST(SUM(CAST(len(string_split(text,' '))
+                                       AS BIGINT)) AS DOUBLE)
+                         / COUNT(*), 4) AS mean_doc_tokens,
+                   ROUND(CAST(SUM(CAST(
+                            CAST(len(list_distinct(string_split(text,' ')))
+                                 AS DOUBLE)
+                            / len(string_split(text,' '))
+                          AS DECIMAL(30,8))) AS DOUBLE)
+                         / COUNT(*), 4) AS mean_distinct_ratio
+            FROM documents GROUP BY source
+        """,
         "text_bpe_token_count": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,

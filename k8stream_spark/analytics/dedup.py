@@ -301,6 +301,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def eval_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 5,
+    min_frac: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: for each (training doc, eval doc) pair,
+    the fraction of the eval doc's distinct n-gram shingles that also
+    appear in the training doc.  Pairs at or above ``min_frac`` are the
+    contamination report a pre-training pipeline must drop or flag before
+    the corpus ships (the standard n-gram-overlap decontamination check).
+
+    Scale posture: the EVAL side is small by nature (benchmarks are
+    thousands of docs, the corpus is billions), so its exploded shingles
+    broadcast — the 100 TB training side streams through the equi-join
+    without shuffling for it.  The only shuffle is the per-pair count
+    aggregate, bounded by actual shingle collisions, never doc².  Rows
+    are (shingle-hash, id) pairs; document text never reaches the join.
+
+    Self-pairs (a doc that IS the eval doc) are excluded — the check is
+    about the rest of the corpus leaking the benchmark.
+    """
+    train_sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(text_col, shingle_n)).alias("__sh"),
+    ).withColumn("__sh", F.xxhash64("__sh"))
+    eval_sh = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__sh"),
+    ).withColumn("__sh", F.xxhash64("__sh"))
+    eval_sizes = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.size(word_shingles(text_col, shingle_n)).alias("__n_sh"),
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "__sh")
+        .where(F.col("doc_id") != F.col("eval_doc_id"))
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        hits.join(F.broadcast(eval_sizes), "eval_doc_id")
+        .withColumn(
+            "overlap_frac",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("__n_sh"), 6
+            ),
+        )
+        .where(F.col("overlap_frac") >= min_frac)
+        .select("doc_id", "eval_doc_id", "n_overlap", "overlap_frac")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from token xxhash64s.
 

@@ -370,3 +370,32 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dup_bigram_frac",
         )
     )
+
+
+def source_mix_stats(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus composition: doc count, total tokens, mean doc
+    length, mean distinct-token ratio — the numbers a data-mixing stage
+    weighs domains by (how much of each source, how diverse it is)
+    before sampling a training blend.
+
+    One groupBy on the source key with map-side partial aggregation;
+    token counts are exact integers, and the ratio mean goes through the
+    exact-decimal sum (a plain double ``avg`` depends on accumulation
+    order and would flap against the oracle at high parallelism)."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    ratio = F.size(F.array_distinct(t)).cast("double") / n_tok
+    return df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("n_tokens"),
+        F.round(
+            F.sum(n_tok.cast("bigint")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_doc_tokens"),
+        F.round(
+            F.sum(ratio.cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_distinct_ratio"),
+    )

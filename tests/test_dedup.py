@@ -103,3 +103,48 @@ def test_dedup_clusters_long_chain_converges_logarithmically(spark):
     clusters = {r.cluster_id for r in rows}
     assert clusters == {0}, f"expected one component, got {clusters}"
     assert sum(1 for r in rows if r.is_canonical) == 1
+
+
+def test_eval_contamination_flags_leaked_ngrams(spark, docs_df):
+    """Docs 1/2/6 share long 5-gram runs; with doc 1 as the eval set,
+    the exact dup (6) must flag at overlap 1.0 and the near-dup (2) at a
+    high fraction; unrelated docs must not appear.  Self-pairs excluded."""
+    from k8stream_spark.analytics import dedup
+
+    eval_set = docs_df.where("doc_id = 1")
+    rows = {
+        (r.doc_id, r.eval_doc_id): r
+        for r in dedup.eval_contamination(
+            docs_df, eval_set, shingle_n=5, min_frac=0.2
+        ).collect()
+    }
+    assert (6, 1) in rows and rows[(6, 1)].overlap_frac == 1.0
+    assert (2, 1) in rows and 0.5 < rows[(2, 1)].overlap_frac < 1.0
+    assert (1, 1) not in rows  # self-pair excluded
+    assert not any(d in (3, 4, 5, 7) for d, _ in rows)
+    # n_overlap is the distinct-shingle intersection size
+    n_sh = 13 - 5 + 1  # doc 1: 13 tokens, all 5-grams distinct
+    assert rows[(6, 1)].n_overlap == n_sh
+
+
+def test_eval_contamination_threshold_and_short_docs(spark):
+    """Docs shorter than the shingle width yield no shingles (never a
+    division by zero / false hit); min_frac prunes weak overlaps."""
+    from k8stream_spark.analytics import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e x y z"),  # shares exactly one 5-gram-less run
+            (3, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup.eval_contamination(
+        docs, docs.where("doc_id = 1"), shingle_n=5, min_frac=0.9
+    ).collect()
+    assert out == []  # doc 2 shares only 1/4 of doc 1's 5-grams
+    out2 = dedup.eval_contamination(
+        docs, docs.where("doc_id = 1"), shingle_n=5, min_frac=0.2
+    ).collect()
+    assert [(r.doc_id, r.n_overlap) for r in out2] == [(2, 1)]

@@ -174,3 +174,24 @@ def test_repetition_metrics_hand_computed(spark):
     assert rows[2].dup_bigram_frac == 0.0
     assert rows[3].n_tokens == 1
     assert rows[3].top_bigram_frac == 0.0 and rows[3].dup_bigram_frac == 0.0
+
+
+def test_source_mix_stats_exact_counts(spark):
+    from k8stream_spark.analytics import text as textan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "web"),
+            (2, "a a a a", "web"),
+            (3, "x y", "books"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {r.source: r for r in textan.source_mix_stats(docs).collect()}
+    web, books = rows["web"], rows["books"]
+    assert (web.n_docs, web.n_tokens) == (2, 7)
+    assert web.mean_doc_tokens == 3.5
+    # distinct ratios: 3/3=1.0 and 1/4=0.25 → mean 0.625
+    assert web.mean_distinct_ratio == 0.625
+    assert (books.n_docs, books.n_tokens) == (1, 2)
+    assert books.mean_distinct_ratio == 1.0
