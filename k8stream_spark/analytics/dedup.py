@@ -603,3 +603,62 @@ def duplicate_spans(
         .na.fill({"n_spans": 0, "n_dup_spans": 0})
     )
     return out
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    seg_tokens: int = 3,
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the line-level dedup step
+    of CCNet / RefinedWeb (headers, cookie banners, nav bars repeat
+    across pages; drop any line whose document frequency crosses a
+    threshold and keep the rest of the page).  The synthetic corpus has
+    no newlines, so a "line" here is a fixed ``seg_tokens``-token
+    segment; the pipeline shape is identical.
+
+    Per document: split into consecutive ``seg_tokens``-token segments,
+    count each distinct segment's document frequency across the corpus,
+    drop segments seen in ≥ ``min_df`` distinct documents, and
+    reassemble the survivors in original order.  Documents whose every
+    segment is boilerplate drop out entirely (they were all template).
+
+    Scale posture (100 TB): the segment split is a pure projection —
+    ``split``/``transform``/``slice`` in codegen, no token-level
+    explode-shuffle.  The document-frequency pass is one hash-groupBy
+    on the segment (map-side partial agg).  Boilerplate is by
+    construction the tiny head of the frequency distribution (segments
+    repeated across ≥ min_df documents), so the kill-list broadcasts
+    and the removal join is a broadcast left-anti — the corpus streams
+    through without shuffling for it.  The only full shuffle of
+    document data is the final reassembly groupBy on doc_id.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens))
+    segs = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, (i * seg_tokens + 1).cast("int"), seg_tokens), " "
+        ),
+    )
+    seg_rows = df.select(
+        "doc_id", F.posexplode(segs).alias("seg_pos", "seg")
+    )
+    boiler = (
+        seg_rows.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("seg")
+    )
+    kept = seg_rows.join(F.broadcast(boiler), "seg", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_segments_kept"),
+    )

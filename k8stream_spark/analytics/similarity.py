@@ -643,3 +643,102 @@ def quantize_int8(
         .alias("n_saturated"),
         F.array_max(err_micro).alias("max_err_micro"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    nlist: int | None = None,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with a coarse k-means
+    quantizer, then WITHIN each cluster mark a vector as a duplicate if
+    its cosine to a lower-id cluster member meets ``threshold``.  One
+    representative per duplicate group survives — the paper keeps a
+    random member; this determinizes to the smallest id so reruns and
+    engines agree.
+
+    Output: one row per input vector — ``vec_id``, ``cell`` (cluster),
+    ``kept`` (false ⇔ removed as a semantic duplicate), ``dup_of`` (the
+    smallest-id earlier member it duplicated, NULL when kept).
+
+    Scale posture (100 TB): the classic SemDedup trick IS the cluster
+    prune — cosine pairs are only computed inside a cell, never across
+    the corpus.  With nlist ~ sqrt(n) the expected cell size is sqrt(n),
+    bounding per-cell pair work; hot cells are real data skew the paper
+    accepts (AQE skew-split handles the join).  Quantizer training is
+    the bounded hash-deterministic sample of ``_sample_kmeans`` —
+    driver-side state is the (nlist × dim) centroid matrix, nothing
+    else.  Assignment is one Arrow-batched argmax matmul; the pair join
+    is an equi-join on the cell id carrying (id, unit-vector) rows; the
+    dup-map groupBy shuffles 16-byte id pairs only.
+
+    Like the other kmeans-seeded ops (IVF, LSH) the cell boundaries are
+    engine-specific, so there is no SQL oracle — correctness is
+    pytest-bound against the exact all-pairs ``cosine_near_dup_pairs``
+    baseline (every same-cell exact pair must be caught; cross-cell
+    misses are the documented recall tradeoff).
+    """
+    norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
+        F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
+    )
+    n_rows = norm_d.count()
+    if nlist is None:
+        nlist = max(4, int(n_rows ** 0.5 / 2))
+    norm_d = norm_d.persist()
+    C = _sample_kmeans(norm_d, nlist, n_rows)
+
+    @pandas_udf("int")
+    def cell_of(u: pd.Series) -> pd.Series:
+        if u.empty:
+            return pd.Series([], dtype="int32")
+        U = np.vstack(u.to_numpy())
+        return pd.Series(np.argmax(U @ C.T, axis=1).astype("int32"))
+
+    assigned = norm_d.withColumn("__cell", cell_of(F.col("__u"))).persist()
+    assigned.count()  # materialize before the self-join
+    norm_d.unpersist()
+
+    @pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype=float)
+        return pd.Series(
+            np.einsum(
+                "ij,ij->i", np.vstack(a.to_numpy()), np.vstack(b.to_numpy())
+            )
+        )
+
+    left = assigned.select(
+        "__cell", F.col("__id").alias("keep_id"), F.col("__u").alias("__ua")
+    )
+    right = assigned.select(
+        "__cell", F.col("__id").alias("dup_id"), F.col("__u").alias("__ub")
+    )
+    dup_map = (
+        left.join(right, "__cell")
+        .where(F.col("keep_id") < F.col("dup_id"))
+        .withColumn(
+            "cosine", F.round(pair_cos(F.col("__ua"), F.col("__ub")), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .groupBy("dup_id")
+        .agg(F.min("keep_id").alias("dup_of"))
+    )
+    return (
+        assigned.select(
+            F.col("__id").alias("vec_id"),
+            F.col("__cell").cast("bigint").alias("cell"),
+        )
+        .join(
+            dup_map.select(F.col("dup_id").alias("vec_id"), "dup_of"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id", "cell", F.col("dup_of").isNull().alias("kept"), "dup_of"
+        )
+    )

@@ -148,3 +148,43 @@ def test_eval_contamination_threshold_and_short_docs(spark):
         docs, docs.where("doc_id = 1"), shingle_n=5, min_frac=0.2
     ).collect()
     assert [(r.doc_id, r.n_overlap) for r in out2] == [(2, 1)]
+
+
+def test_remove_boilerplate_drops_frequent_segments(spark):
+    """3-token segments repeated across >= min_df docs vanish from every
+    document; survivors keep their original order.  A doc that is pure
+    boilerplate drops out entirely (it was all template)."""
+    from k8stream_spark.analytics.dedup import remove_boilerplate
+
+    boiler = "cookie banner text"
+    rows = [
+        (0, boiler + " alpha beta gamma"),
+        (1, boiler + " delta eps zeta"),
+        (2, boiler + " eta theta iota"),
+        (3, "kappa lam mu " + boiler),
+        (4, boiler),                       # pure boilerplate: drops out
+        (5, "nu xi omicron pi rho sigma"),  # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           remove_boilerplate(df, seg_tokens=3, min_df=3).collect()}
+    assert 4 not in out
+    assert out[0].cleaned_text == "alpha beta gamma"
+    assert out[3].cleaned_text == "kappa lam mu"
+    assert out[5].cleaned_text == "nu xi omicron pi rho sigma"
+    assert out[5].n_segments_kept == 2
+    assert all(boiler not in r.cleaned_text for r in out.values())
+
+
+def test_remove_boilerplate_ragged_tail_and_order(spark):
+    """Token counts not divisible by seg_tokens produce a short trailing
+    segment; reassembly preserves segment order."""
+    from k8stream_spark.analytics.dedup import remove_boilerplate
+
+    rows = [(0, "a b c d e"), (1, "f g h i j")]  # 2 segments each, no repeats
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           remove_boilerplate(df, seg_tokens=3, min_df=2).collect()}
+    assert out[0].cleaned_text == "a b c d e"
+    assert out[0].n_segments_kept == 2
+    assert out[1].cleaned_text == "f g h i j"
