@@ -1912,20 +1912,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(CAST(h.n_overlap AS DOUBLE) / z.n_sh, 6) >= 0.2
         """,
         "docs_source_mix_stats": """
-            SELECT source,
-                   COUNT(*) AS n_docs,
-                   SUM(CAST(len(string_split(text,' ')) AS BIGINT))
-                       AS n_tokens,
-                   ROUND(CAST(SUM(CAST(len(string_split(text,' '))
-                                       AS BIGINT)) AS DOUBLE)
-                         / COUNT(*), 4) AS mean_doc_tokens,
-                   ROUND(CAST(SUM(CAST(
-                            CAST(len(list_distinct(string_split(text,' ')))
-                                 AS DOUBLE)
-                            / len(string_split(text,' '))
-                          AS DECIMAL(30,8))) AS DOUBLE)
-                         / COUNT(*), 4) AS mean_distinct_ratio
-            FROM documents GROUP BY source
+            -- 4-dp means rounded in EXACT integer space (mirrors
+            -- text.source_mix_stats): round(S/n,4) = (2*s_int*1e4 +
+            -- n*10^p) // (2*n*10^p) / 1e4 with s_int = S*10^p integral.
+            -- Rounding a double quotient flaps at tie boundaries (the
+            -- r5 red row).
+            WITH s AS (
+              SELECT source,
+                     COUNT(*) AS n_docs,
+                     SUM(CAST(len(string_split(text,' ')) AS BIGINT))
+                         AS n_tokens,
+                     SUM(CAST(
+                          CAST(len(list_distinct(string_split(text,' ')))
+                               AS DOUBLE)
+                          / len(string_split(text,' '))
+                        AS DECIMAL(30,8))) AS rsum
+              FROM documents GROUP BY source)
+            SELECT source, n_docs, n_tokens,
+                   CAST((CAST(n_tokens AS HUGEINT) * 20000 + n_docs)
+                        // (CAST(n_docs AS HUGEINT) * 2) AS DOUBLE)
+                       / 10000 AS mean_doc_tokens,
+                   CAST((CAST(rsum * 100000000 AS HUGEINT) * 20000
+                         + CAST(n_docs AS HUGEINT) * 100000000)
+                        // (CAST(n_docs AS HUGEINT) * 200000000) AS DOUBLE)
+                       / 10000 AS mean_distinct_ratio
+            FROM s
         """,
         "text_bpe_token_count": """
             SELECT doc_id,

@@ -320,19 +320,6 @@ def cosine_near_dup_lsh(
     va = norm_d.select(F.col("__id").alias("id_a"), F.col("__u").alias("__ua"))
     vb = norm_d.select(F.col("__id").alias("id_b"), F.col("__u").alias("__ub"))
 
-    # Verification dot as an Arrow-batched einsum: an unrolled expression
-    # filter gets pushed into the broadcast join as a 128-term condition,
-    # which falls out of whole-stage codegen and evaluates interpreted
-    # (measured 4× slower end-to-end).  The UDF keeps the joins as plain
-    # equi-joins and verifies a whole Arrow batch per numpy call.
-    @pandas_udf("double")
-    def pair_cos(va_s: pd.Series, vb_s: pd.Series) -> pd.Series:
-        if va_s.empty:
-            return pd.Series([], dtype=float)
-        A = np.vstack(va_s.to_numpy())
-        B = np.vstack(vb_s.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", A, B))
-
     # The ids-only distinct before the vector rejoin measured faster than
     # deduping after verification (the cross-table duplicate factor makes
     # re-verification cost more than the 16-byte/row shuffle it saves).
@@ -341,10 +328,48 @@ def cosine_near_dup_lsh(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("__cos", pair_cos(F.col("__ua"), F.col("__ub")))
+        .withColumn("__cos", _pair_cos(F.col("__ua"), F.col("__ub")))
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round(F.col("__cos"), 6).alias("cosine"))
     )
+
+
+def _cell_assigner(C: np.ndarray):
+    """Arrow-batched argmax cell assignment against a fixed centroid
+    matrix (broadcast in the UDF closure) — shared by the IVF index and
+    semantic dedup.  One numpy matmul per Arrow batch."""
+
+    @pandas_udf("int")
+    def cell_of(u: pd.Series) -> pd.Series:
+        if u.empty:
+            return pd.Series([], dtype="int32")
+        U = np.vstack(u.to_numpy())
+        return pd.Series(np.argmax(U @ C.T, axis=1).astype("int32"))
+
+    return cell_of
+
+
+def _pair_cos(a: Column, b: Column) -> Column:
+    """Verification dot as an Arrow-batched einsum over pre-normalized
+    unit vectors: an unrolled expression filter gets pushed into the
+    join as a 128-term condition, which falls out of whole-stage codegen
+    and evaluates interpreted (measured 4× slower end-to-end).  The UDF
+    keeps the joins as plain equi-joins and verifies a whole Arrow batch
+    per numpy call.  Shared by LSH near-dup, IVF top-k, and semantic
+    dedup.  (A factory, not a module-level @pandas_udf: decoration needs
+    an active SparkSession, which doesn't exist at import time.)"""
+
+    @pandas_udf("double")
+    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if va.empty:
+            return pd.Series([], dtype=float)
+        return pd.Series(
+            np.einsum(
+                "ij,ij->i", np.vstack(va.to_numpy()), np.vstack(vb.to_numpy())
+            )
+        )
+
+    return pair_cos(a, b)
 
 
 def _sample_kmeans(
@@ -353,6 +378,7 @@ def _sample_kmeans(
     n_rows: int,
     max_train: int = 20000,
     iters: int = 8,
+    seed_min_cos: float | None = None,
 ) -> np.ndarray:
     """Spherical k-means trained on a bounded, deterministic sample —
     the FAISS pattern: quantizer training needs only a sample (cells
@@ -364,7 +390,20 @@ def _sample_kmeans(
     Determinism: the sample is hash-selected (no RNG, no partition-order
     dependence), init takes the hash-least ``nlist`` sample rows, and
     Lloyd iterations are pure numpy — identical centroids every run.
-    Returns the (nlist, dim) centroid matrix, unit-normalized.
+    Returns the (<=nlist, dim) centroid matrix, unit-normalized.
+
+    ``seed_min_cos`` (used by ``semantic_dedup``): when set, no two
+    centroids may be within that cosine of each other.  Init selects
+    seeds greedily in hash order, SKIPPING a candidate whose cosine to
+    any already-chosen seed >= seed_min_cos, and after Lloyd any
+    centroid pair still closer than the bound is merged (greedy keep
+    in index order).  Without this, two near-duplicate vectors can both
+    seed singleton clusters that Lloyd never merges (each centroid
+    converges onto its own seed), permanently splitting the pair across
+    cells — a recall hole that scales with the training sample, not the
+    data.  The returned matrix may therefore have FEWER than ``nlist``
+    rows: a dedup radius of t forbids cells finer than t apart, so cell
+    granularity is bounded by the dedup threshold by construction.
     """
     # max(1, ...): at n_rows > max_train*1000 the integer ratio floors to
     # 0 and the sample would be empty — exactly at the scale this path
@@ -385,16 +424,36 @@ def _sample_kmeans(
             f"sample ({len(X)}) smaller than nlist ({nlist}); "
             "raise max_train or lower nlist"
         )
-    C = X[:nlist].copy()
+    if seed_min_cos is None:
+        C = X[:nlist].copy()
+    else:
+        # Greedy farthest-point-flavored init over the hash-ordered
+        # sample: a candidate too close to an existing seed is the same
+        # prospective cell, not a new one.
+        seeds: list[np.ndarray] = []
+        for row in X:
+            if len(seeds) >= nlist:
+                break
+            if all(float(row @ s) < seed_min_cos for s in seeds):
+                seeds.append(row)
+        C = np.vstack(seeds) if seeds else X[:1].copy()
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
-        for c in range(nlist):
+        for c in range(len(C)):
             members = X[assign == c]
             if len(members):
                 m = members.mean(axis=0)
                 norm = np.linalg.norm(m)
                 if norm > 0:
                     C[c] = m / norm
+    if seed_min_cos is not None and len(C) > 1:
+        # Lloyd can still drift two centroids together; merge (greedy
+        # keep in index order) so the invariant survives the iterations.
+        kept: list[np.ndarray] = []
+        for row in C:
+            if all(float(row @ s) < seed_min_cos for s in kept):
+                kept.append(row)
+        C = np.vstack(kept)
     return C
 
 
@@ -444,16 +503,9 @@ def cosine_topk_ivf(
         # Arrow-batched matmul pass over the table.
         norm_d = norm_d.persist()
         centers = _sample_kmeans(norm_d, nlist, n_rows)
-        C = centers
-
-        @pandas_udf("int")
-        def cell_of(u: pd.Series) -> pd.Series:
-            if u.empty:
-                return pd.Series([], dtype="int32")
-            U = np.vstack(u.to_numpy())
-            return pd.Series(np.argmax(U @ C.T, axis=1).astype("int32"))
-
-        assigned = norm_d.withColumn("__cell", cell_of(F.col("__u"))).persist()
+        assigned = norm_d.withColumn(
+            "__cell", _cell_assigner(centers)(F.col("__u"))
+        ).persist()
         assigned.count()  # materialize before the probe join
         norm_d.unpersist()
     else:
@@ -494,15 +546,6 @@ def cosine_topk_ivf(
     ]
     spark = embeddings.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id bigint, __cell int")
-
-    @pandas_udf("double")
-    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if a.empty:
-            return pd.Series([], dtype=float)
-        return pd.Series(
-            np.einsum("ij,ij->i", np.vstack(a.to_numpy()), np.vstack(b.to_numpy()))
-        )
-
     qv = assigned.select(
         F.col("__id").alias("query_id"), F.col("__u").alias("__q")
     ).where(F.col("query_id").isin(*query_ids))
@@ -511,7 +554,7 @@ def cosine_topk_ivf(
         .join(assigned, "__cell")
         .where(F.col("__id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cosine", F.round(pair_cos(F.col("__q"), F.col("__u")), 6))
+        .withColumn("cosine", F.round(_pair_cos(F.col("__q"), F.col("__u")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("__id").asc()
@@ -664,6 +707,20 @@ def semantic_dedup(
     Output: one row per input vector — ``vec_id``, ``cell`` (cluster),
     ``kept`` (false ⇔ removed as a semantic duplicate), ``dup_of`` (the
     smallest-id earlier member it duplicated, NULL when kept).
+    ``dup_of`` is the RAW nearest lower-id same-cell match, not a
+    transitively-resolved representative: on a chain a~b, b~c with
+    a!~c, both b and c are removed and c.dup_of == b even though b was
+    itself removed.  Downstream representative substitution should
+    follow the dup_of pointers to a kept root (a bounded walk: ids
+    strictly decrease along the chain).
+
+    The quantizer is trained with ``seed_min_cos=threshold`` so no two
+    centroids are within the dedup radius of each other — otherwise a
+    near-duplicate pair can seed two singleton clusters that Lloyd
+    never merges, splitting the pair across cells forever (the
+    within-cell pass then can't see it).  Consequence: cell granularity
+    is bounded by the threshold, which is exactly the SemDedup contract
+    (clusters must be coarser than the dedup radius).
 
     Scale posture (100 TB): the classic SemDedup trick IS the cluster
     prune — cosine pairs are only computed inside a cell, never across
@@ -689,28 +746,12 @@ def semantic_dedup(
     if nlist is None:
         nlist = max(4, int(n_rows ** 0.5 / 2))
     norm_d = norm_d.persist()
-    C = _sample_kmeans(norm_d, nlist, n_rows)
-
-    @pandas_udf("int")
-    def cell_of(u: pd.Series) -> pd.Series:
-        if u.empty:
-            return pd.Series([], dtype="int32")
-        U = np.vstack(u.to_numpy())
-        return pd.Series(np.argmax(U @ C.T, axis=1).astype("int32"))
-
-    assigned = norm_d.withColumn("__cell", cell_of(F.col("__u"))).persist()
+    C = _sample_kmeans(norm_d, nlist, n_rows, seed_min_cos=threshold)
+    assigned = norm_d.withColumn(
+        "__cell", _cell_assigner(C)(F.col("__u"))
+    ).persist()
     assigned.count()  # materialize before the self-join
     norm_d.unpersist()
-
-    @pandas_udf("double")
-    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if a.empty:
-            return pd.Series([], dtype=float)
-        return pd.Series(
-            np.einsum(
-                "ij,ij->i", np.vstack(a.to_numpy()), np.vstack(b.to_numpy())
-            )
-        )
 
     left = assigned.select(
         "__cell", F.col("__id").alias("keep_id"), F.col("__u").alias("__ua")
@@ -718,13 +759,14 @@ def semantic_dedup(
     right = assigned.select(
         "__cell", F.col("__id").alias("dup_id"), F.col("__u").alias("__ub")
     )
+    # Threshold on the UNROUNDED cosine — module convention (see
+    # cosine_near_dup_pairs): rounding first would flag boundary pairs
+    # the exact baseline rejects.
     dup_map = (
         left.join(right, "__cell")
         .where(F.col("keep_id") < F.col("dup_id"))
-        .withColumn(
-            "cosine", F.round(pair_cos(F.col("__ua"), F.col("__ub")), 6)
-        )
-        .where(F.col("cosine") >= threshold)
+        .withColumn("__cos", _pair_cos(F.col("__ua"), F.col("__ub")))
+        .where(F.col("__cos") >= threshold)
         .groupBy("dup_id")
         .agg(F.min("keep_id").alias("dup_of"))
     )

@@ -383,19 +383,46 @@ def source_mix_stats(
     One groupBy on the source key with map-side partial aggregation;
     token counts are exact integers, and the ratio mean goes through the
     exact-decimal sum (a plain double ``avg`` depends on accumulation
-    order and would flap against the oracle at high parallelism)."""
+    order and would flap against the oracle at high parallelism).
+
+    The 4-dp means are rounded in EXACT integer space, never on a double
+    quotient: ``round(S/n, 4)`` for a sum S stored exactly at scale p is
+    ``floor((2·S·10^(4+p)·10^-p + n·10^p·10^-p)/(2·n)) / 10^4``, i.e.
+    with ``s_int = S·10^p`` an integer,
+
+        q = (2·s_int·10^4 + n·10^p) div (2·n·10^p);  mean = q / 10^4
+
+    — all products exact DECIMAL(38,0), ``div`` is exact integral
+    division in Spark and ``//`` floor division on HUGEINT in DuckDB,
+    and the final ``q/10^4`` is one correctly-rounded IEEE op both
+    engines share.  Rounding the double quotient instead (the r5 bug)
+    flaps at tie boundaries: Spark's ``F.round`` goes through the
+    shortest-decimal string of the double while DuckDB rounds the binary
+    value, so a mean landing on …X5 can round differently."""
     t = tokens(text_col)
     n_tok = F.size(t)
     ratio = F.size(F.array_distinct(t)).cast("double") / n_tok
-    return df.groupBy(F.col(source_col).alias("source")).agg(
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok.cast("bigint")).alias("n_tokens"),
-        F.round(
-            F.sum(n_tok.cast("bigint")).cast("double") / F.count(F.lit(1)), 4
-        ).alias("mean_doc_tokens"),
-        F.round(
-            F.sum(ratio.cast("decimal(30,8)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("mean_distinct_ratio"),
+        F.sum(ratio.cast("decimal(30,8)")).alias("__rsum"),
+    )
+    # p=0 (integer token sum) and p=8 (decimal(·,8) ratio sum) instances
+    # of the formula above; quotients are mean·10^4, far inside bigint.
+    mean_doc_tokens = F.expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 20000 + n_docs)"
+        " div (CAST(n_docs AS DECIMAL(38,0)) * 2) AS DOUBLE) / 10000"
+    )
+    mean_distinct_ratio = F.expr(
+        "CAST((CAST(__rsum * 100000000 AS DECIMAL(38,0)) * 20000"
+        "      + CAST(n_docs AS DECIMAL(38,0)) * 100000000)"
+        " div (CAST(n_docs AS DECIMAL(38,0)) * 200000000) AS DOUBLE)"
+        " / 10000"
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        mean_doc_tokens.alias("mean_doc_tokens"),
+        mean_distinct_ratio.alias("mean_distinct_ratio"),
     )

@@ -45,11 +45,19 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            aa = av.astype(float).to_numpy()
-            bb = bv.astype(float).to_numpy()
+            # BITWISE equality, not ==: the driver hashes a canonical
+            # string of each value, and == is weaker than any such hash
+            # (-0.0 == 0.0 yet they canonicalize differently).  Two
+            # doubles that agree bit-for-bit hash equal under every
+            # deterministic scheme, so this can't pass where the driver
+            # fails.  NaNs compare equal regardless of payload (drivers
+            # canonicalize NaN to one token).
+            aa = np.ascontiguousarray(av.astype(float).to_numpy())
+            bb = np.ascontiguousarray(bv.astype(float).to_numpy())
             both_nan = np.isnan(aa) & np.isnan(bb)
-            if not np.all(both_nan | (aa == bb)):
-                bad = ~(both_nan | (aa == bb))
+            bit_eq = aa.view(np.int64) == bb.view(np.int64)
+            if not np.all(both_nan | bit_eq):
+                bad = ~(both_nan | bit_eq)
                 i = int(np.argmax(bad))
                 return f"VAL col {c} row {i}: {aa[i]!r} vs {bb[i]!r} (maxdiff {np.nanmax(np.abs(aa - bb))})"
         else:
