@@ -811,6 +811,22 @@ def _q_source_mix(spark, sf_dir):
     return textan.source_mix_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _q_remove_boilerplate(spark, sf_dir):
+    return docdedup.remove_boilerplate(
+        load_table(spark, sf_dir, "documents"), seg_tokens=3, min_df=3
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    # Rows-only by design (like IVF/LSH): the k-means cell ids are
+    # engine-specific, so there is no SQL oracle; pytest pins the hand
+    # vectors and bounds same-cell recall against the exact all-pairs
+    # baseline (tests/test_similarity.py).
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     return docdedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8
@@ -890,6 +906,16 @@ def _q_blob_meta(spark, sf_dir):
     # pytest-pinned equal and carries the UDF-plumbing coverage.
     blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
     return multimodal.blob_meta(blobs).select(
+        "doc_id", "n_bytes", "sha256"
+    )
+
+
+def _q_blob_meta_pandas(spark, sf_dir):
+    # The Arrow/mapInPandas twin of mm_blob_meta: same oracle, so the
+    # UDF plumbing (batch shape, schema, Arrow transfer) gets a driver
+    # hash row, not just the pytest pin against the JVM-side version.
+    blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
+    return multimodal.blob_meta_pandas(blobs).select(
         "doc_id", "n_bytes", "sha256"
     )
 
@@ -1074,6 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Registration order only breaks ties within a grading-age class.
         "docs_eval_contamination": _q_eval_contamination,
         "docs_source_mix_stats": _q_source_mix,
+        "docs_remove_boilerplate": _q_remove_boilerplate,
+        "docs_semantic_dedup": _q_semantic_dedup,
+        "mm_blob_meta_pandas": _q_blob_meta_pandas,
         "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
         "docs_dedup_simhash": _q_simhash,
         "emb_vector_norms": _q_vector_norms,
@@ -1184,7 +1213,9 @@ def oracle_sql() -> dict[str, str]:
     checks): docs_dedup_simhash (xxhash64 seeds have no DuckDB equivalent),
     emb_cosine_topk_lsh, emb_cosine_topk_ivf and emb_cosine_near_dup_lsh
     (approximate by design; pytest checks their recall against the exact
-    results), and
+    results),
+    docs_semantic_dedup (k-means cell ids are engine-specific; pytest
+    pins hand vectors and bounds same-cell recall), and
     events_approx_user_counts (HLL++ estimates are implementation-defined;
     pytest bounds the relative error against the exact count)."""
     # Round in DECIMAL space before the double cast (matches
@@ -2007,6 +2038,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        # Identical contract to mm_blob_meta — the Spark side differs
+        # only in execution strategy (mapInPandas vs built-ins).
+        "mm_blob_meta_pandas": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        # Mirrors dedup.remove_boilerplate: 3-token segments (1-based
+        # inclusive list slice == Spark slice(start, len)), document
+        # frequency >= 3 -> kill list, anti-join, reassemble in original
+        # segment order.  Docs whose every segment is boilerplate drop.
+        "docs_remove_boilerplate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+              FROM documents),
+            segs AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS seg_pos,
+                     array_to_string(t[(g.i*3+1):(g.i*3+3)], ' ') AS seg
+              FROM toks,
+                   LATERAL (SELECT unnest(range(
+                       CAST(ceil(len(t)/3.0) AS BIGINT))) AS i) g),
+            boiler AS (
+              SELECT seg FROM segs
+              GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3),
+            kept AS (
+              SELECT * FROM segs
+              WHERE seg NOT IN (SELECT seg FROM boiler))
+            SELECT doc_id,
+                   string_agg(seg, ' ' ORDER BY seg_pos) AS cleaned_text,
+                   COUNT(*) AS n_segments_kept
+            FROM kept GROUP BY doc_id
         """,
         "mm_frame_sample": """
             SELECT doc_id,

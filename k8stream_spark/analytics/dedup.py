@@ -608,6 +608,7 @@ def duplicate_spans(
 def remove_boilerplate(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     seg_tokens: int = 3,
     min_df: int = 3,
 ) -> DataFrame:
@@ -624,6 +625,12 @@ def remove_boilerplate(
     reassemble the survivors in original order.  Documents whose every
     segment is boilerplate drop out entirely (they were all template).
 
+    NULL text coalesces to '' (one empty segment) rather than silently
+    vanishing through ``posexplode(null)`` — a null-text doc is
+    indistinguishable from an all-boilerplate one otherwise.  Output
+    carries ``id_col`` + cleaned text only; other input columns are
+    dropped (join back on the id to re-attach them).
+
     Scale posture (100 TB): the segment split is a pure projection —
     ``split``/``transform``/``slice`` in codegen, no token-level
     explode-shuffle.  The document-frequency pass is one hash-groupBy
@@ -632,9 +639,9 @@ def remove_boilerplate(
     repeated across ≥ min_df documents), so the kill-list broadcasts
     and the removal join is a broadcast left-anti — the corpus streams
     through without shuffling for it.  The only full shuffle of
-    document data is the final reassembly groupBy on doc_id.
+    document data is the final reassembly groupBy on the doc id.
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens))
     segs = F.transform(
         F.sequence(F.lit(0).cast("long"), n_segs - 1),
@@ -643,16 +650,16 @@ def remove_boilerplate(
         ),
     )
     seg_rows = df.select(
-        "doc_id", F.posexplode(segs).alias("seg_pos", "seg")
+        F.col(id_col).alias("__doc"), F.posexplode(segs).alias("seg_pos", "seg")
     )
     boiler = (
         seg_rows.groupBy("seg")
-        .agg(F.count_distinct("doc_id").alias("__df"))
+        .agg(F.count_distinct("__doc").alias("__df"))
         .where(F.col("__df") >= min_df)
         .select("seg")
     )
     kept = seg_rows.join(F.broadcast(boiler), "seg", "left_anti")
-    return kept.groupBy("doc_id").agg(
+    return kept.groupBy("__doc").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("seg_pos", "seg"))),
@@ -661,4 +668,4 @@ def remove_boilerplate(
             " ",
         ).alias("cleaned_text"),
         F.count(F.lit(1)).alias("n_segments_kept"),
-    )
+    ).withColumnRenamed("__doc", id_col)

@@ -26,11 +26,62 @@ def test_oracle_keys_subset_of_queries():
     # documented rows-only exceptions
     assert qs - os_ == {
         "docs_dedup_simhash",
+        "docs_semantic_dedup",
         "emb_cosine_topk_lsh",
         "emb_cosine_topk_ivf",
         "emb_cosine_near_dup_lsh",
         "events_approx_user_counts",
     }
+
+
+# Building blocks invoked INSIDE registered operators, not operators
+# themselves — the only names allowed to have no presence in
+# __spark_entry__.py.  Adding an operator to this set requires the same
+# scrutiny as registering it: the r5 failure mode was two finished
+# operators (semantic_dedup, remove_boilerplate) that simply never
+# entered the registry and so were never graded.
+NOT_OPERATORS = {
+    "dedup.minhash_signature",  # signature stage of minhash_lsh_pairs
+    "dedup.simhash",  # signature stage of simhash_pairs
+    "dedup.word_shingles",  # shingling helper for minhash/jaccard
+    "multimodal.fake_decode_features",  # deterministic stub decoder
+    "similarity.bucket_keys",  # LSH hyperplane bucketing helper
+    "similarity.with_unit_vectors",  # normalization pre-pass
+    "splits.hash_bucket",  # hash-split primitive
+    "text.tokens",  # tokenizer expression helper
+}
+
+
+def test_every_public_operator_registered_or_excluded():
+    """Every public function in k8stream_spark/analytics is either
+    referenced by __spark_entry__.py (i.e. reachable from a ``queries()``
+    entry) or explicitly listed in NOT_OPERATORS above."""
+    import importlib
+    import inspect
+    import pkgutil
+    import re
+
+    import k8stream_spark.analytics as pkg
+
+    with open("__spark_entry__.py", encoding="utf-8") as fh:
+        entry_src = fh.read()
+    missing = []
+    for m in pkgutil.iter_modules(pkg.__path__):
+        mod = importlib.import_module(f"k8stream_spark.analytics.{m.name}")
+        for name, fn in vars(mod).items():
+            if name.startswith("_") or not inspect.isfunction(fn):
+                continue
+            if fn.__module__ != mod.__name__:
+                continue
+            short = f"{m.name}.{name}"
+            if short in NOT_OPERATORS:
+                continue
+            if not re.search(rf"\b{re.escape(name)}\b", entry_src):
+                missing.append(short)
+    assert not missing, (
+        f"public analytics operators with no __spark_entry__.py "
+        f"registration (register them or add to NOT_OPERATORS): {missing}"
+    )
 
 
 def test_all_queries_run_at_sf0001(spark):

@@ -276,3 +276,65 @@ def test_unified_pipeline_on_informer_sources(
     for data in sink.batches.values():
         rows += [json.loads(l) for l in data.decode().splitlines()]
     assert {r["id"] for r in rows} == {"e1", "e3", "s1-10"}
+
+
+def test_semantic_dedup_streaming_twin(spark, tmp_path):
+    """Streaming binding for semantic dedup: embeddings arrive as a file
+    stream and each micro-batch runs the batch ``semantic_dedup``
+    operator inside ``foreachBatch`` — the documented Structured
+    Streaming pattern for operators whose semantics are batch-global
+    (quantizer training + within-cell pairing need the whole batch).
+    The streamed result must equal the batch run on the same vectors."""
+    import json as _json
+
+    from k8stream_spark.analytics import similarity
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.999, 0.01, 0.0]),   # dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "emb.json"), "w") as f:
+        for vid, emb in vecs:
+            f.write(_json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).json(src)
+    got = {}
+
+    def dedup_batch(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        out = similarity.semantic_dedup(
+            batch_df, threshold=0.95, dim=4, nlist=4
+        )
+        for r in out.collect():
+            got[r.vec_id] = (r.kept, r.dup_of)
+
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt-sd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<double>"
+    )
+    expected = {
+        r.vec_id: (r.kept, r.dup_of)
+        for r in similarity.semantic_dedup(
+            batch_df, threshold=0.95, dim=4, nlist=4
+        ).collect()
+    }
+    assert got == expected
+    assert got[1] == (False, 0) and got[3] == (False, 2)
+    for vid in (0, 2, 4, 5):
+        assert got[vid] == (True, None)
