@@ -14,6 +14,8 @@ tightly while single-shot timings at sf0.1 swing +-30% on JIT/footer
 -cache luck, which round-over-round comparisons can't tolerate.  The cache
 is cleared between repeats so persisted intermediates (LSH signatures,
 IVF centroids) are re-earned every run, never carried into the min.
+Per-query median/max spread is emitted as a separate JSON line on STDERR
+(the stdout line must stay compact and LAST for the driver's parser).
 """
 
 from __future__ import annotations
@@ -113,6 +115,16 @@ def main() -> None:
             # be re-earned by every repeat, and one query's cache must not
             # occupy storage memory during the next query.
             spark.catalog.clearCache()
+            # Untimed housekeeping between reps: clearCache() cannot free
+            # broadcast blocks, shuffle files, or localCheckpoint RDDs —
+            # the ContextCleaner only reaps those after a driver GC
+            # notices the references died.  Forcing one here keeps each
+            # rep from inheriting the previous reps'/queries'
+            # executor-side litter (the r5 late-session tail: same query
+            # 6s isolated, 30-60s reps late in the 41-query session; the
+            # iterative CC query alone leaves ~45 dead localCheckpoint
+            # RDDs per rep).
+            spark.sparkContext._jvm.System.gc()
         samples.sort()
         timings[name] = round(samples[0], 3)
         # Spread disclosed alongside the min so a regression that only
@@ -122,6 +134,21 @@ def main() -> None:
         maxes[name] = round(samples[-1], 3)
         total += timings[name]
 
+    # Spread goes to STDERR: r5 folded median/max into the stdout line,
+    # which tripled it past what the driver's parser captures and cost
+    # the round its official number (BENCH_r05.json parsed: null).  The
+    # driver-facing headline JSON must be the LAST stdout line and stay
+    # compact.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_spread",
+                "queries_median": medians,
+                "queries_max": maxes,
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -129,8 +156,6 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
-                "queries_max": maxes,
                 "sf": sf,
                 "reps": reps,
                 "agg": "min",

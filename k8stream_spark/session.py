@@ -59,10 +59,32 @@ def get_spark(
         # Spark's 1g default starves 32 of them (observed: GC-locker
         # death on map-heavy aggregates at sf0.1).  Size the single heap
         # for the thread count; harmless when spark-submit overrides.
+        # 16g (was 8g): the 41-query bench session showed late-session
+        # GC tails at 8g that the 24-query session never hit.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
+        # A 41-query × 3-rep session compiles ~120+ whole-stage-codegen
+        # classes; the JVM's default 240m code cache fills mid-session,
+        # JIT compilation stops, and every later query runs partially
+        # interpreted (the flat ~1.5× late-session inflation seen in the
+        # r5 bench tail).  512m keeps codegen compiled end-to-end.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m",
+            ),
+        )
+        # ContextCleaner only releases shuffle files, broadcast blocks and
+        # localCheckpoint RDDs after a DRIVER GC collects their references
+        # — and the default periodic-GC interval is 30min.  A large heap
+        # means organic GCs are rare, so a many-query session accumulates
+        # dead executor-side state for minutes and later queries inherit
+        # the litter (observed: docs_dedup_clusters 6s isolated vs 12-50s
+        # late in the 41-query bench).  1min bounds the litter window.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         # Streaming state at scale: RocksDB keeps dedup state off-heap and
         # incrementally checkpointed (reference's buntdb cache analog,
