@@ -84,7 +84,10 @@ def get_spark(
         # dead executor-side state for minutes and later queries inherit
         # the litter (observed: docs_dedup_clusters 6s isolated vs 12-50s
         # late in the 41-query bench).  1min bounds the litter window.
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         .config("spark.ui.enabled", "false")
         # Streaming state at scale: RocksDB keeps dedup state off-heap and
         # incrementally checkpointed (reference's buntdb cache analog,
