@@ -817,6 +817,18 @@ def _q_remove_boilerplate(spark, sf_dir):
     )
 
 
+def _q_c4_quality_filters(spark, sf_dir):
+    return textan.c4_quality_filters(load_table(spark, sf_dir, "documents"))
+
+
+def _q_temperature_sample(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    return splits.source_temperature_sample(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_semantic_dedup(spark, sf_dir):
     # Rows-only by design (like IVF/LSH): the k-means cell ids are
     # engine-specific, so there is no SQL oracle; pytest pins the hand
@@ -1103,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_remove_boilerplate": _q_remove_boilerplate,
         "docs_semantic_dedup": _q_semantic_dedup,
         "mm_blob_meta_pandas": _q_blob_meta_pandas,
+        "docs_c4_quality_filters": _q_c4_quality_filters,
+        "docs_temperature_sample": _q_temperature_sample,
         "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
         "docs_dedup_simhash": _q_simhash,
         "emb_vector_norms": _q_vector_norms,
@@ -2046,6 +2060,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        # Mirrors text.c4_quality_filters: every rule is exact integer
+        # arithmetic (cross-multiplied ratio bounds, no float means).
+        "docs_c4_quality_filters": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(coalesce(text,''), ' ') AS t,
+                     CAST(len(replace(coalesce(text,''),' ',''))
+                          AS BIGINT) AS nc
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS nw, nc,
+                     CAST(len(list_filter(t, w -> w IN ('a','the')))
+                          AS BIGINT) AS nstop,
+                     CAST(list_max(list_transform(t, w -> len(w)))
+                          AS BIGINT) AS maxw
+              FROM d)
+            SELECT doc_id,
+                   nw AS n_words,
+                   nw >= 30 AS pass_min_words,
+                   4*nw <= nc AND nc <= 10*nw AS pass_mean_word_len,
+                   100*nstop < 10*nw AS pass_stopword_ratio,
+                   maxw <= 7 AS pass_max_word_len,
+                   (nw >= 30 AND 4*nw <= nc AND nc <= 10*nw
+                    AND 100*nstop < 10*nw AND maxw <= 7) AS keep
+            FROM m
+        """,
+        # Mirrors splits.source_temperature_sample: T=0.5 temperature
+        # weights S_s = floor(sqrt(n_s*1e6)); keep iff
+        # H*denom*n_s < S_s*m*2^32 — all-integer (HUGEINT), no floats.
+        "docs_temperature_sample": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+            w AS (
+              SELECT source, n,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE)*1000000)) AS BIGINT)
+                         AS s
+              FROM c),
+            t AS (SELECT SUM(n) AS N, SUM(s) AS denom FROM w),
+            m AS (SELECT (N*30)//100 AS m, denom FROM t)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN w USING (source), m
+            WHERE CAST(CAST('0x' || substr(md5('mix-v1:' ||
+                       CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                       AS HUGEINT)
+                  * CAST(m.denom AS HUGEINT) * w.n
+                < CAST(w.s AS HUGEINT) * m.m * 4294967296
         """,
         # Mirrors dedup.remove_boilerplate: 3-token segments (1-based
         # inclusive list slice == Spark slice(start, len)), document

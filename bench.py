@@ -60,6 +60,9 @@ BENCH_QUERIES = (
     "docs_pack_chunks",
     "emb_class_centroids",
     "emb_cosine_topk_ivf",
+    # r6 surface
+    "docs_remove_boilerplate",
+    "docs_semantic_dedup",
     # full TPC-H layer (r5/r6: the 9 late-graded + the last-5 shapes)
     "q4_order_priority_check",
     "q10_returned_items",

@@ -196,3 +196,83 @@ def pack_chunks_sharded(
             (F.col("__base") + F.col("__le")).alias("end_chunk"),
         )
     )
+
+
+def source_temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_pct: int = 30,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-weighted multi-source sampling — the data-blend step
+    of multilingual / multi-domain pre-training (mT5/XLM-R style): a
+    source's share of the training mix is proportional to
+    ``(n_source/N)^T`` with T = 0.5, flattening the natural distribution
+    so small sources are up-weighted relative to their raw frequency.
+    ``target_pct`` is the total corpus fraction to sample (an integer
+    percent, kept exact on purpose).
+
+    Exactness: the whole pipeline is INTEGER arithmetic so any engine
+    agrees row-for-row.  T = 0.5 is the one temperature with an exact
+    integer realization: ``p_s ∝ sqrt(n_s)`` (the global N cancels), and
+    ``S_s = floor(sqrt(n_s·10^6))`` is cross-engine deterministic
+    because IEEE mandates correctly-rounded sqrt and ``n_s·10^6`` is an
+    exactly-representable double below 2^53 (n_s ≤ ~9e9 per source —
+    beyond that, drop to a 10^2 scale).  A row is kept iff
+
+        H · denom · n_s  <  S_s · m · 2^32
+
+    where H is the row's 32-bit md5 bucket, ``denom = Σ S_t`` and
+    ``m = N·target_pct div 100`` — the cross-multiplied form of
+    ``H/2^32 < rate_s`` with no division or float anywhere; products are
+    DECIMAL(38,0) (HUGEINT in the oracle), exact to ~1e32.
+
+    Scale posture (100 TB): one map-side count per source, the per-source
+    weight table broadcasts (sources number in the thousands at most),
+    and selection is a single codegen predicate per row — no extra
+    shuffle of corpus data at all.  Deterministic hash selection means
+    re-runs, engines, and resumed jobs pick the identical sample (the
+    same property ``dataset_split`` pins for train/val/test).
+    """
+    counts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = counts.withColumn(
+        "__s",
+        F.floor(F.sqrt(F.col("__n").cast("double") * 1000000)).cast("bigint"),
+    )
+    # Corpus totals are ONE row however big the table (bounded driver
+    # action, same class as the IVF centroid collect); folding them to
+    # literals keeps the keep-predicate a constant-folded codegen
+    # expression and avoids a self-referencing join on the counts frame.
+    trow = w.agg(F.sum("__n"), F.sum("__s")).collect()[0]
+    big_n, denom = int(trow[0]), int(trow[1])
+    m = (big_n * int(target_pct)) // 100
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keep = F.expr(
+        f"CAST(__h AS DECIMAL(38,0)) * {denom} * __n"
+        f" < CAST(__s AS DECIMAL(38,0)) * {m}"
+        " * CAST(4294967296 AS DECIMAL(38,0))"
+    )
+    return (
+        df.select(F.col(id_col), F.col(source_col))
+        .withColumn("__h", h)
+        .join(
+            F.broadcast(w), F.col(source_col) == F.col("__src")
+        )
+        .where(keep)
+        .select(id_col, source_col)
+    )

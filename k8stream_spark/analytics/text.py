@@ -372,6 +372,59 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def c4_quality_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    min_mean_len_x1: int = 4,
+    max_mean_len_x1: int = 10,
+    stopword_pct: int = 10,
+    max_word_len: int = 7,
+) -> DataFrame:
+    """C4/Gopher-style rule-based quality filtering with named per-rule
+    flags — the pre-training corpus cleaning pass (Raffel et al. 2020 §2.2;
+    Rae et al. 2021 A1.1): short docs, degenerate word-length profiles,
+    stopword floods, and over-long tokens are dropped before training.
+    Thresholds are scaled to the synthetic corpus (real C4/Gopher uses
+    e.g. max word length 1000); each rule is a parameter.
+
+    Every rule is EXACT INTEGER arithmetic — counts and cross-multiplied
+    ratio bounds (``3·n_words <= n_chars`` instead of a float mean), so
+    there is no float boundary anywhere and any engine agrees bit-for-bit.
+
+    Emits one row per doc with each rule's pass flag and the combined
+    ``keep``; keeping flags (not just survivors) is what a pipeline
+    audits — which rule kills how much of which source.
+
+    One projection pass, zero shuffles, zero Python: split/filter/
+    transform/aggregate stay in whole-stage codegen.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.length(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), " ", "")
+    ).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin("a", "the"))
+    ).cast("bigint")
+    longest = F.array_max(F.transform(toks, F.length)).cast("bigint")
+    f_min_words = n_words >= min_words
+    f_mean_len = (min_mean_len_x1 * n_words <= n_chars) & (
+        n_chars <= max_mean_len_x1 * n_words
+    )
+    f_stopwords = 100 * n_stop < stopword_pct * n_words
+    f_max_word = longest <= max_word_len
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        f_min_words.alias("pass_min_words"),
+        f_mean_len.alias("pass_mean_word_len"),
+        f_stopwords.alias("pass_stopword_ratio"),
+        f_max_word.alias("pass_max_word_len"),
+        (f_min_words & f_mean_len & f_stopwords & f_max_word).alias("keep"),
+    )
+
+
 def source_mix_stats(
     df: DataFrame, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:

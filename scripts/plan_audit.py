@@ -64,6 +64,9 @@ AUDITED = [
     "mm_blob_meta",
     "mm_audio_features",
     "mm_image_decode",
+    "docs_remove_boilerplate",
+    "docs_c4_quality_filters",
+    "docs_temperature_sample",
 ]
 # docs_dedup_clusters is iterative (driver-controlled fixpoint loop); a
 # single executed plan doesn't describe it — see its docstring instead.

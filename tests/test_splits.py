@@ -107,3 +107,49 @@ def test_pack_chunks_sharded_invariants(spark):
         for r in pack_chunks(df, capacity=100).collect()
     }
     assert one == flat
+
+
+def test_source_temperature_sample_exact_membership(spark):
+    """Membership is exactly the documented all-integer predicate:
+    H·denom·n_s < S_s·m·2^32 with H the 32-bit md5 bucket — recomputed
+    here in pure Python from hashlib."""
+    import hashlib
+    import math
+
+    from k8stream_spark.analytics.splits import source_temperature_sample
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {r.doc_id for r in source_temperature_sample(df).collect()}
+
+    n = {"big": 80, "small": 20}
+    s = {k: math.floor(math.sqrt(v * 1000000)) for k, v in n.items()}
+    denom = sum(s.values())
+    m = (100 * 30) // 100
+    expected = set()
+    for doc_id, src in rows:
+        h = int(hashlib.md5(f"mix-v1:{doc_id}".encode()).hexdigest()[:8], 16)
+        if h * denom * n[src] < s[src] * m * 2**32:
+            expected.add(doc_id)
+    assert got == expected
+    # temperature flattening: the small source is up-weighted — its
+    # sqrt-share (sqrt(20)/(sqrt(80)+sqrt(20)) = 1/3) exceeds its raw
+    # share (1/5), so its sampling RATE must exceed the big source's.
+    rate_small = s["small"] * m / (denom * n["small"])
+    rate_big = s["big"] * m / (denom * n["big"])
+    assert rate_small > rate_big
+    # determinism: a rerun picks the identical sample
+    again = {r.doc_id for r in source_temperature_sample(df).collect()}
+    assert again == got
+
+
+def test_source_temperature_sample_uniform_sources(spark):
+    """With equal source sizes the temperature is a no-op: every source
+    samples at ~target_pct and the overall fraction lands there too."""
+    from k8stream_spark.analytics.splits import source_temperature_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = source_temperature_sample(df, target_pct=50).collect()
+    frac = len(got) / 400
+    assert 0.4 < frac < 0.6  # md5-uniform, 400 trials

@@ -195,3 +195,29 @@ def test_source_mix_stats_exact_counts(spark):
     assert web.mean_distinct_ratio == 0.625
     assert (books.n_docs, books.n_tokens) == (1, 2)
     assert books.mean_distinct_ratio == 1.0
+
+
+def test_c4_quality_filters_rules(spark):
+    from k8stream_spark.analytics.text import c4_quality_filters
+
+    docs = [
+        # 30 medium words: passes everything
+        (1, " ".join(["word"] * 30)),
+        # too short
+        (2, " ".join(["word"] * 10)),
+        # mean word length < 4 (all 1-char words), and stopword flood
+        (3, " ".join(["a"] * 40)),
+        # one over-long word kills pass_max_word_len only
+        (4, " ".join(["word"] * 39 + ["verylongword"])),
+        # NULL text: coalesces to one empty segment, fails min_words
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in c4_quality_filters(df).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].pass_min_words
+    assert not out[3].keep
+    assert not out[3].pass_mean_word_len and not out[3].pass_stopword_ratio
+    assert not out[4].keep and not out[4].pass_max_word_len
+    assert out[4].pass_min_words and out[4].pass_mean_word_len
+    assert not out[5].keep and out[5].n_words == 1
