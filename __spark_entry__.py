@@ -283,6 +283,37 @@ sh AS (
 )
 """
 
+# Shared tail for the connected-component oracles (docs_dedup_clusters,
+# docs_cluster_keep_longest): verified >=0.8-Jaccard pair graph →
+# bidirectional edges → recursive transitive closure; the component id
+# is MIN over everything reachable.
+CLUSTERS_CTE_TAIL = """
+, sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT cand.doc_a, cand.doc_b
+  FROM cand
+  JOIN sz sa ON sa.doc_id = cand.doc_a
+  JOIN sz sb ON sb.doc_id = cand.doc_b
+  WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a FROM pr
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+"""
+
 # Inverted-index form (mirrors the Spark ngram_jaccard_pairs shape): pairs
 # are generated by an equi-join on the shingle and Jaccard is derived from
 # the shared count and the two set sizes — identical output to the naive
@@ -817,6 +848,20 @@ def _q_remove_boilerplate(spark, sf_dir):
     )
 
 
+def _q_cluster_keep_longest(spark, sf_dir):
+    return docdedup.cluster_keep_longest(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _q_global_shuffle(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    return splits.global_shuffle(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
 def _q_c4_quality_filters(spark, sf_dir):
     return textan.c4_quality_filters(load_table(spark, sf_dir, "documents"))
 
@@ -1117,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_blob_meta_pandas": _q_blob_meta_pandas,
         "docs_c4_quality_filters": _q_c4_quality_filters,
         "docs_temperature_sample": _q_temperature_sample,
+        "docs_cluster_keep_longest": _q_cluster_keep_longest,
+        "docs_global_shuffle": _q_global_shuffle,
         "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
         "docs_dedup_simhash": _q_simhash,
         "emb_vector_norms": _q_vector_norms,
@@ -2169,35 +2216,48 @@ def oracle_sql() -> dict[str, str]:
         # different way.
         "docs_dedup_clusters": "WITH RECURSIVE "
         + SHINGLES_CTE.strip()[len("WITH ") :]
+        + CLUSTERS_CTE_TAIL
         + """
-, sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
-ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pr AS (
-  SELECT cand.doc_a, cand.doc_b
-  FROM cand
-  JOIN sz sa ON sa.doc_id = cand.doc_a
-  JOIN sz sb ON sb.doc_id = cand.doc_b
-  WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pr
-  UNION ALL
-  SELECT doc_b, doc_a FROM pr
-),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-)
 SELECT src AS doc_id, MIN(dst) AS cluster_id,
        (src = MIN(dst)) AS is_canonical
 FROM reach GROUP BY src
 """,
+        # Same component pass as docs_dedup_clusters, then the longest
+        # member (ties to smallest id) wins the cluster.
+        "docs_cluster_keep_longest": "WITH RECURSIVE "
+        + SHINGLES_CTE.strip()[len("WITH ") :]
+        + CLUSTERS_CTE_TAIL
+        + """
+, cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+         FROM reach GROUP BY src),
+tk AS (SELECT doc_id,
+              CAST(len(string_split(coalesce(text,''),' ')) AS BIGINT)
+                  AS n_tokens
+       FROM documents)
+SELECT t.doc_id, c.cluster_id, t.n_tokens,
+       ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                          ORDER BY t.n_tokens DESC, t.doc_id ASC) = 1
+           AS kept
+FROM tk t JOIN cl c USING (doc_id)
+""",
+        # Mirrors splits.global_shuffle: shard = first 32 md5 bits mod 8,
+        # in-shard order = the next 32 bits (ties by id).
+        "docs_global_shuffle": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5('shuffle-v1:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 8
+                          AS BIGINT) AS shard,
+                     CAST(CAST('0x' || substr(md5('shuffle-v1:' ||
+                          CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT)
+                          AS BIGINT) AS okey
+              FROM documents)
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                           ORDER BY okey, doc_id)
+                        AS BIGINT) AS pos
+            FROM h
+        """,
         # Same regex constants as the Spark op (single source of truth);
         # DuckDB regexp_replace needs the explicit 'g' flag to match
         # Spark's replace-all semantics.

@@ -30,7 +30,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -669,3 +669,43 @@ def remove_boilerplate(
         ).alias("cleaned_text"),
         F.count(F.lit(1)).alias("n_segments_kept"),
     ).withColumnRenamed("__doc", id_col)
+
+
+def cluster_keep_longest(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Representative selection over near-dup clusters: within each
+    connected component of the verified near-dup graph keep the member
+    with the MOST tokens (ties break to the smallest doc_id).  The
+    min-id canonical of ``dedup_clusters`` is an arbitrary survivor;
+    real pipelines keep the most content-bearing member of a duplicate
+    group (the longest variant usually subsumes the truncated
+    re-crawls), which is this operator.
+
+    Output: one row per doc — ``doc_id``, ``cluster_id``, ``n_tokens``,
+    ``kept``.  Exactly one kept row per cluster; singletons keep
+    themselves.
+
+    Scale posture: the component pass is ``dedup_clusters`` (bucketed
+    pair generation + O(log d) label propagation — see its docstring);
+    this adds one broadcast-free equi-join of (doc_id, n_tokens) onto
+    the (doc_id, cluster_id) labels and one window ranked within
+    clusters — the window partitions by cluster_id, and clusters are
+    small by construction (they are near-duplicate groups), so no
+    single partition ever sees more than one group's rows.
+    """
+    clusters = dedup_clusters(df, text_col, threshold=threshold)
+    n_tokens = F.size(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ).cast("bigint")
+    sized = df.select("doc_id", n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sized.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .withColumn("kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_tokens", "kept")
+    )

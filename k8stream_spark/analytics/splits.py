@@ -276,3 +276,47 @@ def source_temperature_sample(
         .where(keep)
         .select(id_col, source_col)
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the last step before
+    writing training shards: every row gets a shard and a position
+    within the shard, both pure functions of ``md5(seed:id)``, so the
+    epoch-0 data order is reproducible across runs, engines, and
+    cluster sizes (``orderBy(rand())`` is none of those).
+
+    Shard = first 32 md5 bits mod ``n_shards``; in-shard order = the
+    NEXT 32 bits (independent of the shard bits, so order within a
+    shard is uniform), ties broken by id.  Readers stream shards in
+    index order and rows by ``pos`` — a full-corpus shuffle without any
+    global sort.
+
+    Scale posture (100 TB): ONE hash-partitioned exchange on the shard
+    key with a per-shard sort (the window) — the classic write-shuffled
+    -shards shape; no single-partition stage anywhere, and shard
+    parallelism is the knob (shards ~ executor count × a few).  The
+    whole assignment is engine-portable column algebra, oracle-exact.
+    """
+    tagged = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("bigint")
+        % n_shards
+    )
+    okey = F.conv(F.substring(F.md5(tagged), 9, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__okey").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            okey.alias("__okey"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )

@@ -67,9 +67,11 @@ AUDITED = [
     "docs_remove_boilerplate",
     "docs_c4_quality_filters",
     "docs_temperature_sample",
+    "docs_global_shuffle",
 ]
-# docs_dedup_clusters is iterative (driver-controlled fixpoint loop); a
-# single executed plan doesn't describe it — see its docstring instead.
+# docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
+# it) is iterative (driver-controlled fixpoint loop); a single executed
+# plan doesn't describe it — see its docstring instead.
 
 
 def audit(df) -> dict[str, int]:

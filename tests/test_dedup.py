@@ -188,3 +188,29 @@ def test_remove_boilerplate_ragged_tail_and_order(spark):
     assert out[0].cleaned_text == "a b c d e"
     assert out[0].n_segments_kept == 2
     assert out[1].cleaned_text == "f g h i j"
+
+
+def test_cluster_keep_longest_picks_longest_member(spark):
+    from k8stream_spark.analytics.dedup import cluster_keep_longest
+
+    base = [f"w{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(base)),                      # 30 tokens
+        (2, " ".join(base + ["extra", "tail"])),  # 32 tokens, near-dup of 1
+        (3, " ".join(f"z{i}" for i in range(40))),  # unrelated singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in cluster_keep_longest(df).collect()}
+    assert len(out) == 3
+    # docs 1 and 2 share a cluster; the longer doc 2 wins
+    assert out[1].cluster_id == out[2].cluster_id
+    assert out[2].kept and not out[1].kept
+    assert out[2].n_tokens == 32 and out[1].n_tokens == 30
+    # the singleton keeps itself
+    assert out[3].kept and out[3].cluster_id == 3
+    # exactly one kept row per cluster
+    kept_per_cluster = {}
+    for r in out.values():
+        kept_per_cluster.setdefault(r.cluster_id, 0)
+        kept_per_cluster[r.cluster_id] += r.kept
+    assert all(v == 1 for v in kept_per_cluster.values())

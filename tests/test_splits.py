@@ -153,3 +153,36 @@ def test_source_temperature_sample_uniform_sources(spark):
     got = source_temperature_sample(df, target_pct=50).collect()
     frac = len(got) / 400
     assert 0.4 < frac < 0.6  # md5-uniform, 400 trials
+
+
+def test_global_shuffle_matches_python_md5(spark):
+    """Shard and in-shard position are pure functions of md5(seed:id) —
+    recomputed here with hashlib; positions are contiguous per shard."""
+    import hashlib
+
+    from k8stream_spark.analytics.splits import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id bigint"
+    )
+    got = {r.doc_id: (r.shard, r.pos) for r in global_shuffle(df).collect()}
+    assert len(got) == 200
+
+    def md5int(doc_id, lo, hi):
+        h = hashlib.md5(f"shuffle-v1:{doc_id}".encode()).hexdigest()
+        return int(h[lo:hi], 16)
+
+    by_shard = {}
+    for i in range(200):
+        by_shard.setdefault(md5int(i, 0, 8) % 8, []).append(
+            (md5int(i, 8, 16), i)
+        )
+    expected = {}
+    for shard, members in by_shard.items():
+        for pos, (_, doc_id) in enumerate(sorted(members), start=1):
+            expected[doc_id] = (shard, pos)
+    assert got == expected
+    # per-shard positions are 1..n with no gaps
+    for shard, members in by_shard.items():
+        ps = sorted(p for d, (s, p) in got.items() if s == shard)
+        assert ps == list(range(1, len(members) + 1))
