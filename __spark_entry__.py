@@ -848,6 +848,14 @@ def _q_remove_boilerplate(spark, sf_dir):
     )
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    return textan.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def _q_corpus_top_ngrams(spark, sf_dir):
+    return textan.corpus_top_ngrams(load_table(spark, sf_dir, "documents"))
+
+
 def _q_cluster_keep_longest(spark, sf_dir):
     return docdedup.cluster_keep_longest(
         load_table(spark, sf_dir, "documents"), threshold=0.8
@@ -1164,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_temperature_sample": _q_temperature_sample,
         "docs_cluster_keep_longest": _q_cluster_keep_longest,
         "docs_global_shuffle": _q_global_shuffle,
+        "text_ngram_novelty": _q_ngram_novelty,
+        "text_corpus_top_ngrams": _q_corpus_top_ngrams,
         "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
         "docs_dedup_simhash": _q_simhash,
         "emb_vector_norms": _q_vector_norms,
@@ -2239,6 +2249,29 @@ SELECT t.doc_id, c.cluster_id, t.n_tokens,
                           ORDER BY t.n_tokens DESC, t.doc_id ASC) = 1
            AS kept
 FROM tk t JOIN cl c USING (doc_id)
+""",
+        # Mirrors text.ngram_novelty: trigram inverted index, earliest
+        # doc wins the gram; counts only, no ratios to round.
+        "text_ngram_novelty": SHINGLES_CTE
+        + """
+, ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+fs AS (SELECT g, MIN(doc_id) AS first FROM ex GROUP BY g),
+pd AS (SELECT e.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+              CAST(SUM(CASE WHEN e.doc_id = f.first THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_novel
+       FROM ex e JOIN fs f USING (g) GROUP BY e.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_ngrams, 0) AS n_ngrams,
+       coalesce(p.n_novel, 0) AS n_novel
+FROM documents d LEFT JOIN pd p USING (doc_id)
+""",
+        "text_corpus_top_ngrams": SHINGLES_CTE
+        + """
+, ex AS (SELECT doc_id, unnest(s) AS g FROM sh)
+SELECT g AS ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM ex GROUP BY g
+ORDER BY doc_freq DESC, ngram ASC LIMIT 20
 """,
         # Mirrors splits.global_shuffle: shard = first 32 md5 bits mod 8,
         # in-shard order = the next 32 bits (ties by id).

@@ -479,3 +479,89 @@ def source_mix_stats(
         mean_doc_tokens.alias("mean_doc_tokens"),
         mean_distinct_ratio.alias("mean_distinct_ratio"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty — the curation signal behind
+    "how much NEW content does this doc add": for each doc, how many of
+    its distinct n-grams appear in NO earlier document (doc_id order is
+    the arrival order).  Crawl pipelines rank/retain by novelty to avoid
+    paying training compute for the long tail of recombined content.
+
+    Output (all exact integers, no rounding anywhere): ``doc_id``,
+    ``n_ngrams`` (distinct n-grams in the doc), ``n_novel`` (those whose
+    earliest corpus occurrence is this doc).  Docs shorter than ``n``
+    tokens have 0/0.
+
+    Scale posture: the same inverted-index shape as the n-gram Jaccard
+    verifier — explode distinct n-grams, ONE hash-groupBy on the n-gram
+    computing min(doc_id) (map-side partial min), one equi-join back on
+    the n-gram, one count per doc.  Shuffles carry (ngram-hash, id)
+    pairs; nothing is ever all-pairs.
+    """
+    toks = tokens(text_col)
+    # Guard short docs: Spark sequence(1, 0) DESCENDS ([1, 0]) and slice
+    # rejects start 0, so docs with < n tokens must short-circuit to an
+    # empty gram set (same pattern as rolling_fingerprint).
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    grams = F.array_distinct(
+        F.when(F.size(toks) >= n, gram_arr).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    ex = df.select("doc_id", F.explode(grams).alias("__g"))
+    first_seen = ex.groupBy("__g").agg(F.min("doc_id").alias("__first"))
+    per_doc = (
+        ex.join(first_seen, "__g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                (F.col("doc_id") == F.col("__first")).cast("bigint")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .na.fill({"n_ngrams": 0, "n_novel": 0})
+    )
+
+
+def corpus_top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k most frequent n-grams (by document frequency,
+    ties broken lexicographically) — the summary statistic every corpus
+    audit starts from, and the seed list for boilerplate/template
+    detection (the df-threshold kill list of ``remove_boilerplate`` is
+    this table's head).
+
+    Exact counts, deterministic tiebreak.  One explode + hash-groupBy on
+    the n-gram, then a global top-k — which Catalyst executes as
+    TakeOrderedAndProject (per-partition heaps + merge), never a global
+    sort of the n-gram table.
+    """
+    toks = tokens(text_col)
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # Same short-doc guard as ngram_novelty (sequence descends past 0).
+    grams = F.array_distinct(
+        F.when(F.size(toks) >= n, gram_arr).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return (
+        df.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -68,6 +68,8 @@ AUDITED = [
     "docs_c4_quality_filters",
     "docs_temperature_sample",
     "docs_global_shuffle",
+    "text_ngram_novelty",
+    "text_corpus_top_ngrams",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed
@@ -101,7 +103,13 @@ def audit(df) -> dict[str, int]:
 # verified on Spark 4.1.2).  An innocent expression change could silently
 # defeat the rewrite and re-introduce an O(customers) single-partition
 # window — fail the audit loudly instead of letting PLANS.md drift.
-ASSERT_TOPK_REWRITE = {"q10_returned_items", "q18_large_volume_customers"}
+ASSERT_TOPK_REWRITE = {
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    # orderBy().limit() must stay TakeOrderedAndProject (per-partition
+    # heaps + merge), never a global sort of the n-gram table.
+    "text_corpus_top_ngrams",
+}
 
 
 def main() -> None:

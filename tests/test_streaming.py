@@ -338,3 +338,41 @@ def test_semantic_dedup_streaming_twin(spark, tmp_path):
     assert got[1] == (False, 0) and got[3] == (False, 2)
     for vid in (0, 2, 4, 5):
         assert got[vid] == (True, None)
+
+
+def test_c4_quality_filters_on_streaming_frame(spark, tmp_path):
+    """c4_quality_filters is a stateless codegen projection, so it
+    composes DIRECTLY with a streaming frame (no foreachBatch wrapper
+    needed) — the batch/stream symmetry the package is built on."""
+    import json as _json
+
+    from k8stream_spark.analytics.text import c4_quality_filters
+
+    docs = [
+        {"doc_id": 1, "text": " ".join(["word"] * 30)},
+        {"doc_id": 2, "text": " ".join(["word"] * 10)},
+        {"doc_id": 3, "text": " ".join(["a"] * 40)},
+    ]
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "docs.json"), "w") as f:
+        for d in docs:
+            f.write(_json.dumps(d) + "\n")
+
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    flagged = c4_quality_filters(stream)
+    assert flagged.isStreaming
+    got = {}
+
+    def collect(batch_df, _bid):
+        for r in batch_df.collect():
+            got[r.doc_id] = r.keep
+
+    q = (
+        flagged.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt-c4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert got == {1: True, 2: False, 3: False}

@@ -221,3 +221,35 @@ def test_c4_quality_filters_rules(spark):
     assert not out[4].keep and not out[4].pass_max_word_len
     assert out[4].pass_min_words and out[4].pass_mean_word_len
     assert not out[5].keep and out[5].n_words == 1
+
+
+def test_ngram_novelty_hand_case(spark):
+    from k8stream_spark.analytics.text import ngram_novelty
+
+    docs = [
+        (1, "a b c d"),    # trigrams {a b c, b c d} — both novel
+        (2, "a b c x"),    # {a b c, b c x} — 'a b c' first seen in doc 1
+        (3, "z"),          # shorter than n: 0 / 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    assert (out[1].n_ngrams, out[1].n_novel) == (2, 2)
+    assert (out[2].n_ngrams, out[2].n_novel) == (2, 1)
+    assert (out[3].n_ngrams, out[3].n_novel) == (0, 0)
+
+
+def test_corpus_top_ngrams_orders_by_doc_freq(spark):
+    from k8stream_spark.analytics.text import corpus_top_ngrams
+
+    docs = [
+        (1, "x y z a b c"),
+        (2, "x y z q r s"),
+        (3, "x y z"),
+        (4, "q r s t"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = corpus_top_ngrams(df, k=3).collect()
+    assert [r.ngram for r in rows][0] == "x y z"
+    assert rows[0].doc_freq == 3
+    # deterministic lexicographic tiebreak among doc_freq=2
+    assert rows[1].ngram == "q r s" and rows[1].doc_freq == 2
