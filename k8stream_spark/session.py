@@ -89,6 +89,9 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
         )
         .config("spark.ui.enabled", "false")
+        # The console progress bar writes \r-terminated lines that glue
+        # onto diagnostic output (check_oracle / plan_audit line parsing).
+        .config("spark.ui.showConsoleProgress", "false")
         # Streaming state at scale: RocksDB keeps dedup state off-heap and
         # incrementally checkpointed (reference's buntdb cache analog,
         # reference cache.go:19-140 — but durable and partitioned).
