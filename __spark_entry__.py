@@ -848,6 +848,13 @@ def _q_remove_boilerplate(spark, sf_dir):
     )
 
 
+def _q_resize_image(spark, sf_dir):
+    blobs = multimodal.synth_image_blobs(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.resize_image(blobs)
+
+
 def _q_ngram_novelty(spark, sf_dir):
     return textan.ngram_novelty(load_table(spark, sf_dir, "documents"))
 
@@ -1174,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_global_shuffle": _q_global_shuffle,
         "text_ngram_novelty": _q_ngram_novelty,
         "text_corpus_top_ngrams": _q_corpus_top_ngrams,
+        "mm_resize_image": _q_resize_image,
         "docs_dedup_ngram_jaccard": _q_ngram_jaccard,
         "docs_dedup_simhash": _q_simhash,
         "emb_vector_norms": _q_vector_norms,
@@ -2250,6 +2258,23 @@ SELECT t.doc_id, c.cluster_id, t.n_tokens,
            AS kept
 FROM tk t JOIN cl c USING (doc_id)
 """,
+        # The Spark side REALLY decodes and nearest-neighbor-resamples
+        # the synthesized solid-fill BMPs; the oracle states the closed
+        # form the synthesis implies (resizing a solid image preserves
+        # the fill; checksum = 8·8·(r+g+b)).  An indexing bug in the
+        # decode or resample breaks the match.
+        "mm_resize_image": """
+            SELECT doc_id,
+                   CAST(8 AS BIGINT) AS width,
+                   CAST(8 AS BIGINT) AS height,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+                   CAST(64 * ((doc_id % 256) + (doc_id * 7) % 256
+                              + (doc_id * 13) % 256) AS BIGINT)
+                       AS pixel_sum
+            FROM documents
+        """,
         # Mirrors text.ngram_novelty: trigram inverted index, earliest
         # doc wins the gram; counts only, no ratios to round.
         "text_ngram_novelty": SHINGLES_CTE

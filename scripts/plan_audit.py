@@ -70,6 +70,7 @@ AUDITED = [
     "docs_global_shuffle",
     "text_ngram_novelty",
     "text_corpus_top_ngrams",
+    "mm_resize_image",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed

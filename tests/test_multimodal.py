@@ -91,3 +91,37 @@ def test_frame_sample_stride(spark):
     short = multimodal.attach_blob(
         spark.createDataFrame([(2, "tiny")], "doc_id bigint, text string"))
     assert multimodal.frame_sample_stub(short).count() == 0
+
+
+def test_resize_image_nearest_neighbor_indexing(spark):
+    """Non-uniform hand image: nearest-neighbor src = floor((i+0.5) *
+    src/dst) must select exactly columns 1,3 and both rows when going
+    4x2 -> 2x2 — a solid-fill corpus (the oracle's case) cannot catch an
+    off-by-one here, this test does."""
+    import struct
+
+    from k8stream_spark.analytics.multimodal import resize_image
+
+    w, h = 4, 2
+    # top-down RGB rows; red channel encodes the position
+    top = [(10, 0, 0), (20, 0, 0), (30, 0, 0), (40, 0, 0)]
+    bottom = [(50, 0, 0), (60, 0, 0), (70, 0, 0), (80, 0, 0)]
+    pad = (4 - (3 * w) % 4) % 4
+    # BMP stores rows bottom-up, BGR
+    pixels = b""
+    for row in (bottom, top):
+        pixels += b"".join(bytes([b, g, r]) for r, g, b in row)
+        pixels += b"\x00" * pad
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    blob = header + info + pixels
+
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id bigint, blob binary")
+    r = resize_image(df, target_w=2, target_h=2).collect()[0]
+    # cols 1,3 of rows 0,1 -> reds {20, 40, 60, 80}
+    assert (r.width, r.height) == (2, 2)
+    assert r.mean_r == 50.0 and r.mean_g == 0.0 and r.mean_b == 0.0
+    assert r.pixel_sum == 20 + 40 + 60 + 80
