@@ -376,3 +376,56 @@ def test_c4_quality_filters_on_streaming_frame(spark, tmp_path):
     )
     assert q.awaitTermination(120)
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_llm_ingest_streaming_pipeline(spark, tmp_path):
+    """LLM-ingest in streaming form: one streaming query composes the
+    batch operators end-to-end — C4 quality gate → exact-dedup by
+    content fingerprint (dropDuplicatesWithinWatermark) → token count.
+    The batch/stream symmetry claim, demonstrated on the LLM layer."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    good = " ".join(["word"] * 30)
+    docs = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": good},                      # exact dup of 1
+        {"doc_id": 3, "text": " ".join(["word"] * 35)},   # unique, passes
+        {"doc_id": 4, "text": " ".join(["word"] * 10)},   # fails min_words
+    ]
+    src = str(tmp_path / "ingest_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "docs.json"), "w") as f:
+        for d in docs:
+            f.write(_json.dumps(d) + "\n")
+
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    # Quality gate inline (one pass), then dedup on the content hash
+    # with an arrival-time watermark bounding the streaming state.
+    gated = (
+        stream.where(F.size(F.split("text", " ")) >= 30)
+        .withColumn("__fp", F.md5("text"))
+        .withColumn("__arrival", F.current_timestamp())
+        .withWatermark("__arrival", "1 hour")
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    )
+    got = {}
+
+    def collect(batch_df, _bid):
+        for r in batch_df.collect():
+            got[r.doc_id] = r.n_tokens
+
+    q = (
+        gated.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt-ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # doc 4 gated out; exactly one of the duplicate pair {1, 2} survives
+    assert set(got) & {1, 2} and len(set(got) & {1, 2}) == 1
+    assert 3 in got and got[3] == 35
+    assert 4 not in got
