@@ -1297,15 +1297,28 @@ def oracle_sql() -> dict[str, str]:
     pins hand vectors and bounds same-cell recall), and
     events_approx_user_counts (HLL++ estimates are implementation-defined;
     pytest bounds the relative error against the exact count)."""
-    # Round in DECIMAL space before the double cast (matches
-    # tpch.exact_sum): both engines use half-away-from-zero on decimals,
-    # so cent-boundary sums (…595) agree; rounding the double instead
-    # diverges on the binary approximation.
-    exact_sum = (
-        lambda expr, scale=2: f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,8))), {scale}) AS DOUBLE)"
+    # Exact scaled-integer money sums, mirroring tpch._scaled_total /
+    # exact_sum / exact_avg EXPRESSION-FOR-EXPRESSION: per row both
+    # engines evaluate the same IEEE doubles (x*1e8+0.5, /2^23 exact,
+    # floor), sum the identical hi/lo longs (DuckDB SUM(bigint)→HUGEINT,
+    # exact), round half-away-from-zero in integer space, and make ONE
+    # deterministic conversion to double.  Rounding a double sum instead
+    # diverges between engines on cent boundaries.
+    def _tot(expr: str) -> str:
+        vp = f"(({expr})*100000000.0+0.5)"
+        hi = f"CAST(FLOOR({vp}/8388608.0) AS BIGINT)"
+        lo = f"(CAST(FLOOR({vp}) AS BIGINT) - {hi}*8388608)"
+        return f"(SUM({hi})*8388608 + SUM({lo}))"
+
+    exact_sum = lambda expr, scale=2: (  # noqa: E731
+        f"(CAST(ROUND(CAST({_tot(expr)} AS DECIMAL(38,0)), {scale - 8}) "
+        f"AS DOUBLE)/100000000.0)"
     )
-    exact_avg = (
-        lambda expr, scale=4: f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)/COUNT(*), {scale})"
+    exact_avg = lambda expr, scale=4: (  # noqa: E731
+        f"((CASE WHEN {_tot(expr)} < 0 THEN -1 ELSE 1 END)"
+        f" * ((2*ABS({_tot(expr)}) + COUNT(*)*{10 ** (8 - scale)})"
+        f" // (2*COUNT(*)*{10 ** (8 - scale)}))"
+        f" / {float(10 ** scale)!r})"
     )
     return {
         "p1_namespace_blacklist": f"""

@@ -19,27 +19,75 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def exact_sum(col: Column, scale: int = 2) -> Column:
-    """Order-independent money sum: per-row doubles are cast to an exact
-    DECIMAL before the (partial) aggregation, so the result does not depend
-    on partition/accumulation order — a double sum over 600M rows drifts by
-    more than a cent and would flap against the oracle; a decimal sum is
-    bit-stable at any parallelism.
+#: Quantization step for exact money sums: 8 decimal places.
+_QSCALE = 100000000.0
+#: hi/lo radix for the two-long decomposition (2^23 — a power of two so the
+#: double division below is EXACT, and small enough that both long sums
+#: stay overflow-free past 10^12 rows per group; ANSI mode errors loudly
+#: beyond that instead of wrapping).
+_SPLIT = 8388608
 
-    The final rounding happens in DECIMAL space (HALF_UP), not on the
-    double: a sum landing exactly on a cent boundary (…595) rounds
-    differently through the double's binary approximation (…59499999…)
-    than through the exact decimal, and engines disagree on which — both
-    this and the oracle round the exact decimal, then cast."""
-    return F.round(F.sum(col.cast("decimal(30,8)")), scale).cast("double")
+
+def _scaled_total(col: Column) -> Column:
+    """Exact order-independent total of ``col`` as a scaled integer
+    (value × 10^8), returned as DECIMAL(38,0).
+
+    Per row the double is quantized with pure-codegen FP ops —
+    ``floor(x*1e8 + 0.5)`` (half-up toward +inf) — then split into
+    ``hi = floor(v'/2^23)`` and ``lo = floor(v') - hi*2^23 ∈ [0, 2^23)``.
+    Division by 2^23 is exact in binary floating point, so both engines
+    (Spark and the DuckDB oracle) computing the same IEEE expression get
+    the same two longs for every row; two plain LONG sums are then
+    order-independent and whole-stage-codegen friendly.  The earlier
+    implementation cast each double to DECIMAL(30,8) and summed decimals:
+    bit-stable too, but the double→decimal cast goes through BigDecimal/
+    Double.toString and the 38-digit sum buffer falls off the compact-long
+    fast path — measured 6-7× slower than this formulation on the q1
+    aggregate (the r6 bench regression).
+
+    Overflow posture at 100 TB: |value| ≤ ~1.1e5 → |hi| ≤ 1.4e6 and
+    lo < 8.4e6, so a single group overflows the long sums only past
+    ~1.1e12 rows (≈180 TB of lineitem in ONE group); ANSI mode (on by
+    default, session.py) raises instead of silently wrapping there."""
+    vp = col * F.lit(_QSCALE) + F.lit(0.5)
+    hi = F.floor(vp / F.lit(float(_SPLIT)))
+    lo = F.floor(vp) - hi * F.lit(_SPLIT)
+    return F.sum(hi).cast("decimal(38,0)") * F.lit(_SPLIT) + F.sum(lo).cast(
+        "decimal(38,0)"
+    )
+
+
+def exact_sum(col: Column, scale: int = 2) -> Column:
+    """Order-independent money sum, rounded half-away-from-zero to
+    ``scale`` decimal places.
+
+    The rounding happens in exact integer space — ``round(tot, scale-8)``
+    on the DECIMAL(38,0) scaled total (Spark HALF_UP == DuckDB ROUND on
+    decimals == half away from zero) — then ONE deterministic conversion
+    to double.  Rounding the double sum instead diverges between engines
+    on cent boundaries (…595 vs …59499999…)."""
+    r = F.round(_scaled_total(col), scale - 8)
+    return r.cast("double") / F.lit(_QSCALE)
 
 
 def exact_avg(col: Column, scale: int = 4) -> Column:
-    """Order-independent mean via exact decimal sum / count."""
-    return F.round(
-        F.sum(col.cast("decimal(30,8)")).cast("double") / F.count(F.lit(1)),
-        scale,
-    )
+    """Order-independent mean, rounded half-away-from-zero to ``scale``
+    decimal places in exact integer space (repo convention: means round
+    integer-side, never on the double quotient).
+
+    With ``tot`` the ×10^8 scaled integer total and ``n`` the row count,
+    the rounded quotient is ``sign · floor((2·|tot| + n·d) / (2·n·d))``
+    with ``d = 10^(8-scale)`` — all DECIMAL(38,0) integer arithmetic; the
+    decimal division is exact because the dividend is pre-reduced to a
+    multiple of the divisor via pmod."""
+    tot = _scaled_total(col)
+    d = 10 ** (8 - scale)
+    n = F.count(F.lit(1)).cast("decimal(38,0)")
+    p = F.abs(tot) * 2 + n * F.lit(d)
+    m = n * F.lit(2 * d)
+    q = ((p - F.pmod(p, m)) / m).cast("long")
+    sign = F.when(tot < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sign * q).cast("double") / F.lit(float(10**scale))
 
 
 def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2000-09-02") -> DataFrame:
