@@ -273,6 +273,38 @@ def _j4_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shingle CTE shared by the near-dup oracles (3-word shingles, distinct).
+# Bit-exact mirror of similarity._plane_weights + bucket_keys for the
+# hyperplane-LSH queries (tables=24, bits=6, dim=64): integer plane
+# weights derived from sha256("t:b:d") (DuckDB's sha256 == hashlib's),
+# vectors quantized with the same IEEE double ops floor(x*1e6+0.5), sign
+# of the exact int64 dot product, key = t*2^bits + Σ s_b·2^(bits-1-b).
+# Everything integer → no float summation-order dependence, so the
+# candidate sets match Spark's exactly and the approximate pipeline is
+# hash-checkable end to end.
+_LSH_CTE = """
+WITH planes AS (
+  SELECT t.t AS t, b.b AS b, d.d AS d,
+         CAST(CAST('0x' || substr(sha256(CAST(t.t AS VARCHAR)||':'||
+                                         CAST(b.b AS VARCHAR)||':'||
+                                         CAST(d.d AS VARCHAR)), 1, 16)
+                   AS UBIGINT) % 100000 AS BIGINT) - 50000 AS w
+  FROM range(24) t(t), range(6) b(b), range(64) d(d)
+), vq AS (
+  SELECT e.vec_id AS vid, d.d AS d,
+         CAST(FLOOR(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings e, range(64) d(d)
+), sig AS (
+  SELECT v.vid, p.t, p.b,
+         CASE WHEN SUM(v.q * p.w) >= 0 THEN 1 ELSE 0 END AS s
+  FROM vq v JOIN planes p ON p.d = v.d
+  GROUP BY v.vid, p.t, p.b
+), bkey AS (
+  SELECT vid, t, CAST(t * 64 + SUM(s * (1 << (5 - b))) AS BIGINT) AS bkt
+  FROM sig GROUP BY vid, t
+)
+"""
+
 SHINGLES_CTE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 sh AS (
@@ -1290,9 +1322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query.  Omitted on purpose (rows-only
     checks): docs_dedup_simhash (xxhash64 seeds have no DuckDB equivalent),
-    emb_cosine_topk_lsh, emb_cosine_topk_ivf and emb_cosine_near_dup_lsh
-    (approximate by design; pytest checks their recall against the exact
-    results),
+    emb_cosine_topk_ivf
+    (approximate by design; pytest checks its recall against the exact
+    results; emb_cosine_topk_lsh / emb_cosine_near_dup_lsh ARE
+    hash-checked — the integer-exact bucketing lets DuckDB replicate the
+    approximate pipeline itself, see _LSH_CTE),
     docs_semantic_dedup (k-means cell ids are engine-specific; pytest
     pins hand vectors and bounds same-cell recall), and
     events_approx_user_counts (HLL++ estimates are implementation-defined;
@@ -2100,6 +2134,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v,b.v)
                   / (sqrt(list_dot_product(a.v,a.v))
                      * sqrt(list_dot_product(b.v,b.v))) >= 0.45
+        """,
+        # Full-pipeline mirrors of the LSH queries: the bucketing is exact
+        # integer arithmetic (sha256-derived integer plane weights ×
+        # floor(x*1e6+0.5)-quantized vectors, similarity._plane_weights /
+        # bucket_keys), so DuckDB replicates candidate generation
+        # bit-for-bit from the same public recipe and then reranks with
+        # the same cosine formula as the exact queries.  This checks the
+        # APPROXIMATE algorithm itself cross-engine — stronger than the
+        # old rows-only record.
+        "emb_cosine_near_dup_lsh": _LSH_CTE
+        + """
+            , cand AS (
+              SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+              FROM bkey a JOIN bkey b ON a.bkt = b.bkt AND a.vid < b.vid
+            ), base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT c.id_a, c.id_b,
+                   ROUND(list_dot_product(a.v,b.v)
+                         / (sqrt(list_dot_product(a.v,a.v))
+                            * sqrt(list_dot_product(b.v,b.v))), 6) AS cosine
+            FROM cand c
+            JOIN base a ON a.vec_id = c.id_a
+            JOIN base b ON b.vec_id = c.id_b
+            WHERE list_dot_product(a.v,b.v)
+                  / (sqrt(list_dot_product(a.v,a.v))
+                     * sqrt(list_dot_product(b.v,b.v))) >= 0.45
+        """,
+        "emb_cosine_topk_lsh": _LSH_CTE
+        + f"""
+            , cand AS (
+              SELECT DISTINCT q.vid AS query_id, o.vid AS nid
+              FROM bkey q JOIN bkey o ON q.bkt = o.bkt AND o.vid != q.vid
+              WHERE q.vid IN {TOPK_QUERY_IDS}
+            ), base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), scored AS (
+              SELECT c.query_id, c.nid AS neighbor_id,
+                     ROUND(list_dot_product(q.v, b.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM cand c
+              JOIN base q ON q.vec_id = c.query_id
+              JOIN base b ON b.vec_id = c.nid
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 10
         """,
         "emb_cosine_topk": """
             WITH base AS (

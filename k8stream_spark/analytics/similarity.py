@@ -129,18 +129,24 @@ def cosine_topk(
     )
 
 
-def _plane_weights(table: int, bit: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane components in [-0.5, 0.5),
-    derived from sha256(table:bit:d) at PLAN-BUILD time — they enter the
-    plan as double literals.  No RNG state → identical plans on every run
-    and every executor, and (unlike a per-row hash expression) zero
-    per-row hashing cost."""
+def _plane_weights(table: int, bit: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane components as INTEGERS in
+    [-50000, 49999], derived from sha256(table:bit:d) at PLAN-BUILD time.
+    No RNG state → identical plans on every run and every executor, and
+    (unlike a per-row hash expression) zero per-row hashing cost.
+
+    Integer weights (instead of the earlier floats) make the whole bucket
+    assignment exact integer arithmetic once the vector is quantized
+    (``bucket_keys``): the sign of an int64 dot product is identical in
+    numpy, Spark and DuckDB regardless of summation order, so the DuckDB
+    oracle can replicate the bucketing bit-for-bit from the same public
+    recipe (``sha256(t:b:d)`` is a DuckDB builtin) and the LSH queries are
+    hash-checkable end to end, not rows-only.  Uniform ints are as good a
+    hyperplane direction source as uniform floats."""
     out = []
     for d in range(dim):
         h = hashlib.sha256(f"{table}:{bit}:{d}".encode()).digest()
-        out.append(
-            (int.from_bytes(h[:8], "big") % 100000) / 100000.0 - 0.5
-        )
+        out.append(int.from_bytes(h[:8], "big") % 100000 - 50000)
     return out
 
 
@@ -164,15 +170,23 @@ def bucket_keys(
             _plane_weights(t, b, dim)
             for t in range(tables)
             for b in range(bits)
-        ]
+        ],
+        dtype=np.int64,
     )  # (tables*bits, dim)
 
     @pandas_udf("array<long>")
     def keys(v: pd.Series) -> pd.Series:
         if v.empty:
             return pd.Series([], dtype=object)
-        V = np.vstack(v.to_numpy())  # (n, dim)
-        signs = (V @ W.T >= 0).astype(np.int64)  # (n, tables*bits)
+        V = np.vstack(v.to_numpy())  # (n, dim) float64
+        # Quantize to integers first (floor(x*1e6 + 0.5) — the same IEEE
+        # double ops the DuckDB oracle runs), then take signs of the
+        # EXACT int64 matmul: no float summation-order dependence, so
+        # bucket keys are bit-identical across numpy/Spark/DuckDB.
+        # |q| ≤ ~5e6 · |w| ≤ 5e4 · dim 64 → |dot| ≤ 1.6e13, far inside
+        # int64.
+        VQ = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        signs = (VQ @ W.T >= 0).astype(np.int64)  # (n, tables*bits)
         n = len(v)
         keys_mat = np.empty((n, tables), dtype=np.int64)
         for t in range(tables):
@@ -299,11 +313,18 @@ def cosine_near_dup_lsh(
     norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
         F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
     ).persist()
-    bucketed = norm_d.select(
+    # Bucket the RAW vector (hyperplane signs are scale-invariant, so the
+    # buckets are the same as for the unit vector) — the raw doubles are
+    # exactly what the DuckDB oracle quantizes, keeping candidate
+    # generation bit-identical across engines; the normalized copy would
+    # re-introduce float-division noise before quantization.
+    raw = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    bucketed = raw.select(
         "__id",
-        # hyperplane signs are scale-invariant: bucketing the unit vector
-        # gives identical keys to bucketing the raw vector
-        F.explode(bucket_keys(F.col("__u"), dim, tables, bits)).alias("__bkt"),
+        F.explode(bucket_keys(F.col("__v"), dim, tables, bits)).alias("__bkt"),
     ).persist()
     # Materialize before the self-join: within one action the two join
     # branches would otherwise race the unpopulated cache and each compute
