@@ -2040,6 +2040,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_minhash_lsh": NEAR_DUP_SQL,
         "docs_dedup_ngram_jaccard": NEAR_DUP_SQL,
+        # SimHash pairs: the engine's pigeonhole banding is EXACT (any
+        # pair at Hamming<=3 shares a full band), so its output equals
+        # the all-pairs answer, which the oracle computes directly; the
+        # signature itself mirrors bit-for-bit because the token hash is
+        # conv(substr(sha256(token),1,15),16,10) == CAST('0x…' AS BIGINT)
+        # (dedup.simhash, SIMHASH_BITS=60).
+        "docs_dedup_simhash": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(sha256(token), 1, 15) AS BIGINT) AS h
+              FROM tok
+            ), bits AS (
+              SELECT doc_id, b.b AS b,
+                     CASE WHEN SUM(CASE WHEN (h >> b.b) & 1 = 1
+                                        THEN 1 ELSE -1 END) > 0
+                          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                     END AS s
+              FROM th, range(60) b(b)
+              GROUP BY doc_id, b.b
+            ), sims AS (
+              SELECT doc_id, CAST(SUM(s * (CAST(1 AS BIGINT) << b))
+                                  AS BIGINT) AS sh
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
         # Decontamination: overlap counted on distinct 5-gram strings
         # (the engine joins on xxhash64 of the same strings — identical
         # counts absent a 64-bit collision, same convention as the

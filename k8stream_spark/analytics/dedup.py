@@ -355,26 +355,46 @@ def eval_contamination(
     )
 
 
+#: SimHash signature width.  60 (not 64) so the per-token hash — the
+#: first 15 hex chars of sha256(token) — always fits a SIGNED 64-bit int
+#: in both engines: the DuckDB oracle parses the same substring with
+#: CAST('0x…' AS BIGINT), making the whole signature cross-engine exact.
+SIMHASH_BITS = 60
+
+
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from token xxhash64s.
+    """60-bit SimHash per document from sha256-derived token hashes.
 
     For each bit position, sum +1/-1 over tokens and set the bit when the
     sum is positive.  Expressed as one aggregate over the exploded tokens —
-    64 conditional sums, all codegen'd; no Python.
+    60 conditional sums, all codegen'd; no Python.
+
+    The token hash is ``conv(substr(sha256(token), 1, 15), 16, 10)`` —
+    chosen over xxhash64 because DuckDB evaluates the identical
+    expression, so the signatures (and therefore ``simhash_pairs``) are
+    hash-checkable against the oracle, not rows-only.  sha256 costs more
+    per token than xxhash64; at 100 TB swap the hash expression for
+    ``F.xxhash64`` if oracle parity is not needed — every other part of
+    the pipeline is hash-agnostic.
     """
     tok = df.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.sha2(F.col("token"), 256), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sums)
     sim = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -388,19 +408,27 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
-    Candidate blocking by pigeonhole: the 64-bit signature is split into
+    Candidate blocking by pigeonhole: the 60-bit signature is split into
     ``max_hamming + 1`` bands — any pair at Hamming <= max_hamming agrees
     exactly on at least one band, so a self-join on (band_idx, band_value)
     finds all of them without all-pairs.  Larger max_hamming → narrower
-    bands → more candidates; recall stays exact.
+    bands → more candidates; recall stays EXACT (unlike minhash banding,
+    the pigeonhole bound is deterministic), which is why the oracle can
+    check this query with a plain all-pairs Hamming join.
     """
     n_bands = max_hamming + 1
-    widths = [64 // n_bands] * n_bands
-    for i in range(64 % n_bands):
+    widths = [SIMHASH_BITS // n_bands] * n_bands
+    for i in range(SIMHASH_BITS % n_bands):
         widths[i] += 1
     offsets = [sum(widths[:i]) for i in range(n_bands)]
 
-    sims = simhash(df, text_col)
+    # Persist-before-self-join (same pattern as minhash_lsh_pairs): the
+    # signature pipeline — token hash + 60 conditional sums + the 60-term
+    # bit-assembly expression — would otherwise be recomputed AND
+    # re-codegen'd for each join branch and each AQE stage; measured 10×
+    # on cold sessions.
+    sims = simhash(df, text_col).persist()
+    sims.count()
     quarters = sims.select(
         "doc_id",
         "simhash",
@@ -434,7 +462,10 @@ def simhash_pairs(
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast(
+                "bigint"
+            ),
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
