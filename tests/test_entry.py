@@ -23,13 +23,11 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
-    # documented rows-only exceptions
+    # documented rows-only exceptions (r7: LSH topk/near-dup and simhash
+    # gained integer-exact oracles; these three remain engine-specific)
     assert qs - os_ == {
-        "docs_dedup_simhash",
         "docs_semantic_dedup",
-        "emb_cosine_topk_lsh",
         "emb_cosine_topk_ivf",
-        "emb_cosine_near_dup_lsh",
         "events_approx_user_counts",
     }
 
