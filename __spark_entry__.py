@@ -931,6 +931,23 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup_invariants(spark, sf_dir):
+    # Hash-checkable shadow of docs_semantic_dedup: three integer
+    # properties (coverage, within-cell completeness, pointer totality)
+    # that hold for ANY cell assignment, so the oracle can grade them
+    # without reproducing the engine-specific cells.
+    return similarity.semantic_dedup_invariants(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def _q_approx_distinct_bound(spark, sf_dir):
+    # Hash-checkable shadow of events_approx_user_counts: HLL++ is
+    # deterministic, so "estimate within 3×rsd of exact" is a stable
+    # graded bit per group, not a flaky tolerance.
+    return evan.approx_distinct_bound(load_table(spark, sf_dir, "events"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     return docdedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8
@@ -1206,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_mix_stats": _q_source_mix,
         "docs_remove_boilerplate": _q_remove_boilerplate,
         "docs_semantic_dedup": _q_semantic_dedup,
+        "docs_semantic_dedup_invariants": _q_semantic_dedup_invariants,
+        "events_approx_distinct_bound": _q_approx_distinct_bound,
         "mm_blob_meta_pandas": _q_blob_meta_pandas,
         "docs_c4_quality_filters": _q_c4_quality_filters,
         "docs_temperature_sample": _q_temperature_sample,
@@ -1977,6 +1996,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE event_type='signup') AS signup,
                    COUNT(*) FILTER (WHERE event_type='error') AS error
             FROM events GROUP BY user_id
+        """,
+        # Property oracle: HLL++ is deterministic, so the bound flag is a
+        # stable bit; the oracle asserts it HOLDS for every group while
+        # the exact count anchors the row identity.
+        "events_approx_distinct_bound": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        # Property oracle: the three integers hold for ANY cell
+        # assignment (coverage / within-cell completeness / pointer
+        # totality), so the engine-specific k-means cells never need
+        # reproducing — see similarity.semantic_dedup_invariants.
+        "docs_semantic_dedup_invariants": """
+            SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+                   CAST(0 AS BIGINT) AS same_cell_missed_pairs,
+                   CAST(0 AS BIGINT) AS dup_without_pointer
         """,
         "text_token_count": """
             SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens

@@ -115,6 +115,35 @@ def approx_user_counts(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def approx_distinct_bound(
+    df: DataFrame, rsd: float = 0.05, factor: float = 3.0
+) -> DataFrame:
+    """Hash-checkable accuracy witness for ``approx_user_counts``: per
+    event type, the exact distinct count plus an integer flag that the
+    HLL++ estimate landed within ``factor × rsd`` relative error (floor
+    of one absolute count, so tiny groups don't flap).
+
+    HLL++ is deterministic — same input, same registers, same estimate —
+    so the flag is a stable bit, not a flaky tolerance: the oracle
+    asserts the bound HOLDS (``within_bound = true`` for every group),
+    turning the engine-specific estimate into a graded integer contract.
+    The estimate itself stays visible (rows-only) in
+    ``approx_user_counts``; this is its driver-checkable shadow."""
+    bound = F.greatest(
+        F.ceil(F.lit(factor * rsd) * F.col("exact_users")), F.lit(1)
+    )
+    return (
+        approx_user_counts(df, rsd)
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users")) <= bound
+            ).alias("within_bound"),
+        )
+    )
+
+
 def user_type_matrix(df: DataFrame) -> DataFrame:
     """Per-user event-type pivot counts (fixed pivot values → single pass,
     no second job to discover distinct values)."""

@@ -805,3 +805,74 @@ def semantic_dedup(
             "vec_id", "cell", F.col("dup_of").isNull().alias("kept"), "dup_of"
         )
     )
+
+
+def semantic_dedup_invariants(
+    embeddings: DataFrame,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    nlist: int | None = None,
+) -> DataFrame:
+    """Hash-checkable contract for ``semantic_dedup``: the cell
+    boundaries are engine-specific (k-means seeded from a hash sample),
+    but three integer properties hold for ANY cell assignment, so an
+    oracle can grade them without reproducing the cells:
+
+    * ``n_vectors`` — every input vector appears exactly once in the
+      output (coverage; the left join drops/duplicates nothing).
+    * ``same_cell_missed_pairs`` — 0: for every same-cell pair (a < b)
+      with unrounded cosine ≥ threshold, b was removed.  This is the
+      SemDedup within-cell completeness guarantee (the documented recall
+      tradeoff is CROSS-cell pairs only).
+    * ``dup_without_pointer`` — 0: every removed vector carries a
+      ``dup_of`` pointer to the lower-id member that evicted it.
+
+    One row of integers; the oracle asserts the property values (count
+    from the table, zeros for the violation counters).  This is the
+    derived-metric companion the rows-only ``docs_semantic_dedup`` entry
+    points at — the estimate-bearing output stays visible there."""
+    res = semantic_dedup(
+        embeddings, threshold, vec_col, id_col, dim=dim, nlist=nlist
+    ).persist()
+    norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
+        F.col(id_col).alias("vec_id"), F.col("__unit").alias("__u")
+    )
+    tagged = res.join(norm_d, "vec_id")
+    left = tagged.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("__u").alias("__ua"),
+    )
+    right = tagged.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("kept").alias("kept_b"),
+        F.col("__u").alias("__ub"),
+    )
+    # Same unrounded-threshold discipline as semantic_dedup itself: the
+    # pair set checked here is exactly the pair set the operator saw.
+    # All three properties reduce to global scalars, so the forced
+    # single-partition exchanges are the semantically-required kind
+    # (PLANS.md convention); nothing per-row reaches the driver.
+    missed = (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_pair_cos(F.col("__ua"), F.col("__ub")) >= threshold)
+        .agg(
+            F.sum(F.col("kept_b").cast("bigint"))
+            .cast("bigint")
+            .alias("same_cell_missed_pairs")
+        )
+        .na.fill(0)
+    )
+    totals = res.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((~F.col("kept") & F.col("dup_of").isNull()).cast("bigint"))
+        .cast("bigint")
+        .alias("dup_without_pointer"),
+    )
+    return totals.crossJoin(missed).select(
+        "n_vectors", "same_cell_missed_pairs", "dup_without_pointer"
+    )
