@@ -393,6 +393,121 @@ def _pair_cos(a: Column, b: Column) -> Column:
     return pair_cos(a, b)
 
 
+#: Per-coordinate quantization scale for the integer-exact IVF quantizer:
+#: q_d = floor(x_d * 1e4 + 0.5).  1e-4 granularity is far below any cell
+#: boundary a COARSE quantizer cares about, and it keeps every quantity in
+#: the training loop exactly representable: |q| <= ~1e4, int dot products
+#: <= ~6e9, squared norms <= ~6e9 — all < 2^53, so the double cosine
+#: a/sqrt(n2) is computed from EXACT integers by correctly-rounded IEEE
+#: ops and is bit-identical in any engine (numpy, Spark, DuckDB).
+_IVF_QSCALE = 10000.0
+#: Lloyd iterations for the integer-exact quantizer.  Fixed and small on
+#: purpose: recall is governed by nprobe, not centroid polish, and the
+#: DuckDB oracle unrolls exactly this many assignment/update rounds.
+_IVF_ITERS = 4
+#: Training-sample cap (the FAISS rule of thumb: quantizer fit needs only
+#: a bounded sample however big the table).
+_IVF_MAX_TRAIN = 20000
+
+
+def _quantize_ivf(X: np.ndarray) -> np.ndarray:
+    """floor(x*1e4 + 0.5) per coordinate as int64 — the same IEEE double
+    expression every engine evaluates identically (cf. the hyperplane-LSH
+    bucketing, bucket_keys)."""
+    return np.floor(X * _IVF_QSCALE + 0.5).astype(np.int64)
+
+
+def _int_cos_matrix(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Cosine of every (row of Q) × (row of C) from integer-exact parts:
+    a = Q@Cᵀ and n2 = Σc² are exact int64; the double division and sqrt
+    are correctly rounded, so the matrix is bit-identical across engines.
+    Zero centroids get sentinel -2.0 (below any real cosine)."""
+    a = Q @ C.T  # int64-exact
+    n2 = np.einsum("ij,ij->i", C, C)  # int64-exact
+    cos = np.full(a.shape, -2.0)
+    nz = n2 > 0
+    cos[:, nz] = a[:, nz].astype(np.float64) / np.sqrt(n2[nz].astype(np.float64))
+    return cos
+
+
+def _sample_kmeans_int(
+    base: DataFrame,
+    nlist: int,
+    n_rows: int,
+    max_train: int = _IVF_MAX_TRAIN,
+    iters: int = _IVF_ITERS,
+) -> np.ndarray:
+    """Integer-exact spherical-assignment k-means on a bounded,
+    deterministic sample — the cross-engine-reproducible twin of
+    ``_sample_kmeans``, used by the IVF index so a SQL oracle can replay
+    quantizer training bit-for-bit (same trick as the hyperplane-LSH
+    integer bucketing):
+
+    * sample row r is selected when ``sha256(str(id))[:15hex] % 1000 <
+      permille`` (permille = max_train·1000 // n_rows, integer division)
+      — no xxhash64, no RNG; ordered by (hash, id), capped at max_train;
+    * vectors quantized per coordinate with ``floor(x·1e4 + 0.5)``;
+    * seeds = the first ``nlist`` sample rows, cell index = sample rank;
+    * each Lloyd round assigns a sample point to the cell maximizing the
+      exact-integer cosine (ties → smallest cell), then re-centers each
+      nonempty cell at the per-coordinate rounded mean
+      ``floor((2·Σq + m) / (2m))`` — integer half-up, expressible as the
+      identical double FLOOR in SQL because every operand is < 2^53;
+    * empty cells carry their previous centroid.
+
+    ``base`` must carry ``__id`` and ``__x`` (raw double array — raw, not
+    unit: argmax over cells of dot(x,c)/|c| is invariant to the point's
+    own norm, so normalization never enters the integer path).  Returns
+    the (nlist × dim) int64 centroid matrix — the only driver-side state.
+    """
+    permille = max(1, min(1000, max_train * 1000 // max(1, n_rows)))
+    hcol = F.conv(
+        F.substring(F.sha2(F.col("__id").cast("string"), 256), 1, 15), 16, 10
+    ).cast("bigint") % 1000
+    sample = base.select("__id", "__x", hcol.alias("__h")).where(
+        F.col("__h") < permille
+    )
+    rows = sample.orderBy("__h", "__id").limit(max_train).collect()
+    X = _quantize_ivf(np.asarray([r["__x"] for r in rows], dtype=np.float64))
+    if len(X) < nlist:
+        raise ValueError(
+            f"sample ({len(X)}) smaller than nlist ({nlist}); "
+            "raise max_train or lower nlist"
+        )
+    C = X[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(_int_cos_matrix(X, C), axis=1)  # first max = low cell
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                s = members.sum(axis=0)  # int64-exact, |s| <= m·|q|max
+                m = len(members)
+                # Identical double expression to the SQL oracle's FLOOR:
+                # operands exact (< 2^53), quotient never within one ulp
+                # of a wrong integer (|p/2m - N| >= 1/(2m) when nonzero).
+                C[c] = np.floor((2 * s + m) / (2.0 * m)).astype(np.int64)
+    return C
+
+
+def _int_cell_assigner(C: np.ndarray):
+    """Arrow-batched integer-exact argmax cell assignment over the RAW
+    double vector column: quantize the batch, exact int64 matmul against
+    the centroid matrix (closure-broadcast), argmax of the exact-parts
+    cosine with first-max (= smallest cell) ties — the distributed twin
+    of the training loop's assignment step."""
+
+    @pandas_udf("int")
+    def cell_of(x: pd.Series) -> pd.Series:
+        if x.empty:
+            return pd.Series([], dtype="int32")
+        Q = _quantize_ivf(np.vstack(x.to_numpy()).astype(np.float64))
+        return pd.Series(
+            np.argmax(_int_cos_matrix(Q, C), axis=1).astype("int32")
+        )
+
+    return cell_of
+
+
 def _sample_kmeans(
     norm_d: DataFrame,
     nlist: int,
@@ -500,35 +615,64 @@ def cosine_topk_ivf(
     equi-join on the cell id either way, and the centroid matrix is the
     only driver-side state beyond the query vectors):
 
-    * ``"sample"`` (default) — spherical k-means trained on a bounded
-      hash-selected sample (``_sample_kmeans``), assignment via one
-      Arrow-batched argmax matmul.  The FAISS pattern: training is
-      O(sample) however big the table, and there are no ml-fit jobs.
+    * ``"sample"`` (default) — INTEGER-EXACT spherical-assignment
+      k-means trained on a bounded hash-selected sample
+      (``_sample_kmeans_int``), assignment via one Arrow-batched
+      integer matmul.  The FAISS pattern (training is O(sample) however
+      big the table, no ml-fit jobs) with every boundary decision made
+      on exact integers, so a SQL oracle can replay the whole pipeline
+      bit-for-bit — cell seeds, Lloyd rounds, final assignment, probe
+      order — the way the hyperplane-LSH queries do (bucket_keys).
     * ``"ml"`` — seeded ``pyspark.ml`` KMeans with distributed Lloyd
       iterations; the fully-distributed alternative when even the
-      training sample shouldn't touch the driver.
+      training sample shouldn't touch the driver (float centroids,
+      rows-only determinism).
 
     Same output columns as ``cosine_topk``; recall measured by pytest.
     """
-    norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
-        F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = with_unit_vectors(embeddings, vec_col, dim=dim).select(
+        F.col(id_col).alias("__id"),
+        raw.alias("__x"),
+        F.col("__unit").alias("__u"),
     )
-    n_rows = norm_d.count()
+    n_rows = base.count()
     if nlist is None:
         nlist = max(4, int(n_rows ** 0.5 / 2))
 
     if quantizer == "sample":
-        # Sample-trained spherical k-means + distributed argmax
+        # Sample-trained integer-exact k-means + distributed argmax
         # assignment: no pyspark.ml fit jobs at all.  The centroid matrix
-        # (nlist × dim) broadcasts in the UDF closure; assignment is one
-        # Arrow-batched matmul pass over the table.
-        norm_d = norm_d.persist()
-        centers = _sample_kmeans(norm_d, nlist, n_rows)
-        assigned = norm_d.withColumn(
-            "__cell", _cell_assigner(centers)(F.col("__u"))
+        # (nlist × dim, int64) broadcasts in the UDF closure; assignment
+        # is one Arrow-batched matmul pass over the table.  Assignment
+        # and probing run on the RAW vector (argmax over cells of
+        # dot(x,c)/|c| is invariant to |x|); the unit vector only feeds
+        # the float rerank.
+        base = base.persist()
+        centers = _sample_kmeans_int(base, nlist, n_rows)
+        assigned = base.withColumn(
+            "__cell", _int_cell_assigner(centers)(F.col("__x"))
         ).persist()
         assigned.count()  # materialize before the probe join
-        norm_d.unpersist()
+        base.unpersist()
+        qrows = assigned.where(F.col("__id").isin(*query_ids)).collect()
+        # Probe order: exact-integer cosine, ties -> smallest cell
+        # (stable argsort) — the same deterministic order the oracle's
+        # window rank produces.
+        probes = [
+            (int(row["__id"]), int(cell))
+            for row in qrows
+            for cell in np.argsort(
+                -_int_cos_matrix(
+                    _quantize_ivf(
+                        np.asarray([row["__x"]], dtype=np.float64)
+                    ),
+                    centers,
+                )[0],
+                kind="stable",
+            )[: min(nprobe, len(centers))]
+        ]
+        return _ivf_probe_rerank(assigned, probes, query_ids, k)
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -539,7 +683,7 @@ def cosine_topk_ivf(
         # iterations + random init: the coarse quantizer only needs
         # cells that roughly follow the data; recall is governed by
         # nprobe, not centroid polish.
-        feats = norm_d.withColumn("__feat", array_to_vector("__u")).persist()
+        feats = base.withColumn("__feat", array_to_vector("__u")).persist()
         feats.count()
         model = KMeans(
             k=nlist,
@@ -557,22 +701,37 @@ def cosine_topk_ivf(
         # release it so repeated invocations don't stack dead caches.
         feats.unpersist()
         centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-    qrows = assigned.where(F.col("__id").isin(*query_ids)).collect()
-    probes = [
-        (int(row["__id"]), int(cell))
-        for row in qrows
-        for cell in np.argsort(
-            -(centers @ np.asarray(row["__u"], dtype=float))
-        )[: min(nprobe, len(centers))]
-    ]
-    spark = embeddings.sparkSession
+        qrows = assigned.where(F.col("__id").isin(*query_ids)).collect()
+        probes = [
+            (int(row["__id"]), int(cell))
+            for row in qrows
+            for cell in np.argsort(
+                -(centers @ np.asarray(row["__u"], dtype=float)),
+                kind="stable",
+            )[: min(nprobe, len(centers))]
+        ]
+        return _ivf_probe_rerank(assigned, probes, query_ids, k)
+
+
+def _ivf_probe_rerank(
+    assigned: DataFrame,
+    probes: list[tuple[int, int]],
+    query_ids: tuple[int, ...],
+    k: int,
+) -> DataFrame:
+    """Shared IVF tail: broadcast the (query, probed-cell) list, equi-join
+    it against the cell assignment for candidates, exact-rerank on the
+    float cosine of pre-normalized unit vectors (rounded 6 dp, rank
+    tie-broken by neighbor id — same conventions as ``cosine_topk``)."""
+    spark = assigned.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id bigint, __cell int")
-    qv = assigned.select(
+    members = assigned.select("__cell", "__id", "__u")
+    qv = members.select(
         F.col("__id").alias("query_id"), F.col("__u").alias("__q")
     ).where(F.col("query_id").isin(*query_ids))
     cand = (
         F.broadcast(probe_df)
-        .join(assigned, "__cell")
+        .join(members, "__cell")
         .where(F.col("__id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
         .withColumn("cosine", F.round(_pair_cos(F.col("__q"), F.col("__u")), 6))

@@ -23,11 +23,12 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
-    # documented rows-only exceptions (r7: LSH topk/near-dup and simhash
-    # gained integer-exact oracles; these three remain engine-specific)
+    # documented rows-only exceptions (r7: LSH topk/near-dup, simhash and
+    # IVF gained integer-exact oracles; the remaining two are genuinely
+    # engine-specific and each has a hash-green derived companion —
+    # docs_semantic_dedup_invariants / events_approx_distinct_bound)
     assert qs - os_ == {
         "docs_semantic_dedup",
-        "emb_cosine_topk_ivf",
         "events_approx_user_counts",
     }
 
@@ -42,7 +43,7 @@ NOT_OPERATORS = {
     "dedup.minhash_signature",  # signature stage of minhash_lsh_pairs
     "dedup.simhash",  # signature stage of simhash_pairs
     "dedup.word_shingles",  # shingling helper for minhash/jaccard
-    "multimodal.fake_decode_features",  # deterministic stub decoder
+    "multimodal.byte_histogram_features",  # codec-free feature helper
     "similarity.bucket_keys",  # LSH hyperplane bucketing helper
     "similarity.with_unit_vectors",  # normalization pre-pass
     "splits.hash_bucket",  # hash-split primitive
