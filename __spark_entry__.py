@@ -305,6 +305,119 @@ WITH planes AS (
 )
 """
 
+# Bit-exact mirror of similarity._sample_kmeans_int + _int_cell_assigner
+# for emb_cosine_topk_ivf: the integer-exact IVF quantizer is replayed
+# end-to-end in SQL — sha256 permille sample (hash-then-id order), seed
+# centroids = first nlist sample rows, ITERS unrolled Lloyd rounds
+# (assignment by argmax of the exact-integer-parts cosine a/sqrt(n2),
+# ties to the smallest cell; per-coordinate rounded-mean update
+# floor((2·Σq + m)/(2m)), empty cells carry over), final assignment of
+# every vector, per-query probe ranking by the same cosine, candidate
+# equi-join on the cell, float rerank with the emb_cosine_topk recipe.
+# Every argmax/rank input is either an exact int64 or a double computed
+# from exact int64s (< 2^53) by correctly-rounded IEEE ops, so numpy and
+# DuckDB produce identical orderings — no float-summation-order risk.
+def _ivf_oracle_sql(
+    iters: int = 4, nprobe: int = 8, k: int = 10, dim: int = 64
+) -> str:
+    qids = "(" + ",".join(str(i) for i in (0, 1, 2, 3, 4)) + ")"
+    parts = []
+    for i in range(iters):
+        parts.append(f"""
+a{i} AS (
+  SELECT q.id AS pid, c.cell, SUM(q.q * c.c) AS a
+  FROM samp s JOIN qv q ON q.id = s.id JOIN cent{i} c ON c.d = q.d
+  GROUP BY q.id, c.cell
+), n2_{i} AS (
+  SELECT cell, SUM(c * c) AS n2 FROM cent{i} GROUP BY cell
+), asg{i} AS (
+  SELECT pid, cell FROM (
+    SELECT a.pid, a.cell,
+           row_number() OVER (PARTITION BY a.pid ORDER BY
+             CASE WHEN n.n2 = 0 THEN -2.0
+                  ELSE CAST(a.a AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) END
+               DESC,
+             a.cell) AS rn
+    FROM a{i} a JOIN n2_{i} n USING (cell))
+  WHERE rn = 1
+), cent{i + 1} AS (
+  SELECT c.cell, c.d, COALESCE(m.mean, c.c) AS c
+  FROM cent{i} c LEFT JOIN (
+    SELECT g.cell, q.d,
+           CAST(FLOOR(CAST(2 * SUM(q.q) + COUNT(*) AS DOUBLE)
+                      / (2.0 * COUNT(*))) AS BIGINT) AS mean
+    FROM asg{i} g JOIN qv q ON q.id = g.pid
+    GROUP BY g.cell, q.d) m
+  ON m.cell = c.cell AND m.d = c.d
+)""")
+    iter_ctes = ",".join(parts)
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), qv AS (
+  SELECT b.id, d.d,
+         CAST(FLOOR(b.x[d.d + 1] * 10000.0 + 0.5) AS BIGINT) AS q
+  FROM base b, range({dim}) d(d)
+), params AS (
+  SELECT n,
+         GREATEST(4, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / 2) AS INT))
+           AS nlist,
+         GREATEST(1, LEAST(1000, (20000 * 1000) // n)) AS permille
+  FROM (SELECT COUNT(*) AS n FROM base)
+), samp AS (
+  SELECT id, rnk FROM (
+    SELECT b.id, row_number() OVER (ORDER BY hh, b.id) AS rnk
+    FROM (SELECT id,
+                 CAST(CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 1, 15)
+                      AS UBIGINT) % 1000 AS BIGINT) AS hh
+          FROM base) b, params p
+    WHERE b.hh < p.permille)
+  WHERE rnk <= 20000
+), cent0 AS (
+  SELECT CAST(s.rnk - 1 AS INT) AS cell, q.d, q.q AS c
+  FROM samp s JOIN qv q ON q.id = s.id, params p
+  WHERE s.rnk <= p.nlist
+), {iter_ctes},
+af AS (
+  SELECT q.id AS pid, c.cell, SUM(q.q * c.c) AS a
+  FROM qv q JOIN cent{iters} c ON c.d = q.d
+  GROUP BY q.id, c.cell
+), n2f AS (
+  SELECT cell, SUM(c * c) AS n2 FROM cent{iters} GROUP BY cell
+), ranked AS (
+  SELECT a.pid, a.cell,
+         row_number() OVER (PARTITION BY a.pid ORDER BY
+           CASE WHEN n.n2 = 0 THEN -2.0
+                ELSE CAST(a.a AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) END
+             DESC,
+           a.cell) AS rn
+  FROM af a JOIN n2f n USING (cell)
+), asgf AS (
+  SELECT pid, cell FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT pid AS query_id, cell FROM ranked
+  WHERE pid IN {qids} AND rn <= {nprobe}
+), cand AS (
+  SELECT p.query_id, m.pid AS neighbor_id
+  FROM probes p JOIN asgf m ON m.cell = p.cell
+  WHERE m.pid != p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(bq.x, bn.x)
+               / (sqrt(list_dot_product(bq.x, bq.x))
+                  * sqrt(list_dot_product(bn.x, bn.x))), 6) AS cosine
+  FROM cand c
+  JOIN base bq ON bq.id = c.query_id
+  JOIN base bn ON bn.id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 SHINGLES_CTE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 sh AS (
@@ -1042,10 +1155,12 @@ def _q_blob_meta_pandas(spark, sf_dir):
 
 
 def _q_frame_sample(spark, sf_dir):
-    blobs = multimodal.attach_blob(load_table(spark, sf_dir, "documents"))
-    return multimodal.frame_sample_stub(blobs).select(
-        "doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    # Real encode→parse→decode round trip: synthesize MVID multi-frame
+    # containers, walk the frame index, decode every 2nd frame's BMP.
+    blobs = multimodal.synth_video_blobs(
+        load_table(spark, sf_dir, "documents")
     )
+    return multimodal.frame_sample(blobs, every_n=2)
 
 
 def _q_top_terms(spark, sf_dir):
@@ -1339,17 +1454,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query.  Omitted on purpose (rows-only
-    checks): docs_dedup_simhash (xxhash64 seeds have no DuckDB equivalent),
-    emb_cosine_topk_ivf
-    (approximate by design; pytest checks its recall against the exact
-    results; emb_cosine_topk_lsh / emb_cosine_near_dup_lsh ARE
-    hash-checked — the integer-exact bucketing lets DuckDB replicate the
-    approximate pipeline itself, see _LSH_CTE),
-    docs_semantic_dedup (k-means cell ids are engine-specific; pytest
-    pins hand vectors and bounds same-cell recall), and
-    events_approx_user_counts (HLL++ estimates are implementation-defined;
-    pytest bounds the relative error against the exact count)."""
+    """DuckDB-equivalent SQL per query.  The approximate pipelines are
+    hash-checked end to end where the engine decisions are integer-exact:
+    emb_cosine_topk_lsh / emb_cosine_near_dup_lsh (_LSH_CTE),
+    docs_dedup_simhash (sha256 token hash), and emb_cosine_topk_ivf
+    (_ivf_oracle_sql replays quantizer training, assignment, probing and
+    rerank bit-for-bit).  Omitted on purpose (rows-only checks, each with
+    a hash-green derived companion): docs_semantic_dedup (k-means cell
+    ids are engine-specific — docs_semantic_dedup_invariants grades the
+    cell-independent integer contract; pytest pins hand vectors and
+    bounds same-cell recall) and events_approx_user_counts (HLL++
+    estimates are implementation-defined — events_approx_distinct_bound
+    grades the 3×rsd accuracy contract; pytest bounds relative error)."""
     # Exact scaled-integer money sums, mirroring tpch._scaled_total /
     # exact_sum / exact_avg EXPRESSION-FOR-EXPRESSION: per row both
     # engines evaluate the same IEEE doubles (x*1e8+0.5, /2^23 exact,
@@ -2254,6 +2370,11 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 10
         """,
+        # Full replay of the integer-exact IVF pipeline (see
+        # _ivf_oracle_sql): quantizer training, assignment, probing and
+        # rerank are all reproduced bit-for-bit, so the APPROXIMATE
+        # result itself is hash-checked, not just a recall bound.
+        "emb_cosine_topk_ivf": _ivf_oracle_sql(),
         "emb_cosine_topk": """
             WITH base AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2365,10 +2486,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_segments_kept
             FROM kept GROUP BY doc_id
         """,
+        # Closed form of the MVID synthesis: frame f of doc d is a solid
+        # (4+d%8)×4 BMP with (r,g,b)=((d+f)%256,(d*7+f*3)%256,(d*13+f*5)%256);
+        # a container-index or BMP-decode bug on the Spark side breaks
+        # the pixel_sum match.
         "mm_frame_sample": """
             SELECT doc_id,
-                   unnest(range(0, octet_length(encode(text))//64, 10)) AS frame_idx
-            FROM documents
+                   f AS frame_idx,
+                   CAST(3 + doc_id % 6 AS BIGINT) AS n_frames,
+                   CAST(4 + doc_id % 8 AS BIGINT) AS width,
+                   CAST(4 AS BIGINT) AS height,
+                   CAST((4 + doc_id % 8) * 4 *
+                        ((doc_id + f) % 256 +
+                         (doc_id * 7 + f * 3) % 256 +
+                         (doc_id * 13 + f * 5) % 256) AS BIGINT) AS pixel_sum
+            FROM (SELECT doc_id,
+                         unnest(range(0, 3 + doc_id % 6, 2)) AS f
+                  FROM documents)
         """,
         # Real encode→decode checks: Spark GENERATES binary WAV/BMP blobs
         # and DECODES them with a real parser (stdlib wave / BMP struct

@@ -8,8 +8,11 @@ environment provides it; this container ships no codecs, so the
 struct-level parsers carry the tests).  ``synth_audio_blobs`` /
 ``synth_image_blobs`` generate deterministic NON-text-derived binary
 fixtures whose decoded features have closed forms — which makes the full
-encode→decode path oracle-checkable end to end.  ``fake_decode_features``
-remains as the stand-in for codec-only formats (JPEG/MP4).
+encode→decode path oracle-checkable end to end; ``synth_video_blobs`` /
+``frame_sample`` extend this to multi-frame containers (MVID: an
+AVI-style frame index over concatenated BMP frames).
+``byte_histogram_features`` is the codec-free feature path for formats
+whose decoder needs an external codec (JPEG/MP4).
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 BYTE_ARRAY); ``mapInPandas`` processes whole Arrow batches per call, so
@@ -296,10 +299,12 @@ def decode_image(df: DataFrame) -> DataFrame:
     )
 
 
-def fake_decode_features(df: DataFrame) -> DataFrame:
-    """Deterministic stand-in for decode + feature-extract: a 16-bucket
-    byte histogram (normalized) per blob.  Exercises the exact batch
-    shape, schema, and partition parallelism a real decoder would."""
+def byte_histogram_features(df: DataFrame) -> DataFrame:
+    """Codec-free feature extraction: a 16-bucket byte histogram
+    (normalized) per blob — the deterministic feature path for formats
+    whose real decoder needs an external codec (JPEG/MP4).  Exercises
+    the exact batch shape, schema, and partition parallelism a codec
+    decoder would."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -318,23 +323,131 @@ def fake_decode_features(df: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: pretend each blob is a container of
-    fixed-size 'frames' and emit every n-th frame's offset + a frame hash.
-    Real ffmpeg sampling drops into the same explode-shaped contract:
-    one input row → many frame rows."""
-    frame_size = 64
-    n_frames = F.floor(F.octet_length("blob") / frame_size).cast("int")
-    idx = F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
-    # blobs shorter than one frame yield no rows (sequence(0,-1) would
-    # descend, not return empty — filter first)
-    df = df.where(n_frames >= 1)
-    return df.select("doc_id", "blob", idx.alias("frame_idx")).select(
-        "doc_id",
-        "frame_idx",
-        F.xxhash64(
-            F.substring(F.col("blob"), F.col("frame_idx") * frame_size + 1, frame_size)
-        ).alias("frame_hash"),
+#: MVID container layout (the AVI-index pattern, codec-free):
+#: magic "MVID" | u32 n_frames | n_frames × u32 frame byte length |
+#: concatenated frame payloads (each an uncompressed 24-bit BMP).
+_MVID_MAGIC = b"MVID"
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, n_frames bigint, "
+    "width bigint, height bigint, pixel_sum bigint"
+)
+
+
+def _mvid_bytes(doc_id: int) -> bytes:
+    """Deterministic multi-frame video container: 3 + doc_id%6 BMP
+    frames, frame f solid-filled with (r,g,b) = ((doc_id+f)%256,
+    (doc_id·7+f·3)%256, (doc_id·13+f·5)%256) at (4+doc_id%8)×4 — every
+    sampled frame's decoded pixel sum is closed-form for the oracle."""
+    import struct
+
+    frames = [
+        _bmp_frame_bytes(doc_id, f) for f in range(3 + doc_id % 6)
+    ]
+    index = b"".join(struct.pack("<I", len(fr)) for fr in frames)
+    return (
+        _MVID_MAGIC
+        + struct.pack("<I", len(frames))
+        + index
+        + b"".join(frames)
+    )
+
+
+def _bmp_frame_bytes(doc_id: int, frame: int) -> bytes:
+    """One MVID frame: a 24-bit BMP whose solid fill varies per frame."""
+    import struct
+
+    w = 4 + doc_id % 8
+    h = 4
+    r = (doc_id + frame) % 256
+    g = (doc_id * 7 + frame * 3) % 256
+    b = (doc_id * 13 + frame * 5) % 256
+    row = bytes([b, g, r]) * w
+    pad = (4 - (3 * w) % 4) % 4
+    pixels = (row + b"\x00" * pad) * h
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def synth_video_blobs(df: DataFrame) -> DataFrame:
+    """Real binary multi-frame fixture: one MVID container per doc_id,
+    generated executor-side in Arrow batches (same shape as the WAV/BMP
+    synthesizers)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": pdf["doc_id"].map(lambda d: _mvid_bytes(int(d))),
+                    "mime": "video/x-mvid",
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        gen, "doc_id bigint, blob binary, mime string"
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling over the binary column: parse the MVID
+    container (magic check, frame count, per-frame byte index — the AVI
+    idx1 pattern), slice out every ``every_n``-th frame WITHOUT decoding
+    the skipped ones (the point of an index: seek, don't scan), then
+    decode each sampled frame's BMP payload and emit its dimensions and
+    exact integer pixel sum as the content checksum.
+
+    One input row → many frame rows (the ffmpeg ``select=not(mod(n\\,k))``
+    contract).  Arrow-batched ``mapInPandas``; a container-walk or
+    BMP-decode bug breaks the oracle's closed-form hash match.  Malformed
+    containers (bad magic, truncated index or payload) degrade to zero
+    rows for that doc rather than failing the task — the permissive-mode
+    contract of the ingest layer extended to the multimodal path."""
+    import struct
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "n_frames",
+                "width", "height", "pixel_sum",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if raw[:4] != _MVID_MAGIC or len(raw) < 8:
+                    continue
+                (n_frames,) = struct.unpack_from("<I", raw, 4)
+                base = 8 + 4 * n_frames
+                if len(raw) < base:
+                    continue
+                sizes = struct.unpack_from(f"<{n_frames}I", raw, 8)
+                offsets = np.concatenate(
+                    ([0], np.cumsum(sizes))
+                ) + base
+                if offsets[-1] > len(raw):
+                    continue
+                for f in range(0, n_frames, every_n):
+                    payload = raw[offsets[f]:offsets[f + 1]]
+                    try:
+                        px = _bmp_pixels(payload)
+                    except ValueError:
+                        continue
+                    h, w = px.shape[:2]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(int(n_frames))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_sum"].append(int(px.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(
+        sample, FRAME_SAMPLE_SCHEMA
     )
 
 
@@ -346,7 +459,10 @@ RESIZE_SCHEMA = (
 
 def _bmp_pixels(raw: bytes) -> "np.ndarray":
     """Decode an uncompressed 24-bit BMP into an (h, w, 3) RGB uint8
-    array (rows flipped to top-down; BMP stores bottom-up BGR)."""
+    array in top-down row order.  A positive biHeight means the file
+    stores rows bottom-up (the common case — flip them); a NEGATIVE
+    biHeight is the BITMAPINFOHEADER top-down variant whose rows are
+    already in display order and must NOT be flipped."""
     import struct
 
     import numpy as np
@@ -357,13 +473,15 @@ def _bmp_pixels(raw: bytes) -> "np.ndarray":
     _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", raw, 14)
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    bottom_up = h > 0
     h = abs(h)
     stride = (3 * w + 3) & ~3
     rows = np.frombuffer(
         raw, dtype=np.uint8, count=h * stride, offset=offset
     ).reshape(h, stride)
     bgr = rows[:, : 3 * w].reshape(h, w, 3)
-    return bgr[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if bottom_up else rgb
 
 
 def resize_image(

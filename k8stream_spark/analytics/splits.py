@@ -246,9 +246,22 @@ def source_temperature_sample(
     # action, same class as the IVF centroid collect); folding them to
     # literals keeps the keep-predicate a constant-folded codegen
     # expression and avoids a self-referencing join on the counts frame.
-    trow = w.agg(F.sum("__n"), F.sum("__s")).collect()[0]
-    big_n, denom = int(trow[0]), int(trow[1])
+    trow = w.agg(F.sum("__n"), F.sum("__s"), F.max("__n")).collect()[0]
+    big_n, denom, max_n = int(trow[0]), int(trow[1]), int(trow[2])
     m = (big_n * int(target_pct)) // 100
+    # Overflow guard: the keep predicate's LHS is H·denom·n_s with
+    # H < 2^32.  Under non-ANSI semantics a DECIMAL(38,0) overflow
+    # becomes NULL and `WHERE NULL` silently DROPS the row — a biased
+    # sample, not an error — so surface the bound violation loudly here
+    # instead.  (The docstring's per-source envelope n_s ≤ ~9e9 sits far
+    # inside this product bound; the RHS S·m·2^32 overflows only later.)
+    if (1 << 32) * denom * max_n >= 10**38:
+        raise ValueError(
+            "source_temperature_sample: H*denom*n_s can overflow "
+            f"DECIMAL(38,0) (denom={denom}, max n_s={max_n}); rescale "
+            "the sqrt weights (e.g. 10^2 instead of 10^6) before "
+            "sampling at this corpus size"
+        )
     h = F.conv(
         F.substring(
             F.md5(

@@ -59,7 +59,18 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
             if not np.all(both_nan | bit_eq):
                 bad = ~(both_nan | bit_eq)
                 i = int(np.argmax(bad))
-                return f"VAL col {c} row {i}: {aa[i]!r} vs {bb[i]!r} (maxdiff {np.nanmax(np.abs(aa - bb))})"
+                # maxdiff only over rows where both sides are numbers:
+                # NaN-vs-number mismatches (or NaN-payload diffs) would
+                # make nanmax warn on an all-NaN slice; fall back to the
+                # first bad row's raw bit patterns instead.
+                num = bad & ~np.isnan(aa) & ~np.isnan(bb)
+                detail = (
+                    f"maxdiff {np.abs(aa[num] - bb[num]).max()}"
+                    if num.any()
+                    else f"bits {aa.view(np.int64)[i]:#x} vs "
+                    f"{bb.view(np.int64)[i]:#x}"
+                )
+                return f"VAL col {c} row {i}: {aa[i]!r} vs {bb[i]!r} ({detail})"
         else:
             # Replace NA BEFORE astype(str): astype maps None->'None' and
             # NaN->'nan', which would compare equal to those literal strings.

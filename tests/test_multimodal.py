@@ -74,23 +74,56 @@ def test_parse_bmp_rejects_non_bmp():
         multimodal._parse_bmp(b"PNG....definitely not a bmp")
 
 
-def test_fake_decode_features_shape(docs_df):
+def test_byte_histogram_features_shape(docs_df):
     blobs = multimodal.attach_blob(docs_df)
-    feats = multimodal.fake_decode_features(blobs).collect()
+    feats = multimodal.byte_histogram_features(blobs).collect()
     assert len(feats) == docs_df.count()
     for r in feats:
         assert len(r.features) == multimodal.FAKE_FEATURE_DIM
         assert abs(sum(r.features) - 1.0) < 0.01  # normalized histogram
 
 
-def test_frame_sample_stride(spark):
-    df = spark.createDataFrame([(1, "x" * 64 * 25)], "doc_id bigint, text string")
-    blobs = multimodal.attach_blob(df)
-    idx = sorted(r.frame_idx for r in multimodal.frame_sample_stub(blobs).collect())
-    assert idx == [0, 10, 20]
-    short = multimodal.attach_blob(
-        spark.createDataFrame([(2, "tiny")], "doc_id bigint, text string"))
-    assert multimodal.frame_sample_stub(short).count() == 0
+def test_frame_sample_real_container(spark):
+    """Round trip: synthesize MVID containers, parse the index, decode
+    every 2nd frame — indices and exact pixel sums must match the
+    closed form of the synthesis."""
+    df = spark.createDataFrame([(5,), (10,)], "doc_id bigint")
+    rows = multimodal.frame_sample(
+        multimodal.synth_video_blobs(df), every_n=2
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in (5, 10):
+        n_frames = 3 + d % 6
+        got = sorted(by_doc[d], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == list(range(0, n_frames, 2))
+        w = 4 + d % 8
+        for r in got:
+            f = r.frame_idx
+            expect = w * 4 * (
+                (d + f) % 256 + (d * 7 + f * 3) % 256 + (d * 13 + f * 5) % 256
+            )
+            assert (r.width, r.height, r.n_frames) == (w, 4, n_frames)
+            assert r.pixel_sum == expect
+
+
+def test_frame_sample_malformed_containers_degrade(spark):
+    """Bad magic, truncated index, and truncated payload all yield zero
+    rows for that doc — never a task failure (permissive-mode contract
+    on the multimodal path)."""
+    good = multimodal._mvid_bytes(3)
+    cases = [
+        (1, b"NOPE" + good[4:]),          # wrong magic
+        (2, good[:10]),                   # truncated index table
+        (3, good[:-5]),                   # truncated last frame payload
+        (4, b""),                         # empty blob
+        (5, good),                        # control: intact container
+    ]
+    df = spark.createDataFrame(cases, "doc_id bigint, blob binary")
+    rows = multimodal.frame_sample(df, every_n=2).collect()
+    assert {r.doc_id for r in rows} == {5}
+    assert len(rows) == len(range(0, 3 + 3 % 6, 2))
 
 
 def test_resize_image_nearest_neighbor_indexing(spark):
@@ -125,3 +158,41 @@ def test_resize_image_nearest_neighbor_indexing(spark):
     assert (r.width, r.height) == (2, 2)
     assert r.mean_r == 50.0 and r.mean_g == 0.0 and r.mean_b == 0.0
     assert r.pixel_sum == 20 + 40 + 60 + 80
+
+
+def _bmp_24(rows_topdown, *, top_down_file):
+    """Build a 24-bit BMP from top-down RGB rows, either as the common
+    bottom-up file (positive biHeight) or the top-down variant
+    (negative biHeight)."""
+    import struct
+
+    h = len(rows_topdown)
+    w = len(rows_topdown[0])
+    pad = (4 - (3 * w) % 4) % 4
+    stored = rows_topdown if top_down_file else rows_topdown[::-1]
+    pixels = b"".join(
+        b"".join(bytes([b, g, r]) for r, g, b in row) + b"\x00" * pad
+        for row in stored
+    )
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down_file else h), 1, 24, 0,
+        len(pixels), 2835, 2835, 0, 0,
+    )
+    return header + info + pixels
+
+
+def test_bmp_pixels_topdown_orientation():
+    """A negative-biHeight (top-down) BMP stores rows in display order —
+    _bmp_pixels must NOT flip them; both encodings of the same image
+    must decode identically."""
+    import numpy as np
+
+    image = [[(10, 0, 0), (20, 0, 0)], [(30, 0, 0), (40, 0, 0)]]
+    up = multimodal._bmp_pixels(_bmp_24(image, top_down_file=False))
+    down = multimodal._bmp_pixels(_bmp_24(image, top_down_file=True))
+    expect = np.asarray(image, dtype=np.uint8)
+    assert (up == expect).all()
+    assert (down == expect).all()
