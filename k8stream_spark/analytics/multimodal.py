@@ -161,13 +161,25 @@ def audio_features(df: DataFrame) -> DataFrame:
                 "duration_s", "peak", "rms",
             )}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
-                    rate = w.getframerate()
-                    nch = w.getnchannels()
-                    nf = w.getnframes()
-                    samples = struct.unpack(
-                        f"<{nf * nch}h", w.readframes(nf)
-                    )
+                try:
+                    with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                        rate = w.getframerate()
+                        nch = w.getnchannels()
+                        nf = w.getnframes()
+                        samples = struct.unpack(
+                            f"<{nf * nch}h", w.readframes(nf)
+                        )
+                    if not samples or rate <= 0:
+                        raise ValueError("empty or rate-less WAV")
+                except Exception:
+                    # Permissive degradation (O8 contract): malformed
+                    # containers yield a null-feature row, never a task
+                    # failure.
+                    rows["doc_id"].append(int(doc_id))
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_s", "peak", "rms"):
+                        rows[k].append(None)
+                    continue
                 rows["doc_id"].append(int(doc_id))
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(nch)
@@ -254,8 +266,13 @@ def decode_image(df: DataFrame) -> DataFrame:
     """REAL image decode with runtime codec detection: uses PIL when the
     environment provides it, else the built-in uncompressed-BMP parser —
     identical output either way (same pixels), so the query is
-    deterministic across environments.  Unsupported formats without PIL
-    raise, matching a production decoder's error contract."""
+    deterministic across environments.
+
+    Error isolation (the ingest layer's permissive-mode contract, O8,
+    extended to the multimodal path): a malformed or unsupported blob
+    yields its doc_id with NULL feature columns — one bad byte stream
+    must never fail a 100 TB task.  The null row (rather than a dropped
+    row) keeps coverage accounting exact: every input appears once."""
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
@@ -274,18 +291,27 @@ def decode_image(df: DataFrame) -> DataFrame:
             )}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
-                if have_pil:
-                    from PIL import Image
+                try:
+                    if have_pil:
+                        from PIL import Image
 
-                    img = Image.open(io.BytesIO(raw)).convert("RGB")
-                    w, h = img.size
-                    px = list(img.getdata())
-                    n = w * h
-                    mr = sum(p[0] for p in px) / n
-                    mg = sum(p[1] for p in px) / n
-                    mb = sum(p[2] for p in px) / n
-                else:
-                    w, h, mr, mg, mb = _parse_bmp(raw)
+                        img = Image.open(io.BytesIO(raw)).convert("RGB")
+                        w, h = img.size
+                        px = list(img.getdata())
+                        n = w * h
+                        mr = sum(p[0] for p in px) / n
+                        mg = sum(p[1] for p in px) / n
+                        mb = sum(p[2] for p in px) / n
+                    else:
+                        w, h, mr, mg, mb = _parse_bmp(raw)
+                except Exception:
+                    # Permissive degradation: any decode failure (bad
+                    # magic, truncated header/pixels, codec error) is a
+                    # data problem, not a job problem.
+                    rows["doc_id"].append(int(doc_id))
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                    continue
                 rows["doc_id"].append(int(doc_id))
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -514,7 +540,15 @@ def resize_image(
                 "mean_r", "mean_g", "mean_b", "pixel_sum",
             )}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                px = _bmp_pixels(bytes(blob))
+                try:
+                    px = _bmp_pixels(bytes(blob))
+                except Exception:
+                    # Permissive degradation (O8 contract): null row.
+                    out["doc_id"].append(int(doc_id))
+                    for k in ("width", "height", "mean_r", "mean_g",
+                              "mean_b", "pixel_sum"):
+                        out[k].append(None)
+                    continue
                 h, w = px.shape[:2]
                 ys = np.minimum(
                     ((np.arange(target_h) + 0.5) * h / target_h).astype(int),

@@ -196,3 +196,46 @@ def test_bmp_pixels_topdown_orientation():
     expect = np.asarray(image, dtype=np.uint8)
     assert (up == expect).all()
     assert (down == expect).all()
+
+
+def test_corrupt_blobs_degrade_to_null_rows(spark):
+    """O8 error-isolation on the multimodal decoders: truncated and
+    garbage BMP/WAV bytes produce doc_id + NULL feature columns — one
+    bad byte stream never fails the task, and coverage stays exact
+    (every input doc appears exactly once)."""
+    good_bmp = multimodal._bmp_bytes(7)
+    good_wav = multimodal._wav_bytes(7)
+    bad = [
+        (1, good_bmp[:20]),               # truncated header
+        (2, good_bmp[:-9]),               # truncated pixel array
+        (3, b"\x89PNG\r\n\x1a\n" + b"\x00" * 64),  # wrong format
+        (4, b""),                         # empty
+        (5, good_bmp),                    # control
+    ]
+    df = spark.createDataFrame(bad, "doc_id bigint, blob binary")
+
+    img = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    assert set(img) == {1, 2, 3, 4, 5}
+    for d in (1, 2, 3, 4):
+        assert img[d].width is None and img[d].mean_r is None
+    assert img[5].width == 4 + 7 % 8 and img[5].mean_r == 7.0
+
+    rs = {r.doc_id: r for r in multimodal.resize_image(df).collect()}
+    assert set(rs) == {1, 2, 3, 4, 5}
+    for d in (1, 2, 3, 4):
+        assert rs[d].pixel_sum is None
+    assert rs[5].pixel_sum is not None
+
+    wav = [
+        (1, good_wav[:12]),               # truncated RIFF header
+        (2, good_wav[:60]),               # truncated PCM payload
+        (3, b"not audio at all"),
+        (4, b""),
+        (5, good_wav),                    # control
+    ]
+    adf = spark.createDataFrame(wav, "doc_id bigint, blob binary")
+    au = {r.doc_id: r for r in multimodal.audio_features(adf).collect()}
+    assert set(au) == {1, 3, 4, 5} | {2}
+    for d in (1, 3, 4):
+        assert au[d].rms is None and au[d].sample_rate is None
+    assert au[5].sample_rate == 8000 and au[5].peak == 1 + (7 * 37) % 20000
