@@ -333,3 +333,72 @@ def global_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select(id_col, "shard", "pos")
     )
+
+
+def source_quota_cap(
+    df: DataFrame,
+    quota: int = 50,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "quota-v1",
+    thin_margin: int | None = 4,
+) -> DataFrame:
+    """Per-source document cap — the domain-capping step of a crawl
+    pipeline (no single domain may contribute more than ``quota`` docs):
+    keep each source's hash-least ``quota`` rows, order
+    ``(md5(seed:id), id)`` so membership is deterministic across runs,
+    engines, and cluster sizes.
+
+    Scale posture (100 TB): a naive ``row_number`` over the source
+    partition ships EVERY row of the hottest domain into one task.  With
+    ``thin_margin`` set, a broadcast per-source rate pre-thins first:
+    rows with ``hash_permille >= ceil(quota·margin·1000 / n_s)`` cannot
+    be in the hash-least ``quota`` unless the uniform hash is wildly
+    lopsided, so the exact window runs over ~quota·margin survivors per
+    source instead of n_s.  The thinning is part of the operator's
+    DETERMINISTIC definition (the oracle replicates it, so both engines
+    agree bit-for-bit even in the astronomically-unlikely shortfall
+    case); with margin 4 and quota ≥ 50 the binomial shortfall
+    probability is < 1e-40 per source.  ``thin_margin=None`` disables
+    the pre-thin (exact by construction at any margin).
+
+    Output: (id, source, rank) for kept rows, rank in [1, quota].
+    """
+    tagged = F.concat(
+        F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+    )
+    okey = F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("bigint")
+    base = df.select(
+        F.col(id_col), F.col(source_col), okey.alias("__okey")
+    )
+    if thin_margin is not None:
+        counts = base.groupBy(source_col).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        # ceil(quota·margin·1000 / n_s) in pure integer arithmetic
+        # ((a + n - 1) div n — no float division anywhere); >= 1000
+        # keeps everything (small sources skip straight to the rank).
+        a = quota * thin_margin * 1000
+        rate = F.least(
+            F.lit(1000).cast("bigint"),
+            F.expr(f"({a} + __n - 1) div __n"),
+        )
+        base = (
+            base.join(
+                F.broadcast(counts.select(source_col, rate.alias("__r"))),
+                source_col,
+            )
+            # integer cross-multiplied form of okey/2^32 < r/1000, on
+            # the SAME order key the rank uses: surviving the thin is
+            # monotone in rank order
+            .where(F.col("__okey") * 1000 < F.col("__r") * F.lit(4294967296))
+            .drop("__r")
+        )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("__okey").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= quota)
+        .select(id_col, source_col, "rank")
+    )

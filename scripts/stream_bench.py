@@ -5,7 +5,9 @@ and report events/s.
 
 The reference's only published throughput anchor is its channel/batch
 sizing (~333 events/s design point, BASELINE.md); this measures the
-same single-node contract on the Spark binding.
+same single-node contract on BOTH source bindings — the built-in file
+stream source and the custom ``k8s_informer`` DataSourceStreamReader
+(LIST/WATCH offsets, sources/informer.py) — one JSON line each.
 
 Usage: python scripts/stream_bench.py [sf_dir] [out_dir]
 """
@@ -44,38 +46,43 @@ def main() -> None:
     objects = entrymod._objects(spark, sf_dir)
     nodes = entrymod._nodes(spark, sf_dir)
 
-    t0 = time.time()
-    q = run_pipeline(
-        spark,
-        src,
-        objects,
-        nodes,
-        sink_fn=distributed_json_sink(f"{work}/out", compress_gzip=True),
-        checkpoint_dir=f"{work}/ckpt",
-        available_now=True,
-        namespaces=(),
-        reasons=(),
-    )
-    finished = q.awaitTermination(600)
-    elapsed = time.time() - t0
-    if not finished:
-        q.stop()
-        raise RuntimeError(
-            "pipeline did not finish within 600s - refusing to report "
-            "a throughput number for an incomplete run"
+    for source_format in ("files", "informer"):
+        t0 = time.time()
+        q = run_pipeline(
+            spark,
+            src,
+            objects,
+            nodes,
+            sink_fn=distributed_json_sink(
+                f"{work}/out-{source_format}", compress_gzip=True
+            ),
+            checkpoint_dir=f"{work}/ckpt-{source_format}",
+            available_now=True,
+            namespaces=(),
+            reasons=(),
+            source_format=source_format,
         )
+        finished = q.awaitTermination(600)
+        elapsed = time.time() - t0
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                "pipeline did not finish within 600s - refusing to report "
+                "a throughput number for an incomplete run"
+            )
 
-    print(
-        json.dumps(
-            {
-                "metric": "stream_pipeline_throughput",
-                "events_in": n,
-                "seconds": round(elapsed, 2),
-                "events_per_sec": round(n / elapsed, 1),
-                "sf_dir": sf_dir,
-            }
+        print(
+            json.dumps(
+                {
+                    "metric": "stream_pipeline_throughput",
+                    "source": source_format,
+                    "events_in": n,
+                    "seconds": round(elapsed, 2),
+                    "events_per_sec": round(n / elapsed, 1),
+                    "sf_dir": sf_dir,
+                }
+            )
         )
-    )
     spark.stop()
     if len(sys.argv) <= 2:
         shutil.rmtree(work, ignore_errors=True)
