@@ -1034,6 +1034,15 @@ def _q_temperature_sample(spark, sf_dir):
     )
 
 
+def _q_source_quota_cap(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    # quota 15 bites at every fixture sf; at sf0.1 the per-source counts
+    # (~250) also engage the broadcast pre-thin scale path (rate < 1000),
+    # so the local sweep exercises both branches.
+    return splits.source_quota_cap(load_table(spark, sf_dir, "documents"), quota=15)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     # Rows-only by design (like IVF/LSH): the k-means cell ids are
     # engine-specific, so there is no SQL oracle; pytest pins the hand
@@ -1343,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_blob_meta_pandas": _q_blob_meta_pandas,
         "docs_c4_quality_filters": _q_c4_quality_filters,
         "docs_temperature_sample": _q_temperature_sample,
+        "docs_source_quota_cap": _q_source_quota_cap,
         "docs_cluster_keep_longest": _q_cluster_keep_longest,
         "docs_global_shuffle": _q_global_shuffle,
         "text_ngram_novelty": _q_ngram_novelty,
@@ -2443,6 +2453,30 @@ def oracle_sql() -> dict[str, str]:
         # Mirrors splits.source_temperature_sample: T=0.5 temperature
         # weights S_s = floor(sqrt(n_s*1e6)); keep iff
         # H*denom*n_s < S_s*m*2^32 — all-integer (HUGEINT), no floats.
+        # Mirror of splits.source_quota_cap (quota=15, margin=4, seed
+        # quota-v1): md5 order key, integer ceil-div pre-thin rate,
+        # integer cross-multiplied thin predicate, per-source rank.
+        "docs_source_quota_cap": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     CAST('0x' || substr(md5('quota-v1:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS okey
+              FROM documents
+            ), counts AS (
+              SELECT source, COUNT(*) AS n FROM base GROUP BY source
+            ), thinned AS (
+              SELECT b.doc_id, b.source, b.okey
+              FROM base b JOIN counts c USING (source)
+              WHERE b.okey * 1000 <
+                    LEAST(1000, (60000 + c.n - 1) // c.n) * 4294967296
+            )
+            SELECT doc_id, source, rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY okey, doc_id) AS rank
+              FROM thinned)
+            WHERE rank <= 15
+        """,
         "docs_temperature_sample": """
             WITH c AS (
               SELECT source, COUNT(*) AS n FROM documents GROUP BY source),

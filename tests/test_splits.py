@@ -186,3 +186,37 @@ def test_global_shuffle_matches_python_md5(spark):
     for shard, members in by_shard.items():
         ps = sorted(p for d, (s, p) in got.items() if s == shard)
         assert ps == list(range(1, len(members) + 1))
+
+
+def test_source_quota_cap_exact_and_thin_equivalent(spark):
+    """The cap keeps exactly quota rows per large-enough source, ranked
+    by (md5 hash, id); the broadcast pre-thin scale path must be
+    row-identical to the plain-window form (thin_margin=None), and a
+    python md5 re-derivation pins the membership."""
+    import hashlib
+
+    from k8stream_spark.analytics.splits import source_quota_cap
+
+    rows = [(i, f"s{i % 3}") for i in range(300)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    quota = 10
+
+    plain = source_quota_cap(df, quota=quota, thin_margin=None).collect()
+    thinned = source_quota_cap(df, quota=quota, thin_margin=4).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, thinned))
+
+    by_src = {}
+    for r in plain:
+        by_src.setdefault(r.source, []).append(r)
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "s0": quota, "s1": quota, "s2": quota, "tiny": 1
+    }
+    # membership check against a python re-derivation of the hash order
+    def okey(doc_id):
+        return int(hashlib.md5(f"quota-v1:{doc_id}".encode()).hexdigest()[:8], 16)
+
+    for src, members in by_src.items():
+        ids = [i for i, s in rows if s == src]
+        expect = sorted(ids, key=lambda i: (okey(i), i))[:quota]
+        got = [r.doc_id for r in sorted(members, key=lambda r: r.rank)]
+        assert got == expect
