@@ -1327,6 +1327,32 @@ def _latest_graded_round() -> dict[str, int]:
     return latest
 
 
+def _q_gopher_quality(spark, sf_dir):
+    return textan.gopher_quality_filters(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_length_histogram(spark, sf_dir):
+    return textan.token_length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def _q_chunk_overlap(spark, sf_dir):
+    return textan.chunk_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dsir_importance(spark, sf_dir):
+    return textan.dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    return evan.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def _q_shard_manifest(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    return splits.shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1385,6 +1411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _q_quantize_int8,
         "docs_pack_chunks": _q_pack_chunks,
         "docs_pack_chunks_sharded": _q_pack_chunks_sharded,
+        "docs_gopher_quality": _q_gopher_quality,
+        "docs_token_length_histogram": _q_token_length_histogram,
+        "docs_chunk_overlap": _q_chunk_overlap,
+        "docs_dsir_importance": _q_dsir_importance,
+        "events_retention_cohorts": _q_retention_cohorts,
+        "docs_shard_manifest": _q_shard_manifest,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -2476,6 +2508,134 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY okey, doc_id) AS rank
               FROM thinned)
             WHERE rank <= 15
+        """,
+        # Mirrors text.gopher_quality_filters: exact integer counts +
+        # cross-multiplied ratio bounds, same pinned 8-stopword set.
+        "docs_gopher_quality": """
+            WITH d AS (
+              SELECT doc_id, string_split(coalesce(text,''), ' ') AS t
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS nw,
+                     CAST(len(list_filter(t,
+                          w -> regexp_matches(w, '[A-Za-z]')))
+                          AS BIGINT) AS na,
+                     CAST(len(list_filter(t,
+                          w -> contains(w, '#') OR contains(w, '...')))
+                          AS BIGINT) AS ns,
+                     CAST(len(list_filter(
+                          ['the','be','to','of','and','that','have','with'],
+                          s -> list_contains(t, s))) AS BIGINT) AS nr
+              FROM d)
+            SELECT doc_id,
+                   nw AS n_words,
+                   nw >= 40 AND nw <= 100000 AS pass_word_count,
+                   100*na >= 80*nw AS pass_alpha_frac,
+                   100*ns <= 10*nw AS pass_symbol_ratio,
+                   nr >= 2 AS pass_required_stops,
+                   (nw >= 40 AND nw <= 100000 AND 100*na >= 80*nw
+                    AND 100*ns <= 10*nw AND nr >= 2) AS keep
+            FROM m
+        """,
+        # Mirrors text.token_length_histogram (width 32, a power of two:
+        # Spark's double-div bucket is exact, DuckDB uses integer //).
+        "docs_token_length_histogram": """
+            WITH d AS (
+              SELECT CAST(len(string_split(coalesce(text,''), ' '))
+                          AS BIGINT) AS n
+              FROM documents)
+            SELECT n // 32 AS bucket,
+                   (n // 32) * 32 AS bucket_lo,
+                   (n // 32) * 32 + 31 AS bucket_hi,
+                   COUNT(*) AS n_docs,
+                   SUM(n) AS n_tokens
+            FROM d GROUP BY 1, 2, 3
+        """,
+        # Mirrors text.chunk_overlap (chunk 64, stride 48): same integer
+        # ceil-div window count, 1-based inclusive list_slice = F.slice.
+        "docs_chunk_overlap": """
+            WITH d AS (
+              SELECT doc_id, string_split(coalesce(text,''), ' ') AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id, t,
+                     CASE WHEN len(t) <= 64 THEN 1
+                          ELSE (CAST(len(t) AS BIGINT) - 64 + 47) // 48 + 1
+                     END AS ns
+              FROM d),
+            x AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0, ns - 1)) AS i
+              FROM s)
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   CAST(i * 48 AS BIGINT) AS start_token,
+                   CAST(len(list_slice(t, i*48 + 1, i*48 + 64))
+                        AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(list_slice(t, i*48 + 1, i*48 + 64), ' ')
+                     AS chunk_text
+            FROM x
+        """,
+        # Mirrors text.dsir_importance: same md5 bucket hash, target =
+        # lang='en' (NULL lang counts as source-only), integer linear
+        # statistic in HUGEINT, one final cast to double.
+        "docs_dsir_importance": """
+            WITH ex AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                     unnest(string_split(coalesce(text,''), ' ')) AS tok
+              FROM documents),
+            tok AS (
+              SELECT doc_id, is_t,
+                     CAST('0x' || substr(md5('dsir-v1:' || tok), 1, 8)
+                          AS BIGINT) % 1024 AS b
+              FROM ex),
+            stats AS (SELECT b, SUM(is_t) AS p, COUNT(*) AS q
+                      FROM tok GROUP BY b),
+            tot AS (SELECT SUM(is_t) AS tp, COUNT(*) AS tq FROM tok),
+            pdb AS (SELECT doc_id, b, COUNT(*) AS c
+                    FROM tok GROUP BY doc_id, b)
+            SELECT doc_id,
+                   SUM(c) AS n_tokens,
+                   CAST(SUM(CAST(c AS HUGEINT) *
+                            (CAST(p AS HUGEINT) * tq
+                             - CAST(q AS HUGEINT) * tp))
+                        AS DOUBLE) AS score
+            FROM pdb JOIN stats USING (b) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        # Mirrors events.retention_cohorts: integer week epochs anchored
+        # at Monday 1970-01-05, no date_trunc dialect drift.
+        "events_retention_cohorts": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS BIGINT)
+                       // 7 AS w
+              FROM events),
+            first AS (SELECT user_id, MIN(w) AS cohort
+                      FROM ev GROUP BY user_id)
+            SELECT cohort AS cohort_week,
+                   w - cohort AS week_offset,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM ev JOIN first USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # Mirrors splits.shard_manifest (16 shards, seed shard-v1): same
+        # md5 order key, bit_xor membership checksum.
+        "docs_shard_manifest": """
+            WITH d AS (
+              SELECT CAST('0x' || substr(md5('shard-v1:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS okey,
+                     CAST(len(string_split(coalesce(text,''), ' '))
+                          AS BIGINT) AS n
+              FROM documents)
+            SELECT okey % 16 AS shard_id,
+                   COUNT(*) AS n_docs,
+                   SUM(n) AS n_tokens,
+                   bit_xor(okey) AS xor_checksum
+            FROM d GROUP BY 1
         """,
         "docs_temperature_sample": """
             WITH c AS (

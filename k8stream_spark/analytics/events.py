@@ -234,3 +234,38 @@ def funnel_counts(
             f"stack({len(stages)}, {parts}) AS (stage_idx, stage, n_users)"
         )
     )
+
+
+def retention_cohorts(df: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix — the canonical product-analytics
+    rollup: users are grouped by the week of their FIRST event (cohort),
+    and each (cohort_week, week_offset) cell counts how many of them came
+    back ``offset`` weeks later, plus the event volume they produced.
+
+    Weeks are integer day-epochs floor-divided by 7 anchored at Monday
+    1970-01-05 — a pure integer expression every engine computes
+    identically (no date_trunc('week') dialect drift, no timezone).
+
+    Scale shape: one groupBy(user_id) for first-seen (map-side partial
+    min), a user-keyed equi-join back (AQE-broadcastable: the first-seen
+    side is one row per user, far smaller than the event stream), then
+    one groupBy on the tiny (cohort, offset) key.  No windows, no
+    all-pairs; everything is exact integers.
+    """
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+        / F.lit(7)
+    ).cast("bigint")
+    ev = df.select("user_id", week.alias("__w"))
+    first = ev.groupBy("user_id").agg(F.min("__w").alias("__cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("__cohort").alias("cohort_week"),
+            (F.col("__w") - F.col("__cohort")).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

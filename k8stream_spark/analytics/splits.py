@@ -402,3 +402,43 @@ def source_quota_cap(
         .where(F.col("rank") <= quota)
         .select(id_col, source_col, "rank")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    seed: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic shard assignment + per-shard manifest — the control
+    table a training job reads to know what each output shard holds:
+    shard id, document count, token count, and an order-insensitive
+    64-bit XOR checksum of the member ids' hash keys (so a re-run or a
+    re-read can verify shard membership without sorting anything).
+
+    Shard = first 32 md5 bits of ``seed:id`` mod ``n_shards`` — the
+    repo's engine-portable hash, so the oracle (and any other engine)
+    assigns identically, and assignment is stable under re-partitioning,
+    retries, and cluster size changes.  One hash-groupBy on the shard id
+    (map-side partial agg); XOR never widens past int64, so the checksum
+    is exact at any corpus size.
+    """
+    tagged = F.concat(
+        F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+    )
+    okey = F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("bigint")
+    n_tok = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+    return (
+        df.select(
+            (okey % n_shards).alias("shard_id"),
+            okey.alias("__okey"),
+            n_tok.cast("bigint").alias("__n"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+            F.expr("bit_xor(__okey)").alias("xor_checksum"),
+        )
+    )

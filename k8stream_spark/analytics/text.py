@@ -565,3 +565,228 @@ def corpus_top_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+# Gopher's "must contain 2 of ..." required-stopword set (Rae et al. 2021
+# A1.1).  Hard-pinned so the DuckDB oracle can repeat it verbatim.
+GOPHER_REQUIRED_STOPS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    alpha_frac_pct: int = 80,
+    symbol_pct: int = 10,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-independent quality rules (Rae et al. 2021
+    A1.1) — the second standard rule family next to ``c4_quality_filters``
+    (C4 §2.2).  Where C4 checks word-length profiles and stopword floods,
+    Gopher checks word-count bounds, the fraction of words containing an
+    alphabetic character, the symbol-to-word ratio (``#`` / ``...``), and
+    that at least ``min_required_stops`` of a fixed 8-stopword set occur.
+    Thresholds are scaled to the synthetic corpus; each is a parameter.
+
+    Like the C4 twin, every rule is EXACT INTEGER arithmetic — counts and
+    cross-multiplied ratio bounds (``100·n_alpha >= 80·n_words`` instead
+    of a float fraction), so any engine agrees bit-for-bit.
+
+    Emits per-rule pass flags plus combined ``keep`` (audit shape: which
+    rule kills how much).  One projection, zero shuffles, zero Python —
+    the array filters/intersections run inside whole-stage codegen.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_words = F.size(toks).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_sym = F.size(
+        F.filter(toks, lambda w: w.contains("#") | w.contains("..."))
+    ).cast("bigint")
+    n_req = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS]),
+        )
+    ).cast("bigint")
+    f_words = (n_words >= min_words) & (n_words <= max_words)
+    f_alpha = 100 * n_alpha >= alpha_frac_pct * n_words
+    f_symbol = 100 * n_sym <= symbol_pct * n_words
+    f_stops = n_req >= min_required_stops
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        f_words.alias("pass_word_count"),
+        f_alpha.alias("pass_alpha_frac"),
+        f_symbol.alias("pass_symbol_ratio"),
+        f_stops.alias("pass_required_stops"),
+        (f_words & f_alpha & f_symbol & f_stops).alias("keep"),
+    )
+
+
+def token_length_histogram(
+    df: DataFrame, text_col: str = "text", bucket_width: int = 32
+) -> DataFrame:
+    """Corpus token-length histogram: docs and tokens per fixed-width
+    length bucket — the packing/truncation diagnostic a training pipeline
+    reads before choosing a sequence length (what fraction of docs
+    truncate at 2k?  how much padding at 512?).
+
+    ``bucket_width`` must be a power of two: the bucket index is then an
+    exactly-representable IEEE division (denominator 2^k), so the
+    truncating cast is engine-exact with no integer-div dialect issues.
+
+    One hash-groupBy on the bucket index with map-side partial agg —
+    cardinality is ~(max_len / width), tiny at any corpus scale.
+    """
+    if bucket_width & (bucket_width - 1):
+        raise ValueError("bucket_width must be a power of two")
+    n_tok = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+    bucket = (n_tok / F.lit(bucket_width)).cast("bigint")
+    return (
+        df.select(bucket.alias("bucket"), n_tok.cast("bigint").alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * bucket_width).alias("bucket_lo"),
+            (F.col("bucket") * bucket_width + bucket_width - 1).alias(
+                "bucket_hi"
+            ),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / context-window
+    splitter: each document becomes ⌈(n−chunk)/stride⌉+1 windows of up to
+    ``chunk_tokens`` tokens starting every ``stride`` tokens (so adjacent
+    chunks share ``chunk_tokens − stride`` tokens of overlap).  Documents
+    at or under one window emit exactly one chunk; the final window is
+    allowed to run short rather than re-anchor at the tail, so every
+    token appears in ≥1 chunk and chunk starts are a pure function of the
+    index (stable across runs and engines).
+
+    Row-multiplying like ``explode`` (~n/stride×), so project down to
+    (id, text) first.  The expansion itself is ``posexplode(sequence)``
+    + ``slice`` — per-row array ops in whole-stage codegen, zero Python
+    and zero shuffles; the chunk count per row is data-derived, never a
+    driver-side loop.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n = F.size(toks)
+    # Integer ceil-div via exactly-representable double ops: n, chunk and
+    # stride are small integers, and floor((a + b - 1)/b) of correctly-
+    # rounded IEEE division is the exact integer quotient.
+    n_starts = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / F.lit(stride)) + 1
+    )
+    staged = df.select(
+        "doc_id",
+        toks.alias("__t"),
+        F.posexplode(F.sequence(F.lit(0), n_starts.cast("int") - 1)).alias(
+            "__pos", "__i"
+        ),
+    )
+    start = F.col("__i").cast("bigint") * stride
+    chunk_arr = F.slice(F.col("__t"), F.col("__i") * stride + 1, chunk_tokens)
+    return staged.select(
+        "doc_id",
+        F.col("__i").cast("bigint").alias("chunk_id"),
+        start.alias("start_token"),
+        F.size(chunk_arr).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk_arr, " ").alias("chunk_text"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data-selection importance score over hashed unigram features — the
+    DSIR shape (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): documents are scored by how target-like
+    their hashed-token distribution is, here with the ``lang ==
+    target_lang`` slice as the target and the whole corpus as the source.
+
+    Instead of DSIR's float log-likelihood ratio ``Σ log(p_b/q_b)`` (libm
+    ``log`` is not bit-identical across engines), the score is the exact
+    linear statistic ``Σ_tokens (p_b·Q − q_b·P)`` — positive when the
+    doc's buckets are over-represented in the target — computed entirely
+    in integer space (DECIMAL(38,0) / HUGEINT) and cast to double once at
+    the end (a single correctly-rounded op both engines share).  Ranking
+    by it selects the same documents as ranking by the per-token mean of
+    the probability difference ``p_b/P − q_b/Q``.
+
+    Bucket = first 32 md5 bits of ``dsir-v1:token`` mod ``n_buckets``
+    (the repo's engine-portable hash).  Scale shape: one explode +
+    hash-groupBy on (doc, bucket), bucket stats and the two totals are
+    tiny broadcast sides (≤ ``n_buckets`` rows / 1 row), so the only
+    data-sized shuffles are the two partial-aggregated groupBys.  Exact
+    up to ~10^13 tokens per corpus slice (factors cast to DECIMAL(19,0),
+    products bounded by 10^32 < 10^38).
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ex = df.select(
+        "doc_id",
+        # when/otherwise, not ==.cast: a NULL lang must count as source-
+        # only (0), and (NULL == x) casts to NULL which sum would skip.
+        F.when(F.col(lang_col) == target_lang, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__is_t"),
+        F.explode(toks).alias("__tok"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir-v1:"), F.col("__tok"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    tok = ex.select("doc_id", "__is_t", bucket.alias("__b"))
+    stats = tok.groupBy("__b").agg(
+        F.sum("__is_t").alias("__p"), F.count(F.lit(1)).alias("__q")
+    )
+    # __tp/__tq, not __P/__Q: Spark resolution is case-insensitive by
+    # default, so __P would collide with the per-bucket __p after the join.
+    totals = tok.agg(
+        F.sum("__is_t").alias("__tp"), F.count(F.lit(1)).alias("__tq")
+    )
+    per_doc_bucket = tok.groupBy("doc_id", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    d19 = "decimal(19,0)"
+    delta = F.col("__p").cast(d19) * F.col("__tq").cast(d19) - F.col(
+        "__q"
+    ).cast(d19) * F.col("__tp").cast(d19)
+    return (
+        per_doc_bucket.join(F.broadcast(stats), "__b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(F.col("__c").cast(d19) * delta)
+            .cast("double")
+            .alias("score"),
+        )
+    )

@@ -174,3 +174,32 @@ def test_funnel_requires_stage_order(spark):
     )
     out = {r.stage: r.n_users for r in funnel_counts(df).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    import datetime as dt
+
+    def t(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    df = spark.createDataFrame(
+        [
+            # user 1: first week + comes back 1 and 2 weeks later
+            (1, t(0)), (1, t(7)), (1, t(15)),
+            # user 2: first week only (two events, one user)
+            (2, t(1)), (2, t(2)),
+            # user 3: joins a week later, returns the week after
+            (3, t(8)), (3, t(14)),
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    out = evan.retention_cohorts(df).collect()
+    cohorts = sorted({r.cohort_week for r in out})
+    base = cohorts[0]
+    cells = {(r.cohort_week - base, r.week_offset): (r.n_users, r.n_events) for r in out}
+    # 2024-01-01 is a Monday, so t(0..6) is one whole week
+    assert cells[(0, 0)] == (2, 3)   # users 1,2 in their first week
+    assert cells[(0, 1)] == (1, 1)   # user 1 back after 1 week
+    assert cells[(0, 2)] == (1, 1)   # user 1 back after 2 weeks
+    assert cells[(1, 0)] == (1, 1)   # user 3's cohort starts a week later
+    assert cells[(1, 1)] == (1, 1)

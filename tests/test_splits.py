@@ -220,3 +220,31 @@ def test_source_quota_cap_exact_and_thin_equivalent(spark):
         expect = sorted(ids, key=lambda i: (okey(i), i))[:quota]
         got = [r.doc_id for r in sorted(members, key=lambda r: r.rank)]
         assert got == expect
+
+
+def test_shard_manifest_totals_and_determinism(spark):
+    import hashlib
+
+    from k8stream_spark.analytics import splits
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    out = splits.shard_manifest(df, n_shards=4).collect()
+    assert sum(r.n_docs for r in out) == 40
+    assert sum(r.n_tokens for r in out) == sum(i + 1 for i in range(40))
+    # python-side replica of the md5 shard hash: same assignment + checksum
+    acc = {}
+    for i in range(40):
+        okey = int(hashlib.md5(f"shard-v1:{i}".encode()).hexdigest()[:8], 16)
+        s = okey % 4
+        n, x = acc.get(s, (0, 0))
+        acc[s] = (n + 1, x ^ okey)
+    for r in out:
+        assert acc[r.shard_id][0] == r.n_docs
+        assert acc[r.shard_id][1] == r.xor_checksum
+    # stable under arbitrary input partitioning
+    again = {r.shard_id: r for r in splits.shard_manifest(df.repartition(7), n_shards=4).collect()}
+    for r in out:
+        assert again[r.shard_id].xor_checksum == r.xor_checksum

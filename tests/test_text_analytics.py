@@ -253,3 +253,78 @@ def test_corpus_top_ngrams_orders_by_doc_freq(spark):
     assert rows[0].doc_freq == 3
     # deterministic lexicographic tiebreak among doc_freq=2
     assert rows[1].ngram == "q r s" and rows[1].doc_freq == 2
+
+
+def test_gopher_quality_filters_rules(spark):
+    df = spark.createDataFrame(
+        [
+            # passes everything (stops: the/and/have/with/be/to/of)
+            (1, "the cat and dog have fun with toys be good to all of them"),
+            # 3 words < min_words, and <2 required stops
+            (2, "one two three"),
+            # symbol flood (4/6 tokens) + alpha fraction 2/6
+            (3, "# # # # the and"),
+            # half the words are digit-only -> alpha fraction 5/10 < 80%
+            (4, "12 34 56 78 90 the and of be to"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ta.gopher_quality_filters(df, min_words=5).collect()}
+    assert out[1].keep
+    assert not out[2].pass_word_count and not out[2].pass_required_stops
+    assert not out[3].pass_symbol_ratio and not out[3].pass_alpha_frac
+    assert not out[4].pass_alpha_frac and out[4].pass_symbol_ratio
+    assert not out[4].keep
+
+
+def test_token_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 3)),
+            (2, " ".join(["w"] * 33)),
+            (3, " ".join(["w"] * 40)),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.bucket: r for r in ta.token_length_histogram(df).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].n_docs, out[0].n_tokens) == (1, 3)
+    assert (out[1].n_docs, out[1].n_tokens) == (2, 73)
+    assert (out[1].bucket_lo, out[1].bucket_hi) == (32, 63)
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c")], "doc_id bigint, text string"
+    )
+    rows = ta.chunk_overlap(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,3,6 (ceil((10-4)/3)+1 = 3 windows), all length 4
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.start_token for r in c1] == [0, 3, 6]
+    assert [r.n_chunk_tokens for r in c1] == [4, 4, 4]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap at stride 3
+    covered = {t for r in c1 for t in r.chunk_text.split(" ")}
+    assert covered == {f"t{i}" for i in range(10)}
+    # doc 2 fits one window -> exactly one (short) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b c"
+
+
+def test_dsir_importance_prefers_target_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple pie", "en"),
+            (2, "apple tart", "en"),
+            (3, "baguette fromage vin", "fr"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.doc_id: r for r in ta.dsir_importance(df).collect()}
+    assert out[1].n_tokens == 3 and out[3].n_tokens == 3
+    # target-only tokens score positive, source-only tokens negative
+    assert out[1].score > 0 > out[3].score
+    assert out[1].score >= out[2].score
