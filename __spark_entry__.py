@@ -418,6 +418,91 @@ WHERE rank <= {k}
 """
 
 
+# Bit-exact mirror of similarity._pq_codebooks + _pq_encoder for
+# emb_pq_encode.  Stronger than the IVF replay: every boundary decision
+# is an int64 comparison (squared L2, first-min ties = lowest code), so
+# there is NO float anywhere — seeds = first k sample subvectors, ITERS
+# unrolled Lloyd rounds (argmin by row_number over (d2, cell); rounded
+# per-coordinate mean floor((2·Σq + m)/(2m)); empty cells carry), then
+# final assignment of every vector with the per-subspace winner pivoted
+# into code columns and the exact total squared error.
+def _pq_oracle_sql(
+    m: int = 4, k: int = 16, iters: int = 4, dim: int = 64
+) -> str:
+    sub = dim // m
+    parts = []
+    for i in range(iters):
+        parts.append(f"""
+d{i} AS (
+  SELECT q.id AS pid, c.sub, c.cell, SUM((q.q - c.c) * (q.q - c.c)) AS d2
+  FROM samp s JOIN qv q ON q.id = s.id
+  JOIN cb{i} c ON c.sub = q.sub AND c.sd = q.sd
+  GROUP BY q.id, c.sub, c.cell
+), asg{i} AS (
+  SELECT pid, sub, cell FROM (
+    SELECT pid, sub, cell,
+           row_number() OVER (PARTITION BY pid, sub
+                              ORDER BY d2, cell) AS rn
+    FROM d{i})
+  WHERE rn = 1
+), cb{i + 1} AS (
+  SELECT c.sub, c.cell, c.sd, COALESCE(u.mean, c.c) AS c
+  FROM cb{i} c LEFT JOIN (
+    SELECT g.sub, g.cell, q.sd,
+           CAST(FLOOR(CAST(2 * SUM(q.q) + COUNT(*) AS DOUBLE)
+                      / (2.0 * COUNT(*))) AS BIGINT) AS mean
+    FROM asg{i} g JOIN qv q ON q.id = g.pid AND q.sub = g.sub
+    GROUP BY g.sub, g.cell, q.sd) u
+  ON u.sub = c.sub AND u.cell = c.cell AND u.sd = c.sd
+)""")
+    iter_ctes = ",".join(parts)
+    code_cols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN sub = {j} THEN cell END) AS INT) AS code_{j}"
+        for j in range(m)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), qv AS (
+  SELECT b.id, d.d // {sub} AS sub, d.d % {sub} AS sd,
+         CAST(FLOOR(b.x[d.d + 1] * 10000.0 + 0.5) AS BIGINT) AS q
+  FROM base b, range({dim}) d(d)
+), params AS (
+  SELECT n, GREATEST(1, LEAST(1000, (20000 * 1000) // n)) AS permille
+  FROM (SELECT COUNT(*) AS n FROM base)
+), samp AS (
+  SELECT id, rnk FROM (
+    SELECT b.id, row_number() OVER (ORDER BY hh, b.id) AS rnk
+    FROM (SELECT id,
+                 CAST(CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 1, 15)
+                      AS UBIGINT) % 1000 AS BIGINT) AS hh
+          FROM base) b, params p
+    WHERE b.hh < p.permille)
+  WHERE rnk <= 20000
+), cb0 AS (
+  SELECT q.sub, CAST(s.rnk - 1 AS INT) AS cell, q.sd, q.q AS c
+  FROM samp s JOIN qv q ON q.id = s.id
+  WHERE s.rnk <= {k}
+), {iter_ctes},
+dfin AS (
+  SELECT q.id AS pid, c.sub, c.cell, SUM((q.q - c.c) * (q.q - c.c)) AS d2
+  FROM qv q JOIN cb{iters} c ON c.sub = q.sub AND c.sd = q.sd
+  GROUP BY q.id, c.sub, c.cell
+), win AS (
+  SELECT pid, sub, cell, d2 FROM (
+    SELECT pid, sub, cell, d2,
+           row_number() OVER (PARTITION BY pid, sub
+                              ORDER BY d2, cell) AS rn
+    FROM dfin)
+  WHERE rn = 1
+)
+SELECT pid AS vec_id,
+       {code_cols},
+       CAST(SUM(d2) AS BIGINT) AS recon_err
+FROM win GROUP BY pid
+"""
+
+
 SHINGLES_CTE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 sh AS (
@@ -1327,6 +1412,10 @@ def _latest_graded_round() -> dict[str, int]:
     return latest
 
 
+def _q_pq_encode(spark, sf_dir):
+    return similarity.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_gopher_quality(spark, sf_dir):
     return textan.gopher_quality_filters(load_table(spark, sf_dir, "documents"))
 
@@ -1417,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_importance": _q_dsir_importance,
         "events_retention_cohorts": _q_retention_cohorts,
         "docs_shard_manifest": _q_shard_manifest,
+        "emb_pq_encode": _q_pq_encode,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -2417,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         # rerank are all reproduced bit-for-bit, so the APPROXIMATE
         # result itself is hash-checked, not just a recall bound.
         "emb_cosine_topk_ivf": _ivf_oracle_sql(),
+        "emb_pq_encode": _pq_oracle_sql(),
         "emb_cosine_topk": """
             WITH base AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -81,6 +81,13 @@ BENCH_QUERIES = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",
+    # r7 surface (the row-multiplying / multi-shuffle new ops; the pure
+    # single-scan ones — gopher filters, length histogram — track q6-like
+    # shapes already in the set)
+    "docs_chunk_overlap",
+    "docs_dsir_importance",
+    "events_retention_cohorts",
+    "docs_shard_manifest",
 )
 
 

@@ -1035,3 +1035,139 @@ def semantic_dedup_invariants(
     return totals.crossJoin(missed).select(
         "n_vectors", "same_cell_missed_pairs", "dup_without_pointer"
     )
+
+
+#: Product-quantization defaults: m subspaces × k codes.  k=16 keeps a
+#: code in 4 bits (a 64-dim vector compresses to m·4 = 16 bits + norms),
+#: and codebook training reuses the IVF discipline: bounded hash-selected
+#: sample, integer-exact arithmetic, fixed Lloyd rounds.
+_PQ_M = 4
+_PQ_K = 16
+
+
+def _pq_codebooks(
+    base: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    n_rows: int,
+    max_train: int = _IVF_MAX_TRAIN,
+    iters: int = _IVF_ITERS,
+) -> np.ndarray:
+    """Integer-exact per-subspace k-means codebooks for product
+    quantization — the PQ twin of ``_sample_kmeans_int``.  Same
+    deterministic sample (sha256 permille, (hash, id) order, capped at
+    ``max_train``), same 1e4 coordinate quantization, same rounded-mean
+    update; assignment differs: PQ minimizes the EXACT int64 squared L2
+    distance within each subspace (ties → smallest code), so the whole
+    training loop is pure integer comparisons — no doubles anywhere, not
+    even the IVF cosine's correctly-rounded sqrt.
+
+    Returns the (m × k × dim/m) int64 codebook tensor — the only
+    driver-side state; at any corpus size the driver work is O(sample).
+    """
+    permille = max(1, min(1000, max_train * 1000 // max(1, n_rows)))
+    hcol = F.conv(
+        F.substring(F.sha2(F.col("__id").cast("string"), 256), 1, 15), 16, 10
+    ).cast("bigint") % 1000
+    rows = (
+        base.select("__id", "__x", hcol.alias("__h"))
+        .where(F.col("__h") < permille)
+        .orderBy("__h", "__id")
+        .limit(max_train)
+        .collect()
+    )
+    X = _quantize_ivf(np.asarray([r["__x"] for r in rows], dtype=np.float64))
+    if len(X) < k:
+        raise ValueError(
+            f"sample ({len(X)}) smaller than k ({k}); "
+            "raise max_train or lower k"
+        )
+    sub = dim // m
+    books = np.empty((m, k, sub), dtype=np.int64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[:k].copy()
+        for _ in range(iters):
+            # exact int64 squared distances; argmin's first-min = lowest code
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mem = Xj[assign == c]
+                if len(mem):
+                    s = mem.sum(axis=0)
+                    mm = len(mem)
+                    # identical double FLOOR expression to the SQL oracle
+                    C[c] = np.floor((2 * s + mm) / (2.0 * mm)).astype(
+                        np.int64
+                    )
+        books[j] = C
+    return books
+
+
+def _pq_encoder(books: np.ndarray, dim: int):
+    """Arrow-batched PQ encoding over the raw double vector column: one
+    quantize + m small integer distance matrices per batch, argmin per
+    subspace (first-min ties = lowest code), exact int64 reconstruction
+    error accumulated across subspaces.  The codebook tensor broadcasts
+    in the UDF closure."""
+    m, k, sub = books.shape
+
+    @pandas_udf("codes array<int>, err bigint")
+    def enc(x: pd.Series) -> pd.DataFrame:
+        if x.empty:
+            return pd.DataFrame({"codes": [], "err": []})
+        Q = _quantize_ivf(np.vstack(x.to_numpy()).astype(np.float64))
+        codes = np.empty((len(Q), m), dtype=np.int32)
+        err = np.zeros(len(Q), dtype=np.int64)
+        for j in range(m):
+            Qj = Q[:, j * sub : (j + 1) * sub]
+            d2 = ((Qj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            cj = np.argmin(d2, axis=1)
+            codes[:, j] = cj
+            err += d2[np.arange(len(Q)), cj]
+        return pd.DataFrame({"codes": list(codes.tolist()), "err": err})
+
+    return enc
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    max_train: int = _IVF_MAX_TRAIN,
+    iters: int = _IVF_ITERS,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, the FAISS IVF-PQ
+    compression half): each vector splits into ``m`` subvectors, each
+    subvector maps to its nearest of ``k`` per-subspace centroids, and
+    the vector is stored as ``m`` small codes — here with the exact int64
+    reconstruction error (in quantized-coordinate² units) kept alongside,
+    the accounting a compression stage reports.
+
+    Everything boundary-deciding is EXACT INTEGER arithmetic (quantized
+    coordinates, squared L2, first-min ties), so a SQL oracle replays
+    codebook training + assignment bit-for-bit — this is the strongest
+    checkability class: unlike IVF's cosine there is no float anywhere.
+
+    Scale shape: training is O(bounded sample) on the driver (FAISS
+    rule); encoding is one Arrow-batched pass, no shuffle at all — the
+    output is a projection of the input partitioning.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), raw.alias("__x")
+    )
+    n_rows = base.count()
+    books = _pq_codebooks(base, dim, m, k, n_rows, max_train, iters)
+    out = base.withColumn("__e", _pq_encoder(books, dim)(F.col("__x")))
+    return out.select(
+        F.col("__id").alias(id_col),
+        *[F.col("__e.codes")[j].alias(f"code_{j}") for j in range(m)],
+        F.col("__e.err").alias("recon_err"),
+    )

@@ -154,3 +154,50 @@ def write_sized_json(
         writer = writer.option("compression", compression)
     writer.json(path)
     return per_file
+
+
+def write_training_shards(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    seed: str = "shard-v1",
+    max_records_per_file: int = 1_000_000,
+) -> str:
+    """Deterministic sharded parquet writer — the materialization side of
+    ``splits.shard_manifest``: documents land under
+    ``path/shard_id=K/`` with shard membership a pure function of
+    ``md5(seed:id)`` (stable across runs, retries, and cluster sizes),
+    and the matching manifest (counts, token totals, XOR membership
+    checksums) is written to ``path/_manifest/`` so a reader can verify
+    every shard without re-scanning the corpus.
+
+    Scale posture: one ``repartition`` on the shard id so each shard is
+    written by one task (no small-files explosion from every task
+    touching every shard); ``maxRecordsPerFile`` rolls oversized shards
+    into multiple parquet parts WITHIN the shard directory, so a hot
+    shard bounds file size, not task count.  The manifest pass is the
+    ``shard_manifest`` aggregate — one map-side-combined groupBy.
+
+    Returns the manifest directory path.
+    """
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.analytics.splits import shard_manifest
+
+    tagged = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    okey = F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("bigint")
+    (
+        df.withColumn("shard_id", okey % n_shards)
+        .repartition(n_shards, "shard_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    manifest_path = f"{path}/_manifest"
+    shard_manifest(
+        df, id_col=id_col, text_col=text_col, n_shards=n_shards, seed=seed
+    ).coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    return manifest_path

@@ -178,3 +178,45 @@ def test_semantic_dedup_same_cell_recall(spark):
     if exact:
         recall = len(same_cell) / len(exact)
         assert recall >= 0.3, f"cluster recall {recall} too low"  # 0.57 measured
+
+
+def test_pq_encode_exact_on_clustered_vectors(spark):
+    # two exact clusters -> with k=2 codes per subspace the codebook
+    # converges onto the cluster points and reconstruction is exact
+    a = [1.0, 0.0, 0.5, -0.5]
+    b = [-1.0, 0.25, 0.0, 1.0]
+    rows = [(i, a if i % 2 else b) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in similarity.pq_encode(df, dim=4, m=2, k=2).collect()
+    }
+    assert len(out) == 12
+    for i, r in out.items():
+        assert r.recon_err == 0
+    # identical vectors get identical codes; the two clusters differ
+    codes = {i: (r.code_0, r.code_1) for i, r in out.items()}
+    assert codes[1] == codes[3] and codes[0] == codes[2]
+    assert codes[0] != codes[1]
+
+
+def test_pq_encode_deterministic_under_repartition(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    one = sorted(
+        tuple(r) for r in similarity.pq_encode(df, dim=8, m=4, k=4).collect()
+    )
+    two = sorted(
+        tuple(r)
+        for r in similarity.pq_encode(
+            df.repartition(7), dim=8, m=4, k=4
+        ).collect()
+    )
+    assert one == two
+    # error accounting is nonnegative and nonzero for random data
+    assert all(t[-1] >= 0 for t in one) and any(t[-1] > 0 for t in one)
