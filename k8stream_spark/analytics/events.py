@@ -246,26 +246,34 @@ def retention_cohorts(df: DataFrame) -> DataFrame:
     1970-01-05 — a pure integer expression every engine computes
     identically (no date_trunc('week') dialect drift, no timezone).
 
-    Scale shape: one groupBy(user_id) for first-seen (map-side partial
-    min), a user-keyed equi-join back (AQE-broadcastable: the first-seen
-    side is one row per user, far smaller than the event stream), then
-    one groupBy on the tiny (cohort, offset) key.  No windows, no
-    all-pairs; everything is exact integers.
+    Scale shape: ONE scan and one data-sized shuffle — the event stream
+    reduces immediately to (user, week) counts (map-side partial agg),
+    the cohort comes from a user-partitioned window MIN over that
+    already-reduced frame, and the final rollup groups the same frame on
+    the tiny (cohort, offset) key.  n_users needs no countDistinct: the
+    (user, week) grain makes every row one distinct user.  (The obvious
+    first-seen-join formulation scans the events twice and shuffles the
+    full stream for the join; this shape never touches raw events after
+    the first aggregate.)
     """
     week = F.floor(
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
         / F.lit(7)
     ).cast("bigint")
-    ev = df.select("user_id", week.alias("__w"))
-    first = ev.groupBy("user_id").agg(F.min("__w").alias("__cohort"))
+    wk = (
+        df.select("user_id", week.alias("__w"))
+        .groupBy("user_id", "__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cohort = F.min("__w").over(Window.partitionBy("user_id"))
     return (
-        ev.join(first, "user_id")
+        wk.withColumn("__cohort", cohort)
         .groupBy(
             F.col("__cohort").alias("cohort_week"),
             (F.col("__w") - F.col("__cohort")).alias("week_offset"),
         )
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("__n").alias("n_events"),
         )
     )

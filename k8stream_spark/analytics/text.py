@@ -764,16 +764,29 @@ def dsir_importance(
         % n_buckets
     )
     tok = ex.select("doc_id", "__is_t", bucket.alias("__b"))
-    stats = tok.groupBy("__b").agg(
-        F.sum("__is_t").alias("__p"), F.count(F.lit(1)).alias("__q")
+    # Aggregate the token stream ONCE: per-doc-bucket counts are the
+    # finest grain every later quantity needs, so bucket stats and the
+    # corpus totals both roll up from this already-reduced frame —
+    # leaving exactly one data-sized shuffle (the (doc, bucket) groupBy
+    # with map-side partial agg); the stats/totals shuffles carry the
+    # ~docs·distinct-buckets frame, and the corpus scan runs once.
+    # (__is_t is constant per doc, so adding it to the key changes
+    # nothing about the grain.)  The frame feeds BOTH the stats rollup
+    # and the final score join; without the persist Catalyst plans the
+    # explode+groupBy twice (two corpus scans), with it both branches
+    # read one InMemoryRelation computed once — persisting the REDUCED
+    # frame (~docs·distinct-buckets rows), never the token stream.
+    per_doc_bucket = tok.groupBy("doc_id", "__is_t", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).persist()
+    stats = per_doc_bucket.groupBy("__b").agg(
+        F.sum(F.col("__c") * F.col("__is_t")).alias("__p"),
+        F.sum("__c").alias("__q"),
     )
     # __tp/__tq, not __P/__Q: Spark resolution is case-insensitive by
     # default, so __P would collide with the per-bucket __p after the join.
-    totals = tok.agg(
-        F.sum("__is_t").alias("__tp"), F.count(F.lit(1)).alias("__tq")
-    )
-    per_doc_bucket = tok.groupBy("doc_id", "__b").agg(
-        F.count(F.lit(1)).alias("__c")
+    totals = stats.agg(
+        F.sum("__p").alias("__tp"), F.sum("__q").alias("__tq")
     )
     d19 = "decimal(19,0)"
     delta = F.col("__p").cast(d19) * F.col("__tq").cast(d19) - F.col(

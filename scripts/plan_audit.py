@@ -71,6 +71,13 @@ AUDITED = [
     "text_ngram_novelty",
     "text_corpus_top_ngrams",
     "mm_resize_image",
+    "docs_gopher_quality",
+    "docs_token_length_histogram",
+    "docs_chunk_overlap",
+    "docs_dsir_importance",
+    "events_retention_cohorts",
+    "docs_shard_manifest",
+    "emb_pq_encode",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed
