@@ -124,6 +124,38 @@ def main() -> None:
     t0 = time.time()
     ni = sim.cosine_topk_ivf(emb, (0, 1, 2, 3, 4), k=10).count()
     print(f"ivf: topk_rows={ni} time={time.time() - t0:.1f}s")
+    spark.catalog.clearCache()
+
+    # r7 surface: expansion / balance / compression accounting
+    from k8stream_spark.analytics import splits as sp
+    from k8stream_spark.analytics import text as ta
+
+    t0 = time.time()
+    nchunks = ta.chunk_overlap(docs).count()
+    print(
+        f"chunk_overlap: chunks={nchunks} docs={n_docs} "
+        f"expansion={nchunks / n_docs:.2f}x time={time.time() - t0:.1f}s"
+    )
+
+    t0 = time.time()
+    man = sp.shard_manifest(docs).collect()
+    lo = min(r.n_docs for r in man)
+    hi = max(r.n_docs for r in man)
+    print(
+        f"shard_manifest: shards={len(man)} min_docs={lo} max_docs={hi} "
+        f"balance={hi / max(1, lo):.2f} time={time.time() - t0:.1f}s"
+    )
+
+    t0 = time.time()
+    pq = sim.pq_encode(emb).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("recon_err").alias("err")
+    ).collect()[0]
+    # 64 float32 coords (256 B) -> 4 codes of 4 bits (2 B) + id
+    print(
+        f"pq_encode: vectors={pq['n']} mean_recon_err={pq['err']:.0f} "
+        f"(quantized-coord^2 units; 256B->2B payload, 128x) "
+        f"time={time.time() - t0:.1f}s"
+    )
     spark.stop()
 
 
