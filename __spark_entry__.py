@@ -426,9 +426,12 @@ WHERE rank <= {k}
 # per-coordinate mean floor((2·Σq + m)/(2m)); empty cells carry), then
 # final assignment of every vector with the per-subspace winner pivoted
 # into code columns and the exact total squared error.
-def _pq_oracle_sql(
+def _pq_training_sql(
     m: int = 4, k: int = 16, iters: int = 4, dim: int = 64
 ) -> str:
+    """Shared WITH-body ending at ``win`` (pid, sub, cell, d2 — every
+    vector's per-subspace winning code + its exact squared error), used
+    by both the encode oracle and the ADC-search oracle."""
     sub = dim // m
     parts = []
     for i in range(iters):
@@ -456,10 +459,6 @@ d{i} AS (
   ON u.sub = c.sub AND u.cell = c.cell AND u.sd = c.sd
 )""")
     iter_ctes = ",".join(parts)
-    code_cols = ",\n       ".join(
-        f"CAST(MAX(CASE WHEN sub = {j} THEN cell END) AS INT) AS code_{j}"
-        for j in range(m)
-    )
     return f"""
 WITH base AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
@@ -496,11 +495,66 @@ dfin AS (
     FROM dfin)
   WHERE rn = 1
 )
-SELECT pid AS vec_id,
+__TAIL__
+"""
+
+
+def _pq_oracle_sql(
+    m: int = 4, k: int = 16, iters: int = 4, dim: int = 64
+) -> str:
+    code_cols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN sub = {j} THEN cell END) AS INT) AS code_{j}"
+        for j in range(m)
+    )
+    tail = f"""SELECT pid AS vec_id,
        {code_cols},
        CAST(SUM(d2) AS BIGINT) AS recon_err
-FROM win GROUP BY pid
-"""
+FROM win GROUP BY pid"""
+    return _pq_training_sql(m, k, iters, dim).replace("__TAIL__", tail)
+
+
+# ADC search oracle: on top of the training replay, each query's
+# quantized subvectors get exact integer dot products against every
+# final centroid (dq) and every centroid its exact squared norm (cn2);
+# a vector's score is the cosine of the query against its PQ
+# reconstruction, a/sqrt(n2), from those exact int64 sums — identical to
+# the Spark side's baked-in lookup tables (same _int_cos_matrix recipe,
+# so the doubles are bit-identical).  Rank desc with id tiebreak.
+def _pq_adc_oracle_sql(
+    query_ids: tuple[int, ...],
+    k_out: int = 10,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 4,
+    dim: int = 64,
+) -> str:
+    qids = "(" + ",".join(str(i) for i in query_ids) + ")"
+    score = """CASE WHEN n2 = 0 THEN -2.0
+              ELSE CAST(a AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) END"""
+    tail = f"""SELECT query_id, neighbor_id, rank, adc_cos FROM (
+  SELECT query_id, neighbor_id,
+         {score} AS adc_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {score} DESC, neighbor_id) AS rank
+  FROM (
+    SELECT d.qid AS query_id, w.pid AS neighbor_id,
+           CAST(SUM(d.a) AS BIGINT) AS a,
+           CAST(SUM(n.n2) AS BIGINT) AS n2
+    FROM win w
+    JOIN (
+      SELECT q.id AS qid, c.sub, c.cell, SUM(q.q * c.c) AS a
+      FROM qv q JOIN cb{iters} c ON c.sub = q.sub AND c.sd = q.sd
+      WHERE q.id IN {qids}
+      GROUP BY q.id, c.sub, c.cell) d
+    ON d.sub = w.sub AND d.cell = w.cell
+    JOIN (
+      SELECT sub, cell, SUM(c * c) AS n2
+      FROM cb{iters} GROUP BY sub, cell) n
+    ON n.sub = w.sub AND n.cell = w.cell
+    WHERE w.pid != d.qid
+    GROUP BY d.qid, w.pid))
+WHERE rank <= {k_out}"""
+    return _pq_training_sql(m, k, iters, dim).replace("__TAIL__", tail)
 
 
 SHINGLES_CTE = """
@@ -1416,6 +1470,15 @@ def _q_pq_encode(spark, sf_dir):
     return similarity.pq_encode(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_pq_adc_topk(spark, sf_dir):
+    # m=16 (8-byte codes, 32x compression): the uniform-random fixture is
+    # PQ's documented worst case — 4-dim subspaces keep recall ~0.5 there
+    # where real clustered embeddings would need far fewer (SCALE.md).
+    return similarity.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10, m=16
+    )
+
+
 def _q_gopher_quality(spark, sf_dir):
     return textan.gopher_quality_filters(load_table(spark, sf_dir, "documents"))
 
@@ -1507,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": _q_retention_cohorts,
         "docs_shard_manifest": _q_shard_manifest,
         "emb_pq_encode": _q_pq_encode,
+        "emb_pq_adc_topk": _q_pq_adc_topk,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -2508,6 +2572,7 @@ def oracle_sql() -> dict[str, str]:
         # result itself is hash-checked, not just a recall bound.
         "emb_cosine_topk_ivf": _ivf_oracle_sql(),
         "emb_pq_encode": _pq_oracle_sql(),
+        "emb_pq_adc_topk": _pq_adc_oracle_sql(TOPK_QUERY_IDS, m=16),
         "emb_cosine_topk": """
             WITH base AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

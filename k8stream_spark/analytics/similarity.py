@@ -1195,3 +1195,115 @@ def pq_encode(
         *[F.col("__e.codes")[j].alias(f"code_{j}") for j in range(m)],
         F.col("__e.err").alias("recon_err"),
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = _PQ_M,
+    n_codes: int = _PQ_K,
+    max_train: int = _IVF_MAX_TRAIN,
+    iters: int = _IVF_ITERS,
+) -> DataFrame:
+    """Compressed-domain top-k via PQ asymmetric distance computation
+    (ADC, Jégou et al. 2011 §IV): vectors are searched through their PQ
+    codes alone — each query precomputes per-subspace lookup tables
+    against the codebook centroids, and a vector's score is m table
+    lookups summed.  This is the search half of IVF-PQ: the scan reads
+    2 bytes of codes instead of 256 bytes of floats per row.
+
+    The score ranks by the COSINE of the query against the vector's PQ
+    reconstruction, from exact integer parts (the ``_int_cos_matrix``
+    recipe): ``a = Σ_j q_j·c[code_j]`` and ``n2 = Σ_j |c[code_j]|²`` are
+    exact int64 table lookups, and ``a/sqrt(n2)`` is two correctly-
+    rounded IEEE ops — bit-identical in any engine.  (The emitted
+    ``adc_cos`` is |q|·cos — the query's own norm is constant per
+    query so the ranking is the cosine ranking; dividing it out would
+    add a float with no effect on order.)  Cosine, not raw L2: L2 over
+    unnormalized vectors would rank short vectors first, where the exact
+    baseline is norm-invariant.
+
+    Scoring is PURE CODEGEN: the tables are array literals baked into
+    the projection (m·n_codes ints per query + one shared norm table),
+    each lookup is ``array[code_j]``, the per-query fan-out one inline
+    explode — no Python touches the scan, and the only shuffle is the
+    per-query top-k window over (query, id, int, int) rows.  Recall is
+    bounded by quantization (the classic deployment composes IVF probing
+    with ADC) — measured against exact cosine in pytest.
+    """
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col).alias("__id"), raw.alias("__x"))
+    n_rows = base.count()
+    books = _pq_codebooks(base, dim, m, n_codes, n_rows, max_train, iters)
+    codes = base.withColumn("__e", _pq_encoder(books, dim)(F.col("__x")))
+
+    # Shared centroid-norm lookup: n2 = Σ_j |c[code_j]|² (exact int64).
+    n2_tables = [
+        np.einsum("ij,ij->i", b.astype(np.float64), b.astype(np.float64))
+        .astype(np.int64)
+        for b in books
+    ]
+    n2_cols = [
+        F.array(*[F.lit(int(v)) for v in tbl])[F.col("__e.codes")[j]]
+        for j, tbl in enumerate(n2_tables)
+    ]
+    n2 = n2_cols[0]
+    for c in n2_cols[1:]:
+        n2 = n2 + c
+
+    qrows = base.where(F.col("__id").isin(*query_ids)).collect()
+    sub = dim // m
+    structs = []
+    for r in qrows:
+        qv = _quantize_ivf(np.asarray([r["__x"]], dtype=np.float64))[0]
+        parts = []
+        for j in range(m):
+            # q_j · c for every code — float64 BLAS on exact integers
+            table = (
+                books[j].astype(np.float64)
+                @ qv[j * sub : (j + 1) * sub].astype(np.float64)
+            ).astype(np.int64)
+            parts.append(
+                F.array(*[F.lit(int(d)) for d in table])[
+                    F.col("__e.codes")[j]
+                ]
+            )
+        a = parts[0]
+        for p in parts[1:]:
+            a = a + p
+        structs.append(
+            F.struct(
+                F.lit(int(r["__id"])).cast("bigint").alias("query_id"),
+                a.cast("bigint").alias("a"),
+            )
+        )
+    scored = (
+        codes.select(
+            F.col("__id").alias("neighbor_id"),
+            n2.cast("bigint").alias("__n2"),
+            F.explode(F.array(*structs)).alias("__q"),
+        )
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            "neighbor_id",
+            F.when(F.col("__n2") == 0, F.lit(-2.0))
+            .otherwise(
+                F.col("__q.a").cast("double")
+                / F.sqrt(F.col("__n2").cast("double"))
+            )
+            .alias("adc_cos"),
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_cos")
+    )
