@@ -1505,6 +1505,18 @@ def _q_shard_manifest(spark, sf_dir):
     return splits.shard_manifest(load_table(spark, sf_dir, "documents"))
 
 
+def _q_split_leakage(spark, sf_dir):
+    from k8stream_spark.analytics import splits
+
+    return splits.split_leakage(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_classifier(spark, sf_dir):
+    return textan.quality_classifier_score(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1571,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shard_manifest": _q_shard_manifest,
         "emb_pq_encode": _q_pq_encode,
         "emb_pq_adc_topk": _q_pq_adc_topk,
+        "docs_split_leakage": _q_split_leakage,
+        "docs_quality_classifier": _q_quality_classifier,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -2760,6 +2774,60 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS score
             FROM pdb JOIN stats USING (b) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        # Mirrors text.quality_classifier_score: same md5 token weights,
+        # int64 fold; list_sum/HUGEINT cast back to BIGINT.
+        "docs_quality_classifier": """
+            WITH d AS (
+              SELECT doc_id, string_split(coalesce(text,''), ' ') AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(list_sum(list_transform(t, w ->
+                          CAST('0x' || substr(md5('qc-v1:' || w), 1, 8)
+                               AS BIGINT) % 100000 - 50000))
+                          AS BIGINT) AS score
+              FROM d)
+            SELECT doc_id, n_tokens, score, score >= 0 AS keep FROM s
+        """,
+        # Mirrors splits.split_leakage: same md5 split buckets, 3-gram
+        # inverted index, train-side distinct, left-join hit counting.
+        "docs_split_leakage": """
+            WITH sp AS (
+              SELECT doc_id, text,
+                     CASE WHEN CAST('0x' || substr(md5('split-v1:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                               % 100 < 90 THEN 'train'
+                          WHEN CAST('0x' || substr(md5('split-v1:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                               % 100 < 95 THEN 'val'
+                          ELSE 'test'
+                     END AS split
+              FROM documents),
+            t AS (SELECT doc_id, split,
+                         string_split(coalesce(text,''), ' ') AS tk
+                  FROM sp),
+            g AS (SELECT doc_id, split,
+                         unnest(list_distinct(
+                           CASE WHEN len(tk) >= 3
+                                THEN [tk[i]||' '||tk[i+1]||' '||tk[i+2]
+                                      for i in range(1, len(tk)-1)]
+                                ELSE CAST([] AS VARCHAR[]) END)) AS gg
+                  FROM t),
+            tg AS (SELECT DISTINCT gg FROM g WHERE split = 'train'),
+            agg AS (
+              SELECT e.doc_id, COUNT(*) AS n_ngrams,
+                     SUM(CASE WHEN tg.gg IS NULL THEN 0 ELSE 1 END)
+                       AS n_leaked
+              FROM g e LEFT JOIN tg USING (gg)
+              WHERE e.split = 'test'
+              GROUP BY e.doc_id)
+            SELECT s.doc_id,
+                   COALESCE(a.n_ngrams, 0) AS n_ngrams,
+                   CAST(COALESCE(a.n_leaked, 0) AS BIGINT) AS n_leaked
+            FROM sp s LEFT JOIN agg a USING (doc_id)
+            WHERE s.split = 'test'
         """,
         # Mirrors events.retention_cohorts: integer week epochs anchored
         # at Monday 1970-01-05, no date_trunc dialect drift.

@@ -88,6 +88,7 @@ BENCH_QUERIES = (
     "docs_dsir_importance",
     "events_retention_cohorts",
     "docs_shard_manifest",
+    "emb_pq_adc_topk",
 )
 
 

@@ -442,3 +442,67 @@ def shard_manifest(
             F.expr("bit_xor(__okey)").alias("xor_checksum"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    seed: str = "split-v1",
+    weights: Sequence[int] = (90, 5, 5),
+    names: Sequence[str] = ("train", "val", "test"),
+    eval_split: str = "test",
+) -> DataFrame:
+    """Train→eval n-gram leakage audit — the eval-hygiene counterpart of
+    ``dataset_split``: for every document the split assigned to
+    ``eval_split``, how many of its distinct n-grams also occur in ANY
+    train-split document.  A split whose eval docs share most of their
+    n-grams with train overstates every benchmark run on it; this is the
+    number a pipeline checks BEFORE publishing a split (decontamination
+    checks against external eval sets; this checks the split against
+    itself).
+
+    Same inverted-index shape as ``eval_contamination`` / n-gram
+    Jaccard: explode distinct n-grams, distinct the train side, one
+    equi-join on the n-gram, one count per eval doc — shuffles carry
+    (ngram, id) rows only, never text.  Exact integers; eval docs
+    shorter than ``n`` tokens report 0/0.
+    """
+    sp = dataset_split(
+        df.select(id_col, text_col), id_col, seed, weights, names
+    )
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    grams = F.array_distinct(
+        F.when(F.size(toks) >= n, gram_arr).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    ex = sp.select(id_col, "split", F.explode(grams).alias("__g"))
+    train_grams = (
+        ex.where(F.col("split") == "train")
+        .select("__g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        ex.where(F.col("split") == eval_split)
+        .join(train_grams, "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("bigint")).alias(
+                "n_leaked"
+            ),
+        )
+    )
+    return (
+        sp.where(F.col("split") == eval_split)
+        .select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_ngrams": 0, "n_leaked": 0})
+    )

@@ -803,3 +803,45 @@ def dsir_importance(
             .alias("score"),
         )
     )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    seed: str = "qc-v1",
+) -> DataFrame:
+    """fastText-shaped linear quality classifier over hashed
+    bag-of-words features — the engine side of model-based quality
+    filtering (Joulin et al. 2016; the CCNet/LLaMA corpus pipelines
+    score documents with exactly this architecture).  Each token hashes
+    to a deterministic signed integer weight (first 32 md5 bits of
+    ``seed:token``, mapped to [-50000, 49999]); the document score is
+    the weight sum and ``keep`` its sign.  The pinned md5 weights stand
+    in for a trained model's — swapping in real weights changes a lookup
+    table, not the plan — while keeping the whole operator
+    oracle-checkable.
+
+    ZERO shuffles: the hash, the per-element transform and the bigint
+    fold all run inside the row projection, so scoring a 100 TB corpus
+    is a single scan with no exchange at all.  Exact at any scale:
+    |score| ≤ 5e4·n_tokens stays far inside int64.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    weight = lambda t: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), t)), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100000
+        - 50000
+    )
+    score = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        (score >= 0).alias("keep"),
+    )

@@ -78,6 +78,7 @@ AUDITED = [
     "events_retention_cohorts",
     "docs_shard_manifest",
     "emb_pq_encode",
+    "emb_pq_adc_topk",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed

@@ -70,14 +70,20 @@ def test_resync_redelivers_full_state(tmp_path):
     r = _reader(src, resync=1)
     start = r.initialOffset()
     end1 = r.latestOffset()
-    assert [row[0] for row in _rows(r, r.partitions(start, end1))] == ["e1"]
+    # SET compare, not list: if this process gets descheduled for >1s
+    # between the two offset calls the range itself crosses a resync
+    # boundary and the re-list legitimately duplicates e1 —
+    # at-least-once is the contract, D1/D2 resolve duplicates.
+    got1 = [row[0] for row in _rows(r, r.partitions(start, end1))]
+    assert set(got1) == {"e1"} and len(got1) >= 1
 
     time.sleep(1.1)
     end2 = r.latestOffset()
     # epoch-anchored generation: 1.1s at interval=1 crosses >=1 boundary
     assert end2["resync_gen"] > end1["resync_gen"]
     relist = r.partitions(end1, end2)
-    assert [row[0] for row in _rows(r, relist)] == ["e1"]  # re-delivered
+    got2 = [row[0] for row in _rows(r, relist)]
+    assert set(got2) == {"e1"} and len(got2) >= 1  # re-delivered
 
 
 def test_resync_generation_is_restart_safe(tmp_path):
@@ -95,7 +101,10 @@ def test_resync_generation_is_restart_safe(tmp_path):
     end = fresh.latestOffset()
     assert end["resync_gen"] > old_offset["resync_gen"]
     relist = fresh.partitions(old_offset, end)
-    assert [row[0] for row in _rows(fresh, relist)] == ["e1"]
+    got = [row[0] for row in _rows(fresh, relist)]
+    # at-least-once across however many generations elapsed (set compare
+    # for the same descheduling reason as test_resync_redelivers)
+    assert set(got) == {"e1"} and len(got) >= 1
 
 
 def test_partition_ranges_are_deterministic(tmp_path):

@@ -248,3 +248,45 @@ def test_shard_manifest_totals_and_determinism(spark):
     again = {r.shard_id: r for r in splits.shard_manifest(df.repartition(7), n_shards=4).collect()}
     for r in out:
         assert again[r.shard_id].xor_checksum == r.xor_checksum
+
+
+def test_split_leakage_hand_case(spark):
+    from k8stream_spark.analytics import splits as sp
+
+    # Force split membership by choosing weights over a known bucket:
+    # use weights (50, 0, 50) -> bucket < 50 is train, else test.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c x y"),
+            (3, "p q r s t"),
+            (4, "a b c d z"),
+            (5, "m n o p q"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sp.split_leakage(
+        df, weights=(50, 0, 50), names=("train", "val", "test")
+    ).collect()
+    # cross-check against a python replica of the same md5 split + grams
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(f"split-v1:{i}".encode()).hexdigest()[:8], 16) % 100
+
+    def grams(s):
+        tk = s.split(" ")
+        return {" ".join(tk[i:i+3]) for i in range(len(tk) - 2)}
+
+    rows = {r[0]: r for r in df.collect()}
+    train_g = set()
+    for i, (_, txt) in rows.items():
+        if bucket(i) < 50:
+            train_g |= grams(txt)
+    expect = {}
+    for i, (_, txt) in rows.items():
+        if bucket(i) >= 50:
+            g = grams(txt)
+            expect[i] = (len(g), len(g & train_g))
+    got = {r.doc_id: (r.n_ngrams, r.n_leaked) for r in out}
+    assert got == expect and len(expect) > 0

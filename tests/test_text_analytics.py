@@ -328,3 +328,22 @@ def test_dsir_importance_prefers_target_tokens(spark):
     # target-only tokens score positive, source-only tokens negative
     assert out[1].score > 0 > out[3].score
     assert out[1].score >= out[2].score
+
+
+def test_quality_classifier_score_replica(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "alpha alpha")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ta.quality_classifier_score(df).collect()}
+
+    def w(tok):
+        return int(hashlib.md5(f"qc-v1:{tok}".encode()).hexdigest()[:8], 16) % 100000 - 50000
+
+    for i, txt in [(1, "alpha beta gamma"), (2, ""), (3, "alpha alpha")]:
+        toks = txt.split(" ")
+        assert out[i].score == sum(w(t) for t in toks)
+        assert out[i].n_tokens == len(toks)
+        assert out[i].keep == (out[i].score >= 0)
