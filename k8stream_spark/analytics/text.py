@@ -809,6 +809,7 @@ def quality_classifier_score(
     df: DataFrame,
     text_col: str = "text",
     seed: str = "qc-v1",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """fastText-shaped linear quality classifier over hashed
     bag-of-words features — the engine side of model-based quality
@@ -825,6 +826,11 @@ def quality_classifier_score(
     fold all run inside the row projection, so scoring a 100 TB corpus
     is a single scan with no exchange at all.  Exact at any scale:
     |score| ≤ 5e4·n_tokens stays far inside int64.
+
+    ``passthrough`` carries extra input columns (typically the text)
+    into the output, so a gate-then-process pipeline — batch OR
+    streaming, where a re-join would need watermarks — stays a single
+    stateless projection.
     """
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     weight = lambda t: (  # noqa: E731
@@ -844,4 +850,5 @@ def quality_classifier_score(
         F.size(toks).cast("bigint").alias("n_tokens"),
         score.alias("score"),
         (score >= 0).alias("keep"),
+        *passthrough,
     )

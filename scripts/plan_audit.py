@@ -79,6 +79,8 @@ AUDITED = [
     "docs_shard_manifest",
     "emb_pq_encode",
     "emb_pq_adc_topk",
+    "docs_split_leakage",
+    "docs_quality_classifier",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed

@@ -429,3 +429,71 @@ def test_llm_ingest_streaming_pipeline(spark, tmp_path):
     assert set(got) & {1, 2} and len(set(got) & {1, 2}) == 1
     assert 3 in got and got[3] == 35
     assert 4 not in got
+
+
+def test_rag_ingest_streaming_chunking(spark, tmp_path):
+    """RAG-ingest in streaming form: hashed-linear quality gate →
+    overlapping chunking, both stateless codegen projections, composed
+    directly on a streaming frame — and the streamed chunks are
+    IDENTICAL to running the same operators in batch (the symmetry
+    claim, r7 doc-ops edition)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.analytics.text import (
+        chunk_overlap,
+        quality_classifier_score,
+    )
+
+    docs = [
+        {"doc_id": i, "text": " ".join(f"w{i}t{j}" for j in range(n))}
+        for i, n in ((1, 10), (2, 3), (3, 7))
+    ]
+    src = str(tmp_path / "rag_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "docs.json"), "w") as f:
+        for d in docs:
+            f.write(_json.dumps(d) + "\n")
+
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs],
+        "doc_id bigint, text string",
+    )
+    keep_ids = {
+        r.doc_id
+        for r in quality_classifier_score(batch_df).collect()
+        if r.keep
+    }
+    expected = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in chunk_overlap(
+            batch_df.where(F.col("doc_id").isin(keep_ids)),
+            chunk_tokens=4,
+            stride=3,
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    # passthrough carries the text through the gate — a single stateless
+    # projection chain, no stream-stream re-join (which would need
+    # watermarks on both sides)
+    gated = quality_classifier_score(stream, passthrough=("text",)).where(
+        "keep"
+    )
+    chunks = chunk_overlap(gated, chunk_tokens=4, stride=3)
+    assert chunks.isStreaming
+    got = set()
+
+    def collect(batch, _bid):
+        for r in batch.collect():
+            got.add((r.doc_id, r.chunk_id, r.chunk_text))
+
+    q = (
+        chunks.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt-rag"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert got == expected and len(expected) > 0
