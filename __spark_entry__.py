@@ -557,6 +557,177 @@ WHERE rank <= {k_out}"""
     return _pq_training_sql(m, k, iters, dim).replace("__TAIL__", tail)
 
 
+# Combined IVF-PQ search oracle for emb_ivf_pq_topk: ONE replay contains
+# both quantizer trainings (IVF cent{i} chain verbatim from
+# _ivf_oracle_sql; PQ cb{i} chain from _pq_training_sql with pd/pasg CTE
+# names to avoid collisions and a qp view deriving (sub, sd) from the
+# shared 1e4-quantized qv), the IVF probe ranking, the candidate
+# equi-join on the probed cells, and ADC reconstruction-cosine scoring
+# of only those candidates.  Every boundary decision is an exact int64
+# comparison or a double computed from exact int64s — hash-checkable.
+def _ivf_pq_oracle_sql(
+    query_ids: tuple[int, ...],
+    k_out: int = 10,
+    ivf_iters: int = 4,
+    nprobe: int = 8,
+    m: int = 16,
+    k_codes: int = 16,
+    pq_iters: int = 4,
+    dim: int = 64,
+) -> str:
+    qids = "(" + ",".join(str(i) for i in query_ids) + ")"
+    sub = dim // m
+    ivf_parts = []
+    for i in range(ivf_iters):
+        ivf_parts.append(f"""
+a{i} AS (
+  SELECT q.id AS pid, c.cell, SUM(q.q * c.c) AS a
+  FROM samp s JOIN qv q ON q.id = s.id JOIN cent{i} c ON c.d = q.d
+  GROUP BY q.id, c.cell
+), n2_{i} AS (
+  SELECT cell, SUM(c * c) AS n2 FROM cent{i} GROUP BY cell
+), asg{i} AS (
+  SELECT pid, cell FROM (
+    SELECT a.pid, a.cell,
+           row_number() OVER (PARTITION BY a.pid ORDER BY
+             CASE WHEN n.n2 = 0 THEN -2.0
+                  ELSE CAST(a.a AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) END
+               DESC,
+             a.cell) AS rn
+    FROM a{i} a JOIN n2_{i} n USING (cell))
+  WHERE rn = 1
+), cent{i + 1} AS (
+  SELECT c.cell, c.d, COALESCE(u.mean, c.c) AS c
+  FROM cent{i} c LEFT JOIN (
+    SELECT g.cell, q.d,
+           CAST(FLOOR(CAST(2 * SUM(q.q) + COUNT(*) AS DOUBLE)
+                      / (2.0 * COUNT(*))) AS BIGINT) AS mean
+    FROM asg{i} g JOIN qv q ON q.id = g.pid
+    GROUP BY g.cell, q.d) u
+  ON u.cell = c.cell AND u.d = c.d
+)""")
+    pq_parts = []
+    for i in range(pq_iters):
+        pq_parts.append(f"""
+pd{i} AS (
+  SELECT q.id AS pid, c.sub, c.cell, SUM((q.q - c.c) * (q.q - c.c)) AS d2
+  FROM samp s JOIN qp q ON q.id = s.id
+  JOIN cb{i} c ON c.sub = q.sub AND c.sd = q.sd
+  GROUP BY q.id, c.sub, c.cell
+), pasg{i} AS (
+  SELECT pid, sub, cell FROM (
+    SELECT pid, sub, cell,
+           row_number() OVER (PARTITION BY pid, sub
+                              ORDER BY d2, cell) AS rn
+    FROM pd{i})
+  WHERE rn = 1
+), cb{i + 1} AS (
+  SELECT c.sub, c.cell, c.sd, COALESCE(u.mean, c.c) AS c
+  FROM cb{i} c LEFT JOIN (
+    SELECT g.sub, g.cell, q.sd,
+           CAST(FLOOR(CAST(2 * SUM(q.q) + COUNT(*) AS DOUBLE)
+                      / (2.0 * COUNT(*))) AS BIGINT) AS mean
+    FROM pasg{i} g JOIN qp q ON q.id = g.pid AND q.sub = g.sub
+    GROUP BY g.sub, g.cell, q.sd) u
+  ON u.sub = c.sub AND u.cell = c.cell AND u.sd = c.sd
+)""")
+    score = """CASE WHEN n2 = 0 THEN -2.0
+              ELSE CAST(a AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) END"""
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), qv AS (
+  SELECT b.id, d.d,
+         CAST(FLOOR(b.x[d.d + 1] * 10000.0 + 0.5) AS BIGINT) AS q
+  FROM base b, range({dim}) d(d)
+), qp AS (
+  SELECT id, d // {sub} AS sub, d % {sub} AS sd, q FROM qv
+), params AS (
+  SELECT n,
+         GREATEST(4, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / 2) AS INT))
+           AS nlist,
+         GREATEST(1, LEAST(1000, (20000 * 1000) // n)) AS permille
+  FROM (SELECT COUNT(*) AS n FROM base)
+), samp AS (
+  SELECT id, rnk FROM (
+    SELECT b.id, row_number() OVER (ORDER BY hh, b.id) AS rnk
+    FROM (SELECT id,
+                 CAST(CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 1, 15)
+                      AS UBIGINT) % 1000 AS BIGINT) AS hh
+          FROM base) b, params p
+    WHERE b.hh < p.permille)
+  WHERE rnk <= 20000
+), cent0 AS (
+  SELECT CAST(s.rnk - 1 AS INT) AS cell, q.d, q.q AS c
+  FROM samp s JOIN qv q ON q.id = s.id, params p
+  WHERE s.rnk <= p.nlist
+), {",".join(ivf_parts)},
+af AS (
+  SELECT q.id AS pid, c.cell, SUM(q.q * c.c) AS a
+  FROM qv q JOIN cent{ivf_iters} c ON c.d = q.d
+  GROUP BY q.id, c.cell
+), n2f AS (
+  SELECT cell, SUM(c * c) AS n2 FROM cent{ivf_iters} GROUP BY cell
+), ranked AS (
+  SELECT a.pid, a.cell,
+         row_number() OVER (PARTITION BY a.pid ORDER BY
+           CASE WHEN n.n2 = 0 THEN -2.0
+                ELSE CAST(a.a AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) END
+             DESC,
+           a.cell) AS rn
+  FROM af a JOIN n2f n USING (cell)
+), asgf AS (
+  SELECT pid, cell FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT pid AS query_id, cell FROM ranked
+  WHERE pid IN {qids} AND rn <= {nprobe}
+), cb0 AS (
+  SELECT q.sub, CAST(s.rnk - 1 AS INT) AS cell, q.sd, q.q AS c
+  FROM samp s JOIN qp q ON q.id = s.id
+  WHERE s.rnk <= {k_codes}
+), {",".join(pq_parts)},
+dfin AS (
+  SELECT q.id AS pid, c.sub, c.cell, SUM((q.q - c.c) * (q.q - c.c)) AS d2
+  FROM qp q JOIN cb{pq_iters} c ON c.sub = q.sub AND c.sd = q.sd
+  GROUP BY q.id, c.sub, c.cell
+), win AS (
+  SELECT pid, sub, cell FROM (
+    SELECT pid, sub, cell,
+           row_number() OVER (PARTITION BY pid, sub
+                              ORDER BY d2, cell) AS rn
+    FROM dfin)
+  WHERE rn = 1
+), cand AS (
+  SELECT p.query_id, v.pid AS neighbor_id
+  FROM probes p JOIN asgf v ON v.cell = p.cell
+  WHERE v.pid != p.query_id
+), dq AS (
+  SELECT q.id AS qid, c.sub, c.cell, SUM(q.q * c.c) AS a
+  FROM qp q JOIN cb{pq_iters} c ON c.sub = q.sub AND c.sd = q.sd
+  WHERE q.id IN {qids}
+  GROUP BY q.id, c.sub, c.cell
+), cn2 AS (
+  SELECT sub, cell, SUM(c * c) AS n2 FROM cb{pq_iters} GROUP BY sub, cell
+), rec AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(SUM(d.a) AS BIGINT) AS a,
+         CAST(SUM(n.n2) AS BIGINT) AS n2
+  FROM cand c
+  JOIN win w ON w.pid = c.neighbor_id
+  JOIN dq d ON d.qid = c.query_id AND d.sub = w.sub AND d.cell = w.cell
+  JOIN cn2 n ON n.sub = w.sub AND n.cell = w.cell
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, adc_cos FROM (
+  SELECT query_id, neighbor_id,
+         {score} AS adc_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {score} DESC, neighbor_id) AS rank
+  FROM rec)
+WHERE rank <= {k_out}
+"""
+
+
 SHINGLES_CTE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 sh AS (
@@ -1505,6 +1676,14 @@ def _q_shard_manifest(spark, sf_dir):
     return splits.shard_manifest(load_table(spark, sf_dir, "documents"))
 
 
+def _q_ivf_pq_topk(spark, sf_dir):
+    # m=16 like emb_pq_adc_topk (the uniform-random worst case needs the
+    # subspace count); IVF probe bounds the candidates to nprobe cells.
+    return similarity.ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10, m=16
+    )
+
+
 def _q_split_leakage(spark, sf_dir):
     from k8stream_spark.analytics import splits
 
@@ -1585,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_adc_topk": _q_pq_adc_topk,
         "docs_split_leakage": _q_split_leakage,
         "docs_quality_classifier": _q_quality_classifier,
+        "emb_ivf_pq_topk": _q_ivf_pq_topk,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -2587,6 +2767,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk_ivf": _ivf_oracle_sql(),
         "emb_pq_encode": _pq_oracle_sql(),
         "emb_pq_adc_topk": _pq_adc_oracle_sql(TOPK_QUERY_IDS, m=16),
+        "emb_ivf_pq_topk": _ivf_pq_oracle_sql(TOPK_QUERY_IDS, m=16),
         "emb_cosine_topk": """
             WITH base AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -89,6 +89,7 @@ BENCH_QUERIES = (
     "events_retention_cohorts",
     "docs_shard_manifest",
     "emb_pq_adc_topk",
+    "emb_ivf_pq_topk",
 )
 
 

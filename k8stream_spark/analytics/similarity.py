@@ -1307,3 +1307,129 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_cos")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nlist: int | None = None,
+    nprobe: int = 8,
+    m: int = _PQ_M,
+    n_codes: int = _PQ_K,
+    max_train: int = _IVF_MAX_TRAIN,
+    iters: int = _IVF_ITERS,
+) -> DataFrame:
+    """The composed FAISS search path — IVF-PQ: the integer-exact IVF
+    coarse quantizer prunes the table to each query's ``nprobe`` nearest
+    cells, and PQ asymmetric-distance tables score ONLY those candidates
+    through their codes (the ``pq_adc_topk`` reconstruction-cosine).
+    Both index halves train on the same bounded hash-selected sample;
+    every boundary decision (cell argmax, code argmin, ADC lookups) is
+    exact integer arithmetic, so the DuckDB oracle replays BOTH
+    quantizer trainings and the search end to end, bit for bit.
+
+    Scale shape: candidates come from one broadcast equi-join on the
+    cell id (nprobe/nlist of the table per query); scoring is codegen
+    lookup-table literals over the 2-16 B codes — the float payload is
+    never rejoined; the only shuffle is the per-query top-k window.
+    Driver state = the two codebook tensors + query vectors, all
+    O(sample)-bounded.
+    """
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col).alias("__id"), raw.alias("__x"))
+    n_rows = base.count()
+    if nlist is None:
+        nlist = max(4, int(n_rows ** 0.5 / 2))
+
+    base = base.persist()
+    centers = _sample_kmeans_int(base, nlist, n_rows, max_train)
+    books = _pq_codebooks(base, dim, m, n_codes, n_rows, max_train, iters)
+    encoded = (
+        base.withColumn("__cell", _int_cell_assigner(centers)(F.col("__x")))
+        .withColumn("__e", _pq_encoder(books, dim)(F.col("__x")))
+        .persist()
+    )
+    encoded.count()  # materialize before the probe join
+    base.unpersist()
+
+    qrows = encoded.where(F.col("__id").isin(*query_ids)).collect()
+    # probe order: exact-integer cosine to the IVF centroids (stable
+    # argsort = smallest-cell ties), the _int_cell_assigner's twin
+    probes = [
+        (int(r["__id"]), int(cell))
+        for r in qrows
+        for cell in np.argsort(
+            -_int_cos_matrix(
+                _quantize_ivf(np.asarray([r["__x"]], dtype=np.float64)),
+                centers,
+            )[0],
+            kind="stable",
+        )[: min(nprobe, len(centers))]
+    ]
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id bigint, __cell int")
+
+    # shared centroid-norm lookup + per-query dot tables (pq_adc_topk's)
+    sub = dim // m
+    n2_tables = [
+        np.einsum("ij,ij->i", b.astype(np.float64), b.astype(np.float64))
+        .astype(np.int64)
+        for b in books
+    ]
+    n2_cols = [
+        F.array(*[F.lit(int(v)) for v in tbl])[F.col("__e.codes")[j]]
+        for j, tbl in enumerate(n2_tables)
+    ]
+    n2 = n2_cols[0]
+    for c in n2_cols[1:]:
+        n2 = n2 + c
+    a_expr = None
+    for r in qrows:
+        qv = _quantize_ivf(np.asarray([r["__x"]], dtype=np.float64))[0]
+        parts = []
+        for j in range(m):
+            table = (
+                books[j].astype(np.float64)
+                @ qv[j * sub : (j + 1) * sub].astype(np.float64)
+            ).astype(np.int64)
+            parts.append(
+                F.array(*[F.lit(int(d)) for d in table])[
+                    F.col("__e.codes")[j]
+                ]
+            )
+        a_q = parts[0]
+        for p in parts[1:]:
+            a_q = a_q + p
+        cond = F.col("query_id") == int(r["__id"])
+        a_expr = (
+            F.when(cond, a_q)
+            if a_expr is None
+            else a_expr.when(cond, a_q)
+        )
+
+    cand = (
+        F.broadcast(probe_df)
+        .join(encoded.select("__id", "__cell", "__e"), "__cell")
+        .where(F.col("__id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("__id").alias("neighbor_id"),
+        F.when(n2.cast("bigint") == 0, F.lit(-2.0))
+        .otherwise(
+            a_expr.cast("double") / F.sqrt(n2.cast("double"))
+        )
+        .alias("adc_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_cos")
+    )

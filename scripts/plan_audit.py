@@ -81,6 +81,7 @@ AUDITED = [
     "emb_pq_adc_topk",
     "docs_split_leakage",
     "docs_quality_classifier",
+    "emb_ivf_pq_topk",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed

@@ -248,3 +248,27 @@ def test_pq_adc_topk_recall_vs_exact(spark):
     # clustered real embeddings need far fewer subspaces)
     recall = len(exact & got) / len(exact)
     assert recall >= 0.4, recall
+
+
+def test_ivf_pq_topk_recall_and_determinism(spark):
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qids = (0, 1, 2, 3, 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    out = similarity.ivf_pq_topk(emb, qids, k=10, m=16).collect()
+    assert len(out) == 50
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    # composed recall is bounded by ADC's (~0.48 here); IVF pruning may
+    # drop a few more on this uniform-random worst case
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.25, recall
+    # deterministic across reruns and input partitioning
+    again = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_pq_topk(
+            emb.repartition(7), qids, k=10, m=16
+        ).collect()
+    }
+    assert again == {(r.query_id, r.neighbor_id, r.rank) for r in out}
