@@ -1690,6 +1690,21 @@ def _q_split_leakage(spark, sf_dir):
     return splits.split_leakage(load_table(spark, sf_dir, "documents"))
 
 
+def _q_bm25_topk(spark, sf_dir):
+    from k8stream_spark.analytics import retrieval
+
+    return retrieval.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    from k8stream_spark.analytics import retrieval
+
+    return retrieval.hybrid_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def _q_quality_classifier(spark, sf_dir):
     return textan.quality_classifier_score(
         load_table(spark, sf_dir, "documents")
@@ -1765,6 +1780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_leakage": _q_split_leakage,
         "docs_quality_classifier": _q_quality_classifier,
         "emb_ivf_pq_topk": _q_ivf_pq_topk,
+        "docs_bm25_topk": _q_bm25_topk,
+        "docs_hybrid_rrf": _q_hybrid_rrf,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3009,6 +3026,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_leaked, 0) AS BIGINT) AS n_leaked
             FROM sp s LEFT JOIN agg a USING (doc_id)
             WHERE s.split = 'test'
+        """,
+        # Mirrors retrieval.bm25_topk: log-free rational-idf BM25 with
+        # binary-exact constants (k1=2, b=3/4) and integer micro-unit
+        # per-doc sums; the scoring expression tree is repeated verbatim
+        # (parenthesis for parenthesis) so every binary64 op is the same
+        # correctly-rounded IEEE op on both engines.
+        "docs_bm25_topk": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base
+            ), totals AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+            ), hits AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id, unnest(tk) AS token FROM base)
+              WHERE token IN ('spark','join','vector','hash')
+              GROUP BY doc_id, token
+            ), dfreq AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM hits GROUP BY token
+            ), scored AS (
+              SELECT h.doc_id,
+                     CAST(ROUND((((t.n_docs - f.df + 0.5) / (f.df + 0.5))
+                           * ((h.tf * 3.0)
+                              / (h.tf + (2.0 * (0.25 + (0.75
+                                 * ((CAST(l.dl AS DOUBLE) * t.n_docs)
+                                    / t.sum_dl)))))))
+                          * 1000000.0) AS BIGINT) AS m
+              FROM hits h JOIN dl l USING (doc_id)
+              CROSS JOIN totals t JOIN dfreq f USING (token)
+            ), agg AS (
+              SELECT doc_id, CAST(SUM(m) AS BIGINT) AS bm25_micro,
+                     CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_hit_terms, bm25_micro,
+                   CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 10
+        """,
+        # Mirrors retrieval.hybrid_rrf: RRF fusion of the BM25 top-50
+        # (same expression as docs_bm25_topk) and the exact-cosine top-50
+        # for query vec_id 0 (same expression as emb_cosine_topk);
+        # contributions are round(1e6/(60+rank)) integer micro units.
+        "docs_hybrid_rrf": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base
+            ), totals AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+            ), hits AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id, unnest(tk) AS token FROM base)
+              WHERE token IN ('spark','join','vector','hash')
+              GROUP BY doc_id, token
+            ), dfreq AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM hits GROUP BY token
+            ), scored AS (
+              SELECT h.doc_id,
+                     CAST(ROUND((((t.n_docs - f.df + 0.5) / (f.df + 0.5))
+                           * ((h.tf * 3.0)
+                              / (h.tf + (2.0 * (0.25 + (0.75
+                                 * ((CAST(l.dl AS DOUBLE) * t.n_docs)
+                                    / t.sum_dl)))))))
+                          * 1000000.0) AS BIGINT) AS m
+              FROM hits h JOIN dl l USING (doc_id)
+              CROSS JOIN totals t JOIN dfreq f USING (token)
+            ), agg AS (
+              SELECT doc_id, CAST(SUM(m) AS BIGINT) AS bm25_micro
+              FROM scored GROUP BY doc_id
+            ), lex AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+                          AS BIGINT) AS rank_lex
+              FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 50
+            ), ebase AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), q AS (
+              SELECT v AS qv FROM ebase WHERE vec_id = 0
+            ), sem AS (
+              SELECT vec_id AS doc_id,
+                     CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                          AS BIGINT) AS rank_sem
+              FROM (
+                SELECT b.vec_id,
+                       ROUND(list_dot_product(q.qv, b.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(b.v, b.v))), 6)
+                         AS cosine
+                FROM q CROSS JOIN ebase b WHERE b.vec_id != 0)
+              ORDER BY cosine DESC, vec_id LIMIT 50
+            ), fused AS (
+              SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                     l.rank_lex, s.rank_sem,
+                     (COALESCE(CAST(ROUND(1000000.0 / (60.0 + l.rank_lex))
+                                    AS BIGINT), 0)
+                      + COALESCE(CAST(ROUND(1000000.0 / (60.0 + s.rank_sem))
+                                      AS BIGINT), 0)) AS rrf_micro
+              FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+            )
+            SELECT doc_id, rank_lex, rank_sem, rrf_micro,
+                   CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
         """,
         # Mirrors events.retention_cohorts: integer week epochs anchored
         # at Monday 1970-01-05, no date_trunc dialect drift.
