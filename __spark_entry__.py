@@ -1690,6 +1690,14 @@ def _q_split_leakage(spark, sf_dir):
     return splits.split_leakage(load_table(spark, sf_dir, "documents"))
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docdedup.incremental_dedup(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )
+
+
 def _q_bm25_topk(spark, sf_dir):
     from k8stream_spark.analytics import retrieval
 
@@ -1782,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_pq_topk": _q_ivf_pq_topk,
         "docs_bm25_topk": _q_bm25_topk,
         "docs_hybrid_rrf": _q_hybrid_rrf,
+        "docs_dedup_incremental": _q_incremental_dedup,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3026,6 +3035,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_leaked, 0) AS BIGINT) AS n_leaked
             FROM sp s LEFT JOIN agg a USING (doc_id)
             WHERE s.split = 'test'
+        """,
+        # Mirrors dedup.incremental_dedup over an odd/even doc_id split
+        # (odd = the new batch, even = the reference corpus): exact dup
+        # via md5 membership, near-dup via exact >=0.8 Jaccard on
+        # new×ref shingle pairs (the LSH S-curve at b=32/r=4 makes the
+        # banded Spark path equal the exact answer — same argument as
+        # NEAR_DUP_SQL).
+        "docs_dedup_incremental": SHINGLES_CTE
+        + """
+            , sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            refh AS (SELECT DISTINCT md5(text) AS h FROM documents
+                     WHERE doc_id % 2 = 0),
+            cand AS (
+              SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+                     COUNT(*) AS shared
+              FROM ex a JOIN ex b ON a.g = b.g
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+              GROUP BY 1, 2
+            ),
+            ver AS (
+              SELECT new_id, MIN(ref_id) AS near_dup_of,
+                     MAX(j) AS max_jaccard
+              FROM (
+                SELECT new_id, ref_id,
+                       ROUND(CAST(shared AS DOUBLE)
+                             / (sa.n + sb.n - shared), 4) AS j
+                FROM cand
+                JOIN sz sa ON sa.doc_id = cand.new_id
+                JOIN sz sb ON sb.doc_id = cand.ref_id)
+              WHERE j >= 0.8
+              GROUP BY new_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(md5(d.text) IN (SELECT h FROM refh), FALSE)
+                     AS is_exact_dup,
+                   v.near_dup_of,
+                   v.max_jaccard,
+                   ((NOT COALESCE(md5(d.text) IN (SELECT h FROM refh),
+                                  FALSE))
+                    AND v.near_dup_of IS NULL) AS kept
+            FROM documents d LEFT JOIN ver v ON v.new_id = d.doc_id
+            WHERE d.doc_id % 2 = 1
         """,
         # Mirrors retrieval.bm25_topk: log-free rational-idf BM25 with
         # binary-exact constants (k1=2, b=3/4) and integer micro-unit

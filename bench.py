@@ -90,6 +90,9 @@ BENCH_QUERIES = (
     "docs_shard_manifest",
     "emb_pq_adc_topk",
     "emb_ivf_pq_topk",
+    # retrieval layer (corpus-scale explode + fused top-n lists)
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
 )
 
 

@@ -740,3 +740,131 @@ def cluster_keep_longest(
         .withColumn("kept", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "n_tokens", "kept")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing REFERENCE corpus — the
+    production shape of continuous ingestion (every crawl round dedups
+    against everything already kept, not just within itself).
+
+    Per new document: ``is_exact_dup`` (md5(text) already in the
+    reference), ``near_dup_of`` (smallest reference doc_id with exact
+    Jaccard ≥ threshold among LSH candidates, NULL if none),
+    ``max_jaccard`` (largest qualifying Jaccard, 4 dp), and ``kept``
+    (survives both checks).  Every new doc gets a row — the audit view;
+    filter on ``kept`` for the survivor stream.
+
+    Scale posture — this is deliberately NOT ``minhash_lsh_pairs`` over
+    the union: the band join is new×ref only (no ref×ref re-verification
+    of the already-deduped corpus, no new×new — within-batch dedup is a
+    separate, much smaller pass).  At 100 TB the reference side's band
+    table is a ~1 KB/doc precomputable artifact: signatures are
+    incremental state, re-banded but never re-shingled per round
+    (persist the signature frame once per corpus version).  Shuffles:
+    one md5 equi-join (hash only), one (band_idx, band_hash) equi-join,
+    then candidate verification on (id, id) rows + shingle-hash lookup
+    joins — text bytes never cross an exchange.
+    """
+    r = num_hashes // bands
+
+    def banded(sigframe: DataFrame, id_alias: str) -> DataFrame:
+        with_sig = sigframe.where(F.col("sig").isNotNull())
+        return with_sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[F.col("sig")[b * r + j] for j in range(r)]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    # Exact check: reference md5 set is (hash)-only — at 100 TB this is
+    # the incremental bloom/anti-join everybody runs first.
+    ref_hashes = ref_docs.select(
+        F.md5(F.col(text_col)).alias("__h")
+    ).distinct()
+    new_hashed = new_docs.select("doc_id", F.md5(F.col(text_col)).alias("__h"))
+    exact = (
+        new_hashed.join(
+            ref_hashes.withColumn("__hit", F.lit(True)), "__h", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("is_exact_dup"),
+        )
+    )
+
+    # Near-dup check: signatures on both sides (the ref side is the
+    # persist-once artifact), band join new→ref only.
+    new_sigs = minhash_signature(new_docs, text_col, num_hashes, shingle_n)
+    new_sigs = new_sigs.persist()
+    new_sigs.count()
+    ref_sigs = minhash_signature(ref_docs, text_col, num_hashes, shingle_n)
+    ref_sigs = ref_sigs.persist()
+    ref_sigs.count()
+
+    candidates = (
+        banded(new_sigs, "new_id")
+        .join(banded(ref_sigs, "ref_id"), ["band_idx", "band_hash"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            new_sigs.select(
+                F.col("doc_id").alias("new_id"), F.col("__sh64").alias("__sa")
+            ),
+            "new_id",
+        )
+        .join(
+            ref_sigs.select(
+                F.col("doc_id").alias("ref_id"), F.col("__sh64").alias("__sb")
+            ),
+            "ref_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                / F.size(F.array_union("__sa", "__sb")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.min("ref_id").alias("near_dup_of"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return (
+        exact.join(
+            verified.select(
+                F.col("new_id").alias("doc_id"), "near_dup_of", "max_jaccard"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            "near_dup_of",
+            "max_jaccard",
+            (
+                (~F.col("is_exact_dup")) & F.col("near_dup_of").isNull()
+            ).alias("kept"),
+        )
+    )

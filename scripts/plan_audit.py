@@ -82,6 +82,8 @@ AUDITED = [
     "docs_split_leakage",
     "docs_quality_classifier",
     "emb_ivf_pq_topk",
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed

@@ -146,6 +146,30 @@ def main() -> None:
         f"balance={hi / max(1, lo):.2f} time={time.time() - t0:.1f}s"
     )
 
+    # r7 retrieval layer: how hard the isin prune cuts the exploded token
+    # stream before BM25's first shuffle (the whole 100 TB cost model —
+    # only docs containing >=1 query term ever reach an exchange).
+    from k8stream_spark.analytics import retrieval as rt
+    from k8stream_spark.analytics.text import tokens as tkz
+
+    t0 = time.time()
+    tok = docs.select("doc_id", F.explode(tkz("text")).alias("token"))
+    n_tok = tok.count()
+    n_hit = tok.where(F.col("token").isin(*rt.QUERY_TERMS)).count()
+    n_cand_docs = (
+        tok.where(F.col("token").isin(*rt.QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    rt.bm25_topk(docs).count()
+    print(
+        f"bm25: exploded_tokens={n_tok} query_term_hits={n_hit} "
+        f"(prune={n_tok / max(1, n_hit):.1f}x) candidate_docs={n_cand_docs}"
+        f"/{n_docs} time={time.time() - t0:.1f}s"
+    )
+    spark.catalog.clearCache()
+
     t0 = time.time()
     pq = sim.pq_encode(emb).agg(
         F.count(F.lit(1)).alias("n"), F.avg("recon_err").alias("err")

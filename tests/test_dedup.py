@@ -214,3 +214,56 @@ def test_cluster_keep_longest_picks_longest_member(spark):
         kept_per_cluster.setdefault(r.cluster_id, 0)
         kept_per_cluster[r.cluster_id] += r.kept
     assert all(v == 1 for v in kept_per_cluster.values())
+
+
+def test_incremental_dedup_flags_and_survivors(spark):
+    from k8stream_spark.analytics.dedup import incremental_dedup
+
+    base = [f"w{i}" for i in range(30)]
+    ref = spark.createDataFrame(
+        [
+            (0, " ".join(base)),
+            (2, " ".join(f"r{i}" for i in range(30))),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, " ".join(base)),                       # exact dup of ref 0
+            (13, " ".join(base + ["tail", "bits"])),    # near-dup of ref 0
+            (15, " ".join(f"q{i}" for i in range(30))), # unique
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(new, ref).collect()}
+    assert set(out) == {11, 13, 15}
+    assert out[11].is_exact_dup and not out[11].kept
+    # the exact dup is also a near-dup (J = 1.0) of the same ref doc
+    assert out[11].near_dup_of == 0 and out[11].max_jaccard == 1.0
+    assert not out[13].is_exact_dup
+    assert out[13].near_dup_of == 0 and not out[13].kept
+    assert 0.8 <= out[13].max_jaccard < 1.0
+    assert out[15].kept
+    assert out[15].near_dup_of is None and out[15].max_jaccard is None
+
+
+def test_incremental_dedup_never_pairs_new_with_new(spark):
+    from k8stream_spark.analytics.dedup import incremental_dedup
+
+    base = [f"w{i}" for i in range(30)]
+    ref = spark.createDataFrame(
+        [(0, " ".join(f"r{i}" for i in range(30)))],
+        "doc_id bigint, text string",
+    )
+    # two new docs that are near-dups OF EACH OTHER but unrelated to ref:
+    # within-batch duplication is out of scope (a separate pass) — both
+    # must survive the incremental check.
+    new = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (3, " ".join(base + ["x"])),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(new, ref).collect()}
+    assert out[1].kept and out[3].kept
