@@ -1690,6 +1690,10 @@ def _q_split_leakage(spark, sf_dir):
     return splits.split_leakage(load_table(spark, sf_dir, "documents"))
 
 
+def _q_source_lang_cube(spark, sf_dir):
+    return textan.source_lang_cube(load_table(spark, sf_dir, "documents"))
+
+
 def _q_incremental_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docdedup.incremental_dedup(
@@ -1791,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_topk": _q_bm25_topk,
         "docs_hybrid_rrf": _q_hybrid_rrf,
         "docs_dedup_incremental": _q_incremental_dedup,
+        "docs_source_lang_cube": _q_source_lang_cube,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3035,6 +3040,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_leaked, 0) AS BIGINT) AS n_leaked
             FROM sp s LEFT JOIN agg a USING (doc_id)
             WHERE s.split = 'test'
+        """,
+        # Mirrors text.source_lang_cube: one CUBE aggregation; gid is the
+        # explicit 2*grouping(source)+grouping(lang) bitmask so subtotal
+        # rows are distinguishable from real-NULL group members.
+        "docs_source_lang_cube": """
+            SELECT source, lang,
+                   CAST(2 * GROUPING(source) + GROUPING(lang) AS BIGINT)
+                     AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+            GROUP BY CUBE (source, lang)
         """,
         # Mirrors dedup.incremental_dedup over an odd/even doc_id split
         # (odd = the new batch, even = the reference corpus): exact dup

@@ -93,6 +93,8 @@ BENCH_QUERIES = (
     # retrieval layer (corpus-scale explode + fused top-n lists)
     "docs_bm25_topk",
     "docs_hybrid_rrf",
+    # continuous-ingestion dedup (new-batch × reference-corpus LSH)
+    "docs_dedup_incremental",
 )
 
 

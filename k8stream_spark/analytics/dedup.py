@@ -868,3 +868,27 @@ def incremental_dedup(
             ).alias("kept"),
         )
     )
+
+
+def incremental_exact_filter(
+    new_docs: DataFrame, ref_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The streaming-composable exact path of ``incremental_dedup``:
+    drop new docs whose md5(text) already exists in the reference corpus
+    via a left-anti join against the (hash)-only reference set.
+
+    Works identically on a batch frame and a streaming frame —
+    stream-static anti-joins are natively supported, so continuous
+    ingestion can run this gate per micro-batch with the reference set
+    as a (periodically refreshed) static table.  The LSH near-dup path
+    stays in ``incremental_dedup`` under a ``foreachBatch`` binding: its
+    candidate aggregation is stateful and belongs batch-side.
+    """
+    ref_hashes = ref_docs.select(
+        F.md5(F.col(text_col)).alias("__h")
+    ).distinct()
+    return (
+        new_docs.withColumn("__h", F.md5(F.col(text_col)))
+        .join(ref_hashes, "__h", "left_anti")
+        .drop("__h")
+    )

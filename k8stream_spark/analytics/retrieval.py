@@ -94,12 +94,19 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
+    # hits feeds TWO consumers (per-term df and the scoring join); without
+    # persist each branch re-runs the corpus explode + count shuffle (the
+    # executed plan showed two identical (doc_id, token) exchanges).
+    # Materialized eagerly — the frame is candidate-docs × |q| id/count
+    # rows, tiny next to the corpus (same persist-before-reuse pattern as
+    # the minhash signatures).
     hits = (
         base.select("doc_id", F.explode(F.col("__tk")).alias("token"))
         .where(F.col("token").isin(*query_terms))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).persist()
+    hits.count()
     dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (

@@ -852,3 +852,31 @@ def quality_classifier_score(
         (score >= 0).alias("keep"),
         *passthrough,
     )
+
+
+def source_lang_cube(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus accounting over ``CUBE(source, lang)`` — every mix report a
+    dataset card needs (per source, per language, per source×language,
+    and the grand total) in ONE aggregation pass.
+
+    Spark plans a cube as a single expand + hash aggregate: the scan runs
+    once and the expand multiplies rows 4× (2^dims) BEFORE the shuffle,
+    which still beats four separate queries (four scans, four shuffles)
+    at any scale — and the shuffle rows are (group key, count, sum)
+    triples, never text.  ``gid`` disambiguates a real NULL group member
+    from a cube subtotal (2·grouping(source) + grouping(lang), the
+    engine-portable explicit form).  All aggregates are exact integers.
+    """
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    return (
+        df.select("source", "lang", n_tok.alias("__nt"))
+        .cube("source", "lang")
+        .agg(
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+        .select("source", "lang", "gid", "n_docs", "n_tokens")
+    )

@@ -84,6 +84,7 @@ AUDITED = [
     "emb_ivf_pq_topk",
     "docs_bm25_topk",
     "docs_hybrid_rrf",
+    "docs_dedup_incremental",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed

@@ -497,3 +497,48 @@ def test_rag_ingest_streaming_chunking(spark, tmp_path):
     )
     assert q.awaitTermination(120)
     assert got == expected and len(expected) > 0
+
+
+def test_incremental_exact_filter_stream_static(spark, tmp_path):
+    """Continuous-ingestion dedup in streaming form: the exact path of
+    incremental_dedup runs unchanged as a stream-static anti-join —
+    new docs arrive as a stream, the already-kept corpus is the static
+    side, and only unseen content reaches the sink."""
+    import json as _json
+
+    from k8stream_spark.analytics.dedup import incremental_exact_filter
+
+    known = "alpha beta gamma delta"
+    docs = [
+        {"doc_id": 10, "text": known},                 # already in corpus
+        {"doc_id": 11, "text": "fresh words here"},    # new
+        {"doc_id": 12, "text": known},                 # already in corpus
+        {"doc_id": 13, "text": "more new content"},    # new
+    ]
+    src = str(tmp_path / "inc_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "docs.json"), "w") as f:
+        for d in docs:
+            f.write(_json.dumps(d) + "\n")
+
+    ref = spark.createDataFrame(
+        [(0, known), (1, "other corpus text")],
+        "doc_id bigint, text string",
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    kept = incremental_exact_filter(stream, ref)
+
+    got = []
+
+    def collect(batch_df, _bid):
+        got.extend(r.doc_id for r in batch_df.collect())
+
+    q = (
+        kept.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt-inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(got) == [11, 13]

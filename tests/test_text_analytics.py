@@ -347,3 +347,28 @@ def test_quality_classifier_score_replica(spark):
         assert out[i].score == sum(w(t) for t in toks)
         assert out[i].n_tokens == len(toks)
         assert out[i].keep == (out[i].score >= 0)
+
+
+def test_source_lang_cube_subtotals_and_gid(spark):
+    from k8stream_spark.analytics.text import source_lang_cube
+
+    rows = [
+        (1, "a b c", "en", "web"),
+        (2, "d e", "en", "web"),
+        (3, "f g h i", "fr", "web"),
+        (4, "j", "en", "book"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    out = {
+        (r.source, r.lang, r.gid): (r.n_docs, r.n_tokens)
+        for r in source_lang_cube(df).collect()
+    }
+    # 2^2 grouping levels: detail, per-source, per-lang, grand total.
+    assert out[("web", "en", 0)] == (2, 5)
+    assert out[("web", None, 1)] == (3, 9)     # source subtotal
+    assert out[(None, "en", 2)] == (3, 6)      # lang subtotal
+    assert out[(None, None, 3)] == (4, 10)     # grand total
+    # every (source, lang) detail cell present
+    assert ("web", "fr", 0) in out and ("book", "en", 0) in out
