@@ -1690,6 +1690,14 @@ def _q_split_leakage(spark, sf_dir):
     return splits.split_leakage(load_table(spark, sf_dir, "documents"))
 
 
+def _q_incremental_exact_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docdedup.incremental_exact_filter(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    ).select("doc_id", "source")
+
+
 def _q_source_lang_cube(spark, sf_dir):
     return textan.source_lang_cube(load_table(spark, sf_dir, "documents"))
 
@@ -1796,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hybrid_rrf": _q_hybrid_rrf,
         "docs_dedup_incremental": _q_incremental_dedup,
         "docs_source_lang_cube": _q_source_lang_cube,
+        "docs_dedup_incremental_exact": _q_incremental_exact_filter,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3040,6 +3049,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_leaked, 0) AS BIGINT) AS n_leaked
             FROM sp s LEFT JOIN agg a USING (doc_id)
             WHERE s.split = 'test'
+        """,
+        # Mirrors dedup.incremental_exact_filter (the stream-composable
+        # exact path): anti-join on md5 membership, odd/even split.
+        "docs_dedup_incremental_exact": """
+            SELECT doc_id, source FROM documents d
+            WHERE doc_id % 2 = 1
+              AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                                    WHERE doc_id % 2 = 0)
         """,
         # Mirrors text.source_lang_cube: one CUBE aggregation; gid is the
         # explicit 2*grouping(source)+grouping(lang) bitmask so subtotal
