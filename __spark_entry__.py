@@ -1702,6 +1702,10 @@ def _q_source_lang_cube(spark, sf_dir):
     return textan.source_lang_cube(load_table(spark, sf_dir, "documents"))
 
 
+def _q_window_range_counts(spark, sf_dir):
+    return evan.window_range_counts(load_table(spark, sf_dir, "events"))
+
+
 def _q_incremental_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docdedup.incremental_dedup(
@@ -1805,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_incremental": _q_incremental_dedup,
         "docs_source_lang_cube": _q_source_lang_cube,
         "docs_dedup_incremental_exact": _q_incremental_exact_filter,
+        "events_window_range_counts": _q_window_range_counts,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3049,6 +3054,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_leaked, 0) AS BIGINT) AS n_leaked
             FROM sp s LEFT JOIN agg a USING (doc_id)
             WHERE s.split = 'test'
+        """,
+        # Mirrors events.window_range_counts OUTPUT CONTRACT with the
+        # literal range join the Spark side decomposes into a binned
+        # equi-join (bins are internal, so the oracle needn't replicate
+        # them).  Windows: [t0 + 7200·i, t0 + 7200·i + 3600), i < 12.
+        "events_window_range_counts": """
+            WITH b AS (
+              SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0
+              FROM events
+            ), w AS (
+              SELECT CAST(i AS BIGINT) AS window_id,
+                     t0 + i * 7200 AS start_s,
+                     t0 + i * 7200 + 3600 AS end_s
+              FROM b, range(12) r(i)
+            ), m AS (
+              SELECT w.window_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+              FROM w JOIN events e
+                ON CAST(floor(epoch(e.ts)) AS BIGINT) >= w.start_s
+               AND CAST(floor(epoch(e.ts)) AS BIGINT) < w.end_s
+              GROUP BY 1
+            )
+            SELECT w.window_id, w.start_s, w.end_s,
+                   COALESCE(m.n_events, 0) AS n_events,
+                   COALESCE(m.n_users, 0) AS n_users
+            FROM w LEFT JOIN m USING (window_id)
         """,
         # Mirrors dedup.incremental_exact_filter (the stream-composable
         # exact path): anti-join on md5 membership, odd/even split.

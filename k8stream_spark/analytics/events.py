@@ -277,3 +277,93 @@ def retention_cohorts(df: DataFrame) -> DataFrame:
             F.sum("__n").alias("n_events"),
         )
     )
+
+
+def window_range_counts(
+    df: DataFrame,
+    n_windows: int = 12,
+    stride_s: int = 7200,
+    len_s: int = 3600,
+    bin_s: int = 3600,
+) -> DataFrame:
+    """Per-window event/user counts for time-range containment (campaign
+    windows, maintenance windows, incident intervals): every event whose
+    timestamp falls inside window i = [t0 + i·stride, t0 + i·stride +
+    len) is counted toward it, where t0 is the corpus min timestamp.
+
+    This is the engine's RANGE JOIN pattern.  Spark plans a pure
+    ``ts BETWEEN start AND end`` theta join as BroadcastNestedLoopJoin —
+    every event row tested against every window, O(events × windows),
+    which dies when windows stop being tiny.  The scale-safe composition
+    is time-binning: events get ``bin = tsec div bin_s`` in the scan
+    projection, windows explode to the bins they overlap (⌈len/bin⌉ ≈ a
+    couple of rows per window), the join is a plain EQUI-join on bin,
+    and the exact range predicate runs as a residual filter on the
+    equi-matched sliver.  O(events + windows·len/bin + matches), no
+    nested loop, works shuffled OR broadcast — the same trick that
+    scales interval joins in Flink/Trino and spatial grids everywhere.
+
+    Windows with zero events stay in the output (left join back onto the
+    window table, counts coalesced to 0) — silent window loss is the
+    classic bug in incident accounting.  Bins never appear in the
+    output, so bin arithmetic only needs self-consistency, not oracle
+    replication; the DuckDB oracle runs the literal range join.
+    """
+    tsec = _epoch_long("ts")
+    ev = df.select("user_id", tsec.alias("tsec"))
+    t0 = ev.agg(F.min("tsec").alias("t0"))
+    wins = (
+        t0.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_windows - 1))
+            ).alias("window_id"),
+            "t0",
+        )
+        .select(
+            F.col("window_id").cast("bigint").alias("window_id"),
+            (F.col("t0") + F.col("window_id") * stride_s).alias("start_s"),
+            (F.col("t0") + F.col("window_id") * stride_s + len_s).alias(
+                "end_s"
+            ),
+        )
+    )
+    wbins = wins.select(
+        "window_id",
+        "start_s",
+        "end_s",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / bin_s).cast("long"),
+                F.floor((F.col("end_s") - 1) / bin_s).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    ebins = ev.withColumn(
+        "bin", F.floor(F.col("tsec") / bin_s).cast("long")
+    )
+    matched = (
+        ebins.join(F.broadcast(wbins), "bin")
+        .where(
+            (F.col("tsec") >= F.col("start_s"))
+            & (F.col("tsec") < F.col("end_s"))
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("user_id").alias("__u"),
+        )
+    )
+    return (
+        wins.join(matched, "window_id", "left")
+        .select(
+            "window_id",
+            "start_s",
+            "end_s",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+            F.coalesce(F.col("__u"), F.lit(0)).cast("bigint").alias(
+                "n_users"
+            ),
+        )
+    )

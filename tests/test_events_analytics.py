@@ -203,3 +203,55 @@ def test_retention_cohorts_offsets(spark):
     assert cells[(0, 2)] == (1, 1)   # user 1 back after 2 weeks
     assert cells[(1, 0)] == (1, 1)   # user 3's cohort starts a week later
     assert cells[(1, 1)] == (1, 1)
+
+
+def test_window_range_counts_binned_equi_join(spark):
+    import datetime as dt
+
+    from k8stream_spark.analytics.events import window_range_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, at(0)),       # window 0 [0, 3600)
+        (2, at(3599)),    # window 0 boundary-inclusive end-1
+        (2, at(3600)),    # gap — in no window (window 0 ends at 3600)
+        (3, at(7200)),    # window 1 [7200, 10800) start boundary
+        (1, at(14400)),   # window 2
+        (9, at(14401)),   # window 2
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {
+        r.window_id: r
+        for r in window_range_counts(
+            df, n_windows=4, stride_s=7200, len_s=3600, bin_s=3600
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0].n_events, out[0].n_users) == (2, 2)
+    assert (out[1].n_events, out[1].n_users) == (1, 1)
+    assert (out[2].n_events, out[2].n_users) == (2, 2)
+    # the empty window survives with zero counts
+    assert (out[3].n_events, out[3].n_users) == (0, 0)
+    # window boundaries anchored at the corpus min
+    assert out[0].start_s + 7200 == out[1].start_s
+    assert out[0].end_s - out[0].start_s == 3600
+
+
+def test_window_range_counts_plan_has_no_nested_loop(spark):
+    import datetime as dt
+
+    from k8stream_spark.analytics.events import window_range_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i % 7, t0 + dt.timedelta(seconds=i * 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    q = window_range_counts(df)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # The point of the bin decomposition: the containment test must ride
+    # an equi-join, never an O(events x windows) nested loop.
+    assert "BroadcastNestedLoopJoin" not in plan
