@@ -1706,6 +1706,10 @@ def _q_window_range_counts(spark, sf_dir):
     return evan.window_range_counts(load_table(spark, sf_dir, "events"))
 
 
+def _q_salted_distinct_counts(spark, sf_dir):
+    return evan.salted_distinct_counts(load_table(spark, sf_dir, "events"))
+
+
 def _q_incremental_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docdedup.incremental_dedup(
@@ -1810,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_lang_cube": _q_source_lang_cube,
         "docs_dedup_incremental_exact": _q_incremental_exact_filter,
         "events_window_range_counts": _q_window_range_counts,
+        "events_salted_distinct_counts": _q_salted_distinct_counts,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3054,6 +3059,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_leaked, 0) AS BIGINT) AS n_leaked
             FROM sp s LEFT JOIN agg a USING (doc_id)
             WHERE s.split = 'test'
+        """,
+        # Mirrors events.salted_distinct_counts OUTPUT CONTRACT: the
+        # salt decomposition is exact (salt is a function of the target,
+        # so per-cell distinct sets partition the per-key set), so the
+        # oracle is the plain unsalted aggregate.
+        "events_salted_distinct_counts": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
         """,
         # Mirrors events.window_range_counts OUTPUT CONTRACT with the
         # literal range join the Spark side decomposes into a binned

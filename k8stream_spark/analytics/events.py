@@ -367,3 +367,52 @@ def window_range_counts(
             ),
         )
     )
+
+
+def salted_distinct_counts(
+    df: DataFrame,
+    key_col: str = "event_type",
+    target_col: str = "user_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact per-key distinct counts with salt-partitioned aggregation —
+    the skew device for the one hot-key shape AQE cannot fix.
+
+    AQE's skew handling splits oversized SHUFFLE JOIN partitions; a
+    skewed ``groupBy(key).agg(countDistinct(target))`` still funnels a
+    hot key's entire distinct set through one reducer (the distinct
+    expansion happens inside the aggregate, invisible to AQE).  The
+    classic fix: salt by ``hash(target) mod n_salts`` — because the salt
+    is a pure function of the TARGET value, each distinct target lands
+    in exactly one (key, salt) cell, so per-cell distinct counts SUM to
+    the exact per-key answer (no overlap, no loss).  The hot key's work
+    spreads across ``n_salts`` reducers; phase 2 merges n_salts tiny
+    rows per key.  Exactness dies if you salt by anything not a function
+    of the target (e.g. a random salt double-counts duplicates that land
+    in different cells).
+
+    Two shuffles — (key, salt) then key — both carrying count rows; the
+    phase-2 frame is keys × n_salts rows, trivially small.  Output:
+    (key, n_distinct, n_events), identical to the unsalted aggregate.
+    """
+    salt = F.pmod(F.xxhash64(F.col(target_col)), F.lit(n_salts))
+    phase1 = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(target_col).alias("__t"),
+            salt.alias("__s"),
+        )
+        .groupBy("key", "__s")
+        .agg(
+            F.countDistinct("__t").alias("__d"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return (
+        phase1.groupBy("key")
+        .agg(
+            F.sum("__d").cast("bigint").alias("n_distinct"),
+            F.sum("__n").cast("bigint").alias("n_events"),
+        )
+        .select(F.col("key").alias(key_col), "n_distinct", "n_events")
+    )

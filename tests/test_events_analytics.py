@@ -255,3 +255,21 @@ def test_window_range_counts_plan_has_no_nested_loop(spark):
     # The point of the bin decomposition: the containment test must ride
     # an equi-join, never an O(events x windows) nested loop.
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_distinct_counts_exactness(spark):
+    from k8stream_spark.analytics.events import salted_distinct_counts
+
+    # Duplicated targets across rows — the case a random (non-target-
+    # derived) salt would double count.
+    rows = [("a", u) for u in [1, 1, 2, 3, 3, 3, 4]] + [
+        ("b", u) for u in [1, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id bigint")
+    for n_salts in (1, 4, 64):
+        out = {
+            r.event_type: r
+            for r in salted_distinct_counts(df, n_salts=n_salts).collect()
+        }
+        assert (out["a"].n_distinct, out["a"].n_events) == (4, 7)
+        assert (out["b"].n_distinct, out["b"].n_events) == (2, 3)
