@@ -542,3 +542,68 @@ def test_incremental_exact_filter_stream_static(spark, tmp_path):
     )
     assert q.awaitTermination(120)
     assert sorted(got) == [11, 13]
+
+
+def test_session_window_agg_streaming_with_watermark(spark, tmp_path):
+    """The native session_window operator runs in STREAMING with a
+    watermark — the batch/stream symmetry claim for the sessionization
+    layer: same operator (events.session_window_agg composes it in
+    batch), same gap semantics, state bounded by the watermark."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    base = "2024-01-01T00:{m:02d}:00.000Z"
+    events = [
+        # user 1: two events 5 min apart (one session), then a 40-min
+        # gap (> the 30-min gap -> second session)
+        {"user_id": 1, "ts": base.format(m=0)},
+        {"user_id": 1, "ts": base.format(m=5)},
+        {"user_id": 1, "ts": base.format(m=45)},
+        # user 2: single event
+        {"user_id": 2, "ts": base.format(m=10)},
+    ]
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "ev0.json"), "w") as f:
+        for e in events:
+            f.write(_json.dumps(e) + "\n")
+    # Append-mode session aggregates emit only when the WATERMARK passes
+    # the session end; the watermark advances between micro-batches.  A
+    # second file with a far-future event forces a second batch whose
+    # watermark (max ts - 2h) is past every session above — the flusher
+    # session itself stays in state (never asserted).
+    with open(os.path.join(src, "ev1.json"), "w") as f:
+        f.write(_json.dumps({"user_id": 99, "ts": "2024-01-03T00:00:00.000Z"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "2 hours")
+    )
+    sessions = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    got = []
+
+    def collect(batch_df, _bid):
+        got.extend((r.user_id, r.n_events) for r in batch_df.collect())
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt-sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    per_user = {}
+    for uid, n in got:
+        per_user.setdefault(uid, []).append(n)
+    # user 1: two sessions (2 events, then 1); user 2: one session of 1
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
