@@ -160,6 +160,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_spread",
+                # Box-state fingerprint: back-to-back full runs differ by
+                # ±30-100% per query on page-cache/GC luck even at
+                # min-of-3 (r7 measured run1 71.6s vs run2 68.7s total
+                # with individual queries swinging 2× both directions);
+                # the load average lets round-over-round diffs separate
+                # a loaded box from a real regression.
+                "loadavg": list(os.getloadavg()),
                 "queries_median": medians,
                 "queries_max": maxes,
             }

@@ -85,6 +85,9 @@ AUDITED = [
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "docs_dedup_incremental",
+    "events_window_range_counts",
+    "events_salted_distinct_counts",
+    "docs_source_lang_cube",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed
