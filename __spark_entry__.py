@@ -3169,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bm25_topk": """
             WITH base AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+              WHERE text IS NOT NULL
             ), dl AS (
               SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base
             ), totals AS (
@@ -3209,6 +3210,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_hybrid_rrf": """
             WITH base AS (
               SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+              WHERE text IS NOT NULL
             ), dl AS (
               SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base
             ), totals AS (

@@ -95,6 +95,10 @@ BENCH_QUERIES = (
     "docs_hybrid_rrf",
     # continuous-ingestion dedup (new-batch × reference-corpus LSH)
     "docs_dedup_incremental",
+    # late-r7 surface: binned range join, salted distinct, CUBE report
+    "events_window_range_counts",
+    "events_salted_distinct_counts",
+    "docs_source_lang_cube",
 )
 
 

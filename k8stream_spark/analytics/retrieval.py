@@ -85,8 +85,12 @@ def bm25_topk(
     toks = tokens(text_col)
     # Doc lengths in the SAME pass that feeds the explode: dl counts ALL
     # tokens (BM25 length normalization), while the exploded stream is
-    # pruned to query terms immediately.
-    base = df.select("doc_id", toks.alias("__tk"))
+    # pruned to query terms immediately.  NULL-text docs are excluded up
+    # front: they can never match, and size(split(NULL)) is -1 (not 0),
+    # which would silently poison N and Σdl.
+    base = df.where(F.col(text_col).isNotNull()).select(
+        "doc_id", toks.alias("__tk")
+    )
     dl = base.select(
         "doc_id", F.size(F.col("__tk")).cast("bigint").alias("dl")
     )

@@ -116,3 +116,17 @@ def test_bm25_topk_is_take_ordered(spark):
     plan = retrieval.bm25_topk(docs, ("spark",), k=5)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_null_text_docs_are_inert(spark):
+    # A NULL-text doc must not perturb N / sum_dl (size(split(NULL)) is
+    # -1, not 0) nor appear in the ranking.
+    with_null = _docs(
+        spark, [(1, "spark spark scan"), (2, None), (3, "spark scan scan")]
+    )
+    without = _docs(spark, [(1, "spark spark scan"), (3, "spark scan scan")])
+    a = {r.doc_id: r.bm25_micro for r in
+         retrieval.bm25_topk(with_null, ("spark",), k=10).collect()}
+    b = {r.doc_id: r.bm25_micro for r in
+         retrieval.bm25_topk(without, ("spark",), k=10).collect()}
+    assert a == b and 2 not in a
