@@ -1702,6 +1702,12 @@ def _q_source_lang_cube(spark, sf_dir):
     return textan.source_lang_cube(load_table(spark, sf_dir, "documents"))
 
 
+def _q_cluster_size_histogram(spark, sf_dir):
+    return docdedup.cluster_size_histogram(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_window_range_counts(spark, sf_dir):
     return evan.window_range_counts(load_table(spark, sf_dir, "events"))
 
@@ -1815,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_incremental_exact": _q_incremental_exact_filter,
         "events_window_range_counts": _q_window_range_counts,
         "events_salted_distinct_counts": _q_salted_distinct_counts,
+        "docs_cluster_size_histogram": _q_cluster_size_histogram,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3400,6 +3407,21 @@ def oracle_sql() -> dict[str, str]:
 SELECT src AS doc_id, MIN(dst) AS cluster_id,
        (src = MIN(dst)) AS is_canonical
 FROM reach GROUP BY src
+""",
+        # Same component pass as docs_dedup_clusters, rolled up twice:
+        # cluster -> size, size -> (n_clusters, n_docs).
+        "docs_cluster_size_histogram": "WITH RECURSIVE "
+        + SHINGLES_CTE.strip()[len("WITH ") :]
+        + CLUSTERS_CTE_TAIL
+        + """
+, cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+         FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM cl GROUP BY cluster_id)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
 """,
         # Same component pass as docs_dedup_clusters, then the longest
         # member (ties to smallest id) wins the cluster.

@@ -892,3 +892,35 @@ def incremental_exact_filter(
         .join(ref_hashes, "__h", "left_anti")
         .drop("__h")
     )
+
+
+def cluster_size_histogram(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """Duplicate-mass report: the distribution of near-dup cluster sizes
+    — the first number a corpus audit quotes ("X% of docs sit in
+    duplicate groups; the largest group has N members").  Size-1 rows
+    are the unduplicated mass; a heavy tail here is the template/mirror
+    signal that drives boilerplate review.
+
+    Two count-rollups on top of the ``dedup_clusters`` component pass
+    (bucketed LSH candidates + O(log d) label propagation — see its
+    docstring): cluster_id → size, then size → (n_clusters, n_docs).
+    Both shuffles carry (id|int, count) rows; output cardinality is the
+    number of DISTINCT sizes, tiny at any corpus scale.
+    """
+    clusters = dedup_clusters(df, text_col, threshold=threshold)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

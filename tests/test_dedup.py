@@ -267,3 +267,22 @@ def test_incremental_dedup_never_pairs_new_with_new(spark):
     )
     out = {r.doc_id: r for r in incremental_dedup(new, ref).collect()}
     assert out[1].kept and out[3].kept
+
+
+def test_cluster_size_histogram_accounts_every_doc(spark):
+    from k8stream_spark.analytics.dedup import cluster_size_histogram
+
+    base = [f"w{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base + ["x"])),            # near-dup of 1
+        (3, " ".join(base + ["x", "y"])),       # near-dup of 2 (chain)
+        (4, " ".join(f"z{i}" for i in range(40))),  # singleton
+        (5, " ".join(f"q{i}" for i in range(40))),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.cluster_size: r for r in cluster_size_histogram(df).collect()}
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3
+    assert out[1].n_clusters == 2 and out[1].n_docs == 2
+    # histogram partitions the corpus exactly
+    assert sum(r.n_docs for r in out.values()) == 5
