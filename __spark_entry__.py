@@ -1745,6 +1745,26 @@ def _q_quality_classifier(spark, sf_dir):
     )
 
 
+def _q_bpe_merge_pairs(spark, sf_dir):
+    return textan.bpe_merge_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_bigram_lm_score(spark, sf_dir):
+    return textan.bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+def _q_random_projection(spark, sf_dir):
+    return similarity.random_projection(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _q_knn_graph_mutual(spark, sf_dir):
+    return similarity.knn_graph_mutual(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1822,6 +1842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_range_counts": _q_window_range_counts,
         "events_salted_distinct_counts": _q_salted_distinct_counts,
         "docs_cluster_size_histogram": _q_cluster_size_histogram,
+        "text_bpe_merge_pairs": _q_bpe_merge_pairs,
+        "text_bigram_lm_score": _q_bigram_lm_score,
+        "emb_random_projection": _q_random_projection,
+        "emb_knn_graph_mutual": _q_knn_graph_mutual,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3124,6 +3148,109 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens
             FROM documents
             GROUP BY CUBE (source, lang)
+        """,
+        # Mirrors text.bpe_merge_pairs: word-frequency collapse first,
+        # then char-pair explode over the vocab with frequency weights —
+        # all exact integers, top-20 with the (count desc, pair asc)
+        # deterministic tiebreak.
+        "text_bpe_merge_pairs": """
+            WITH w AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL)
+              GROUP BY tok
+            ), p AS (
+              SELECT substr(tok, CAST(g.i AS INTEGER), 2) AS pair, wf
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, length(tok) - 1)) AS i) g
+              WHERE length(tok) >= 2
+            )
+            SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+            FROM p GROUP BY pair
+            ORDER BY pair_count DESC, pair ASC LIMIT 20
+        """,
+        # Mirrors text.bigram_lm_score: corpus bigram counts, context
+        # totals derived from the bigram table, per-bigram micro prob =
+        # ROUND(1e6·c2/c1) (one correctly-rounded double op on exact
+        # ints), integer sum + integer division for the per-doc mean.
+        "text_bigram_lm_score": """
+            WITH ex AS (
+              SELECT doc_id,
+                     tk[CAST(g.i AS INTEGER)] AS w1,
+                     tk[CAST(g.i AS INTEGER) + 1] AS w2
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents WHERE text IS NOT NULL) b,
+                   LATERAL (SELECT unnest(
+                     generate_series(1, len(tk) - 1)) AS i) g
+              WHERE len(tk) >= 2
+            ), c2 AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+              FROM ex GROUP BY w1, w2
+            ), c1 AS (
+              SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+            ), model AS (
+              SELECT w1, w2,
+                     CAST(ROUND(1000000.0 * c2.c2 / c1.c1) AS BIGINT) AS m
+              FROM c2 JOIN c1 USING (w1)
+            ), per_doc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(m) AS BIGINT) AS sm
+              FROM ex JOIN model USING (w1, w2) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(p.sm // p.n_bigrams, 0) AS lm_micro
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # Mirrors similarity.random_projection: the ±1 sign matrix is
+        # regenerated from the same public md5 recipe (parity of the
+        # first hex nibble of md5('rp-v1:j:i')), inputs quantized with
+        # the identical floor(x·1e6 + 0.5) op, outputs exact int64 sums.
+        "emb_random_projection": """
+            WITH s AS (
+              SELECT j.j AS j, i.i AS i,
+                     CASE WHEN strpos('13579bdf',
+                            substr(md5('rp-v1:' || CAST(j.j AS VARCHAR)
+                                       || ':' || CAST(i.i AS VARCHAR)),
+                                   1, 1)) > 0
+                          THEN -1 ELSE 1 END AS sgn
+              FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i
+            ), ex AS (
+              SELECT vec_id, i.i AS i,
+                     CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT) AS q
+              FROM embeddings,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i
+            )
+            SELECT ex.vec_id, CAST(s.j AS BIGINT) AS proj_dim,
+                   CAST(SUM(s.sgn * ex.q) AS BIGINT) AS v_micro
+            FROM ex JOIN s USING (i) GROUP BY ex.vec_id, s.j
+        """,
+        # Mirrors similarity.knn_graph_mutual: rank on the ROUNDED cosine
+        # with the id tiebreak (the emb_cosine_topk convention), mutual =
+        # both directions inside top-5, reported once with id_a < id_b.
+        "emb_knn_graph_mutual": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), scored AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     ROUND(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS cosine
+              FROM base a JOIN base b ON a.vec_id != b.vec_id
+            ), topk AS (
+              SELECT src, dst, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS r
+                FROM scored)
+              WHERE r <= 5
+            )
+            SELECT f.src AS id_a, f.dst AS id_b, f.cosine
+            FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
+            WHERE f.src < f.dst
         """,
         # Mirrors dedup.incremental_dedup over an odd/even doc_id split
         # (odd = the new batch, even = the reference corpus): exact dup

@@ -99,6 +99,11 @@ BENCH_QUERIES = (
     "events_window_range_counts",
     "events_salted_distinct_counts",
     "docs_source_lang_cube",
+    # tokenizer-training + LM-scoring + kNN-graph additions (the pure
+    # single-scan random_projection tracks existing map-only shapes)
+    "text_bpe_merge_pairs",
+    "text_bigram_lm_score",
+    "emb_knn_graph_mutual",
 )
 
 

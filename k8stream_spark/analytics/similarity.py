@@ -1433,3 +1433,144 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_cos")
     )
+
+
+def _rp_sign(j: int, i: int, seed: str = "rp-v1") -> int:
+    """±1 sign for output dim j, input dim i — parity of the first hex
+    nibble of md5(f"{seed}:{j}:{i}").  md5 is a builtin on every engine
+    this repo oracles against, so the DuckDB side regenerates the exact
+    same matrix from the same public recipe (the ``_plane_weights``
+    argument, applied to Achlioptas/JL sign matrices)."""
+    h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+    return -1 if int(h[0], 16) % 2 else 1
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp-v1",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random sign projection dim → out_dim — the
+    standard dimensionality squeeze in front of LSH/clustering when the
+    raw embedding width makes candidate generation IO-bound (Achlioptas
+    2003: a ±1 sign matrix preserves pairwise distances as well as a
+    Gaussian one).  At 100 TB this is the difference between shuffling
+    64-float vectors and 16-long vectors through every downstream join.
+
+    Integer-exact end to end: each input component is quantized to micro
+    units (``floor(x·1e6 + 0.5)`` — the ``bucket_keys`` convention, one
+    identically-rounded IEEE op per element), and each output component
+    is a ±1-weighted int64 sum, which no summation order can perturb.
+    Output is long format (vec_id, proj_dim, v_micro).
+
+    ZERO shuffles: the projection is a per-row map and the long-format
+    unpivot is a posexplode — no exchange anywhere.  Like ``bucket_keys``
+    (same shape: a dense (n × dim)·(dim × out_dim) matmul), the unrolled
+    expression form is NOT viable — 1024 multiply-add terms inside the
+    posexplode Generate fails janino compilation outright (ERROR
+    CodeGenerator, measured) and silently falls back to interpreted
+    eval — so this is the prescribed Arrow-vectorized Pandas UDF: one
+    exact int64 numpy matmul per Arrow batch, sign matrix shipped once
+    in the closure.
+    """
+    S = np.asarray(
+        [
+            [_rp_sign(j, i, seed) for i in range(dim)]
+            for j in range(out_dim)
+        ],
+        dtype=np.int64,
+    )  # (out_dim, dim)
+
+    @pandas_udf("array<long>")
+    def project(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        V = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        # floor(x·1e6 + 0.5): identical correctly-rounded IEEE ops to the
+        # Spark/DuckDB expression form.  |q| ≤ ~5e6 · dim 64 → |out| ≤
+        # 3.3e8, far inside int64; the matmul is exact integer math.
+        VQ = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        out = VQ @ S.T  # (n, out_dim)
+        return pd.Series(list(out))
+
+    staged = embeddings.select(
+        F.col(id_col), project(F.col(vec_col)).alias("__p")
+    )
+    return staged.select(
+        id_col, F.posexplode(F.col("__p")).alias("proj_dim", "v_micro")
+    ).select(
+        id_col,
+        F.col("proj_dim").cast("bigint").alias("proj_dim"),
+        "v_micro",
+    )
+
+
+def knn_graph_mutual(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mutual k-NN graph: undirected edges (a, b), a < b, where b is in
+    a's cosine top-k AND a is in b's — the standard graph construction
+    for density-based corpus curation (mutual edges prune the hub
+    vectors that plain kNN graphs over-connect).  Downstream of this
+    edge list sits the same connected-components pass the dedup layer
+    already runs (``dedup_clusters``).
+
+    This is the exact BASELINE: an O(n²) diagonal self-join scored with
+    the unrolled codegen dot (``_dot_fixed``), computing each unordered
+    pair ONCE (a < b) and deriving both directions from it — at 100 TB
+    candidates come from ``bucket_keys`` LSH buckets or the IVF cells
+    instead, and the rank/mutual stages below apply unchanged to that
+    pruned pair stream (the pytest recall harness quantifies the swap).
+    Ranking uses the rounded cosine with an id tiebreak — deterministic
+    and engine-portable (the ``cosine_topk`` convention).  The rank
+    window shuffles (id, id, cosine) rows only; vectors never leave the
+    scoring join.
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col).alias("__id"), vec_d.alias("__v"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    cos = _dot_fixed(F.col("__va"), F.col("__vb"), dim) / (
+        F.sqrt(_dot_fixed(F.col("__va"), F.col("__va"), dim))
+        * F.sqrt(_dot_fixed(F.col("__vb"), F.col("__vb"), dim))
+    )
+    half = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+    # Both directions from the one scored half — the pair stream doubles
+    # AFTER the vectors are dropped, so the rank shuffle carries 24-byte
+    # rows.
+    directed = half.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
+    ).unionByName(
+        half.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    topk = directed.withColumn(
+        "__r", F.row_number().over(w)
+    ).where(F.col("__r") <= k)
+    fwd = topk.select("src", "dst", "cosine")
+    rev = topk.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -854,6 +854,124 @@ def quality_classifier_score(
     )
 
 
+def bpe_merge_pairs(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Top-k most frequent adjacent character pairs — the counting step of
+    one BPE tokenizer-training iteration (Sennrich et al. 2016): the pair
+    with the highest corpus frequency is the next merge rule.  Repeated
+    invocations against a growing merge table would train the full
+    tokenizer; this operator is the per-iteration corpus statistic, the
+    part that actually touches 100 TB.
+
+    Scale posture is the BPE trick itself: collapse the corpus to the
+    WORD-FREQUENCY table first (one hash-groupBy — corpus-sized shuffle
+    of (word, 1) pairs with map-side combine), then run the char-level
+    pair explode over the vocab-sized frame only.  Pair counting over
+    words-with-weights touches |vocab| rows regardless of corpus size,
+    so the expensive explode never multiplies corpus rows.  The final
+    top-k is TakeOrderedAndProject (per-partition heaps), never a global
+    sort.  All counts exact integers.
+    """
+    toks = tokens(text_col)
+    word_freq = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wf"))
+    )
+    # sequence(1, len-1) descends when len < 2 — same short-word guard as
+    # ngram_novelty's short-doc guard.
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("__w") - 1),
+        lambda i: F.substring(F.col("__w"), i, 2),
+    )
+    pairs = F.when(F.length("__w") >= 2, pair_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        word_freq.select(F.explode(pairs).alias("pair"), "__wf")
+        .groupBy("pair")
+        .agg(F.sum("__wf").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram language-model quality score (the CCNet
+    recipe, Wenzek et al. 2020: score each document with an LM trained on
+    the corpus itself and keep the predictable head).  Per document, the
+    mean conditional probability p(w2|w1) = c(w1,w2)/c(w1,·) over its
+    adjacent token pairs — high = the document is made of common
+    transitions, low = word-soup.
+
+    Engine-exact without logs: each bigram contributes
+    ``round(1e6 · c2/c1)`` micro units (both counts are exact integers,
+    so the single double division + round is the same correctly-rounded
+    IEEE op on any engine — the BM25 convention), the per-doc sum is an
+    integer sum, and the mean uses integer division (``DIV``).  No float
+    ever crosses an aggregation.
+
+    Scale posture: ONE corpus-sized shuffle to count bigrams (map-side
+    partial agg); the unigram-context counts derive from the bigram
+    table (vocab²-sized, not corpus-sized).  Scoring joins the exploded
+    corpus against the count table on (w1, w2) — broadcastable for
+    bounded vocabularies, a plain hash join otherwise — then one
+    (doc_id) shuffle for the per-doc sum.  Shuffle rows are token pairs
+    and bigints; never full text.
+    """
+    toks = tokens(text_col)
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    bigrams = F.when(F.size(toks) >= 2, bigram_arr).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    # The exploded bigram stream has two consumers (model training and
+    # scoring); persist it so the corpus text is scanned ONCE, not per
+    # branch — the bm25_topk hits-persist precedent.  Cached rows are
+    # (id, token, token) triples, far smaller than the text they derive
+    # from.
+    ex = df.where(F.col(text_col).isNotNull()).select(
+        "doc_id", F.explode(bigrams).alias("__b")
+    ).select(
+        "doc_id", F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2")
+    ).persist()
+    c2 = ex.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
+    # Context totals derive from the bigram table — no second corpus pass.
+    c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
+    model = c2.join(c1, "__w1").select(
+        "__w1",
+        "__w2",
+        F.round(
+            F.lit(1000000.0) * F.col("__c2") / F.col("__c1")
+        ).cast("bigint").alias("__m"),
+    )
+    per_doc = (
+        ex.join(model, ["__w1", "__w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__m").alias("__sum_m"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("__sum_m DIV n_bigrams").alias("lm_micro"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .na.fill({"n_bigrams": 0, "lm_micro": 0})
+    )
+
+
 def source_lang_cube(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus accounting over ``CUBE(source, lang)`` — every mix report a
     dataset card needs (per source, per language, per source×language,

@@ -88,6 +88,10 @@ AUDITED = [
     "events_window_range_counts",
     "events_salted_distinct_counts",
     "docs_source_lang_cube",
+    "text_bpe_merge_pairs",
+    "text_bigram_lm_score",
+    "emb_random_projection",
+    "emb_knn_graph_mutual",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed
@@ -127,6 +131,8 @@ ASSERT_TOPK_REWRITE = {
     # orderBy().limit() must stay TakeOrderedAndProject (per-partition
     # heaps + merge), never a global sort of the n-gram table.
     "text_corpus_top_ngrams",
+    # same contract over the char-pair table
+    "text_bpe_merge_pairs",
 }
 
 

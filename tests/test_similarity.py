@@ -272,3 +272,100 @@ def test_ivf_pq_topk_recall_and_determinism(spark):
         ).collect()
     }
     assert again == {(r.query_id, r.neighbor_id, r.rank) for r in out}
+
+
+def test_random_projection_exact_replica(spark):
+    """The Spark projection matches a from-scratch python replica of the
+    public recipe (md5-parity signs, floor(x*1e6+0.5) quantization,
+    integer sums) on the real table."""
+    import hashlib
+
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = {
+        (r.vec_id, r.proj_dim): r.v_micro
+        for r in similarity.random_projection(emb).collect()
+    }
+    rows = emb.orderBy("vec_id").limit(5).collect()
+    S = np.asarray(
+        [
+            [
+                -1
+                if int(hashlib.md5(f"rp-v1:{j}:{i}".encode()).hexdigest()[0], 16) % 2
+                else 1
+                for i in range(64)
+            ]
+            for j in range(16)
+        ],
+        dtype=np.int64,
+    )
+    for r in rows:
+        q = np.floor(np.asarray(r.embedding, dtype=np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        want = S @ q
+        for j in range(16):
+            assert out[(r.vec_id, j)] == want[j], (r.vec_id, j)
+
+
+def test_random_projection_preserves_cosine(spark):
+    """JL property: pairwise cosines of the 16-d sign projection track the
+    64-d originals (Achlioptas 2003) — the reason the squeeze is safe in
+    front of LSH/clustering.  Mean |error| bound is loose but real."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    V = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.limit(40).collect()]
+    )
+    proj = similarity.random_projection(emb).collect()
+    P = np.zeros((40, 16))
+    ids = {r.vec_id for r in emb.limit(40).collect()}
+    idx = {v: n for n, v in enumerate(sorted(ids))}
+    for r in proj:
+        if r.vec_id in idx:
+            P[idx[r.vec_id], r.proj_dim] = r.v_micro
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    errs = []
+    for a in range(0, 40, 5):
+        for b in range(a + 1, 40, 7):
+            errs.append(abs(Vn[a] @ Vn[b] - Pn[a] @ Pn[b]))
+    mean_err = sum(errs) / len(errs)
+    assert mean_err < 0.25, mean_err
+
+
+def test_knn_graph_mutual_replica_and_invariants(spark):
+    """Mutual-kNN edges match a numpy replica on the real table; every
+    edge is (a < b) and mutual by construction."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    ids = np.asarray([r.vec_id for r in rows])
+    V = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.round(Vn @ Vn.T, 6)
+    order = np.argsort(ids)
+    ids, C = ids[order], C[np.ix_(order, order)]
+    n = len(ids)
+    topk = {}
+    for a in range(n):
+        # rank on (cosine desc, id asc), skip self — the operator's order
+        cand = sorted(
+            (( -C[a, b], ids[b]) for b in range(n) if b != a),
+        )[:5]
+        topk[ids[a]] = {nid for _, nid in cand}
+    want = {
+        (int(a), int(b))
+        for a in ids
+        for b in topk[a]
+        if a < b and a in topk[b]
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.knn_graph_mutual(emb, k=5).collect()
+    }
+    assert got == want
+    assert all(a < b for a, b in got)

@@ -372,3 +372,83 @@ def test_source_lang_cube_subtotals_and_gid(spark):
     assert out[(None, None, 3)] == (4, 10)     # grand total
     # every (source, lang) detail cell present
     assert ("web", "fr", 0) in out and ("book", "en", 0) in out
+
+
+def test_bpe_merge_pairs_replica(spark):
+    """Top pair counts match a from-scratch python replica (count every
+    adjacent char pair in every word occurrence) on a tiny corpus."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.analytics import text as textan
+
+    docs = [
+        (0, "low low lower"),
+        (1, "newest widest low"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    counts = Counter()
+    for _, t in docs:
+        for w in (t or "").split(" "):
+            if not w:
+                continue
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    want = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    got = [
+        (r.pair, r.pair_count)
+        for r in textan.bpe_merge_pairs(df, k=20)
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .collect()
+    ]
+    assert got == want
+    # 'lo' appears in low×3 + lower -> 4, the classic first BPE merge
+    assert got[0][0] == "lo" and got[0][1] == 4
+
+
+def test_bigram_lm_score_replica(spark):
+    """Per-doc mean bigram probability matches an integer-math python
+    replica, including the short-doc zero rows."""
+    from collections import Counter
+
+    from k8stream_spark.analytics import text as textan
+
+    docs = [
+        (0, "a b a b a"),
+        (1, "a b c"),
+        (2, "x"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    c2: Counter = Counter()
+    for _, t in docs:
+        toks = (t or "").split(" ")
+        if t is None or len(toks) < 2:
+            continue
+        for i in range(len(toks) - 1):
+            c2[(toks[i], toks[i + 1])] += 1
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    want = {}
+    for did, t in docs:
+        toks = (t or "").split(" ")
+        if t is None or len(toks) < 2:
+            want[did] = (0, 0)
+            continue
+        ms = [
+            round(1000000.0 * c2[(toks[i], toks[i + 1])] / c1[toks[i]])
+            for i in range(len(toks) - 1)
+        ]
+        want[did] = (len(ms), sum(ms) // len(ms))
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_micro)
+        for r in textan.bigram_lm_score(df).collect()
+    }
+    assert got == want
+    # doc 0 is pure common transitions -> scores above doc 1's mixed ones
+    assert got[0][1] > got[1][1]
