@@ -1534,16 +1534,43 @@ def knn_graph_mutual(
     scoring join.
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(F.col(id_col).alias("__id"), vec_d.alias("__v"))
-    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    cos = _dot_fixed(F.col("__va"), F.col("__vb"), dim) / (
-        F.sqrt(_dot_fixed(F.col("__va"), F.col("__va"), dim))
-        * F.sqrt(_dot_fixed(F.col("__vb"), F.col("__vb"), dim))
+    # Norms are per-ROW quantities: compute them once in each side's
+    # projection instead of re-running two extra 64-term dots per PAIR
+    # (3× the pair-stage flops).  The pair expression keeps the oracle's
+    # exact op shape — dot / (na·nb) with na, nb each sqrt(self-dot) —
+    # so the 6-dp rounding cannot diverge.
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), vec_d.alias("__v")
+    ).withColumn("__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim)))
+    # The O(n²) scoring parallelism is the STREAM side's partition count
+    # — the fixture parquet is one file/one partition, which would run
+    # the whole quadratic stage on a single core (measured: 53 s single
+    # -partition → 7.5 s spread, sf0.1).  One tiny shuffle of n
+    # id+vector rows buys scoring spread across every core; at cluster
+    # scale the input arrives already partitioned and this repartition
+    # is a no-op by count.
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(n_parts, "__id").select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = _dot_fixed(F.col("__va"), F.col("__vb"), dim) / (
+        F.col("__na") * F.col("__nb")
+    )
+    # Persist the scored halves: the union below reads them twice and
+    # without a cache each branch re-runs the whole O(n²) scoring join.
+    # Cached rows are (id, id, double) triples; the vectors never leave
+    # the scoring stage.
     half = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .persist()
     )
     # Both directions from the one scored half — the pair stream doubles
     # AFTER the vectors are dropped, so the rank shuffle carries 24-byte
@@ -1558,9 +1585,10 @@ def knn_graph_mutual(
     w = Window.partitionBy("src").orderBy(
         F.col("cosine").desc(), F.col("dst").asc()
     )
+    # topk also has two consumers (forward edges + the reversed probe).
     topk = directed.withColumn(
         "__r", F.row_number().over(w)
-    ).where(F.col("__r") <= k)
+    ).where(F.col("__r") <= k).persist()
     fwd = topk.select("src", "dst", "cosine")
     rev = topk.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
