@@ -1765,6 +1765,12 @@ def _q_knn_graph_mutual(spark, sf_dir):
     )
 
 
+def _q_knn_graph_mutual_lsh(spark, sf_dir):
+    return similarity.knn_graph_mutual_lsh(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1846,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm_score": _q_bigram_lm_score,
         "emb_random_projection": _q_random_projection,
         "emb_knn_graph_mutual": _q_knn_graph_mutual,
+        "emb_knn_graph_mutual_lsh": _q_knn_graph_mutual_lsh,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3226,6 +3233,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT ex.vec_id, CAST(s.j AS BIGINT) AS proj_dim,
                    CAST(SUM(s.sgn * ex.q) AS BIGINT) AS v_micro
             FROM ex JOIN s USING (i) GROUP BY ex.vec_id, s.j
+        """,
+        # Mirrors similarity.knn_graph_mutual_lsh end to end: the LSH
+        # bucketing is the shared integer-exact _LSH_CTE recipe, the
+        # candidate set is the bucket self-join (a < b, distinct), and
+        # scoring/rank/mutual repeat the exact variant's ops — the
+        # APPROXIMATE graph itself is hash-checked.
+        "emb_knn_graph_mutual_lsh": _LSH_CTE
+        + """
+            , cand AS (
+              SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+              FROM bkey a JOIN bkey b
+                ON a.bkt = b.bkt AND a.vid < b.vid
+            ), base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), half AS (
+              SELECT c.id_a, c.id_b,
+                     ROUND(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 6)
+                       AS cosine
+              FROM cand c
+              JOIN base x ON x.vec_id = c.id_a
+              JOIN base y ON y.vec_id = c.id_b
+            ), directed AS (
+              SELECT id_a AS src, id_b AS dst, cosine FROM half
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst, cosine FROM half
+            ), topk AS (
+              SELECT src, dst, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS r
+                FROM directed)
+              WHERE r <= 5
+            )
+            SELECT f.src AS id_a, f.dst AS id_b, f.cosine
+            FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
+            WHERE f.src < f.dst
         """,
         # Mirrors similarity.knn_graph_mutual: rank on the ROUNDED cosine
         # with the id tiebreak (the emb_cosine_topk convention), mutual =

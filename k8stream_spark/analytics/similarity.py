@@ -1593,6 +1593,15 @@ def knn_graph_mutual(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .persist()
     )
+    return _mutual_topk(half, k)
+
+
+def _mutual_topk(half: DataFrame, k: int) -> DataFrame:
+    """Shared rank + mutual tail over a scored unordered-pair frame
+    (id_a < id_b, cosine rounded 6 dp): rank both directions per source,
+    keep top-k, emit pairs present in BOTH top-k lists once (a < b).
+    Consumed by the exact diagonal join and the LSH-candidate variant —
+    everything here is id-sized; vectors never reach these stages."""
     # Both directions from the one scored half — the pair stream doubles
     # AFTER the vectors are dropped, so the rank shuffle carries 24-byte
     # rows.
@@ -1623,3 +1632,71 @@ def knn_graph_mutual(
             "cosine",
         )
     )
+
+
+def knn_graph_mutual_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tables: int = 24,
+    bits: int = 6,
+) -> DataFrame:
+    """Mutual k-NN graph over LSH-bucketed candidates — the 100 TB form
+    of ``knn_graph_mutual``: candidate pairs come from a bucket
+    equi-join (``bucket_keys``, integer-exact and oracle-replayable),
+    only candidates are scored, and the identical ``_mutual_topk`` tail
+    ranks within each vector's candidate set.  Recall < 1 by design
+    when a true top-k neighbor shares no bucket; pytest measures edge
+    recall against the exact graph, and the DuckDB oracle replays the
+    whole pipeline (buckets → candidates → scores → ranks) bit-for-bit,
+    so the approximate RESULT is hash-checked, not just bounded.
+
+    Shuffle discipline matches ``cosine_near_dup_lsh``: the candidate
+    dedup runs on 16-byte id pairs before any vector is rejoined.
+    """
+    raw = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn(
+        "__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim))
+    ).persist()
+    bucketed = raw.select(
+        "__id",
+        F.explode(bucket_keys(F.col("__v"), dim, tables, bits)).alias("__bkt"),
+    ).persist()
+    # Materialize before the self-join (see cosine_near_dup_lsh: the two
+    # branches would race the unpopulated cache).
+    bucketed.count()
+    cand = (
+        bucketed.select(F.col("__id").alias("id_a"), "__bkt")
+        .join(bucketed.select(F.col("__id").alias("id_b"), "__bkt"), "__bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = raw.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = raw.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    # Same scoring expression as the exact baseline (dot / (na·nb), one
+    # dot per pair) — computed in a SELECT after the equi-joins, never
+    # pushed into a join condition (the _pair_cos interpreted-filter
+    # trap).
+    cos = _dot_fixed(F.col("__va"), F.col("__vb"), dim) / (
+        F.col("__na") * F.col("__nb")
+    )
+    half = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .persist()
+    )
+    return _mutual_topk(half, k)

@@ -92,6 +92,7 @@ AUDITED = [
     "text_bigram_lm_score",
     "emb_random_projection",
     "emb_knn_graph_mutual",
+    "emb_knn_graph_mutual_lsh",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) is iterative (driver-controlled fixpoint loop); a single executed
