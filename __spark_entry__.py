@@ -1771,6 +1771,12 @@ def _q_knn_graph_mutual_lsh(spark, sf_dir):
     )
 
 
+def _q_semantic_clusters_knn(spark, sf_dir):
+    return similarity.semantic_clusters_knn(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1853,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_random_projection": _q_random_projection,
         "emb_knn_graph_mutual": _q_knn_graph_mutual,
         "emb_knn_graph_mutual_lsh": _q_knn_graph_mutual_lsh,
+        "emb_semantic_clusters": _q_semantic_clusters_knn,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3271,6 +3278,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.src AS id_a, f.dst AS id_b, f.cosine
             FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
             WHERE f.src < f.dst
+        """,
+        # Mirrors similarity.semantic_clusters_knn: the exact mutual-kNN
+        # edge CTEs (same text as emb_knn_graph_mutual) followed by the
+        # recursive-CTE transitive closure — the docs_dedup_clusters
+        # oracle pattern applied to the embedding graph.
+        "emb_semantic_clusters": """
+            WITH RECURSIVE base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), scored AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     ROUND(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS cosine
+              FROM base a JOIN base b ON a.vec_id != b.vec_id
+            ), topk AS (
+              SELECT src, dst FROM (
+                SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS r
+                FROM scored)
+              WHERE r <= 5
+            ), mutual AS (
+              SELECT f.src AS a, f.dst AS b
+              FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
+              WHERE f.src < f.dst
+            ), edges AS (
+              SELECT a, b FROM mutual
+              UNION ALL
+              SELECT b, a FROM mutual
+            ), reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS vec_id, MIN(dst) AS cluster_id,
+                   (src = MIN(dst)) AS is_canonical
+            FROM reach GROUP BY src
         """,
         # Mirrors similarity.knn_graph_mutual: rank on the ROUNDED cosine
         # with the id tiebreak (the emb_cosine_topk convention), mutual =

@@ -506,6 +506,25 @@ def dedup_clusters(
     recursive CTE over the exact inverted-index pairs.
     """
     pairs = minhash_lsh_pairs(df, text_col, threshold=threshold)
+    return connected_components(
+        df.select("doc_id"),
+        pairs.select("doc_a", "doc_b"),
+        max_iter=max_iter,
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label connected components with path halving over an
+    unordered-pair edge frame — the shared fixpoint engine behind
+    ``dedup_clusters`` (minhash near-dup graph) and the embedding-level
+    semantic clusters (mutual-kNN graph).  ``nodes`` is one ``doc_id``
+    column (singletons keep their own label); ``pairs`` is
+    (doc_a, doc_b).  Returns (doc_id, cluster_id, is_canonical).  See
+    ``dedup_clusters`` for the algorithmic notes; every shuffle in here
+    carries 16-byte (id, label) rows.
+    """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -522,7 +541,7 @@ def dedup_clusters(
     # join-of-join lineage otherwise grows geometrically and blows up
     # query planning after a handful of rounds (the standard failure
     # mode of iterative DataFrame algorithms).
-    labels = df.select(
+    labels = nodes.select(
         "doc_id", F.col("doc_id").alias("label")
     ).localCheckpoint()
     # Convergence test: labels only ever decrease under min-propagation,
@@ -571,7 +590,7 @@ def dedup_clusters(
         prev_sum = new_sum
     else:
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds"
+            f"connected_components did not converge in {max_iter} rounds"
         )
     edges.unpersist()
     return labels.select(

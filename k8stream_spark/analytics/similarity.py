@@ -1700,3 +1700,37 @@ def knn_graph_mutual_lsh(
         .persist()
     )
     return _mutual_topk(half, k)
+
+
+def semantic_clusters_knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-level semantic clusters: connected components over the
+    mutual k-NN graph — the embedding-space twin of the text layer's
+    ``dedup_clusters`` (SemDedup-adjacent, but graph-derived rather than
+    centroid-derived: mutual edges give parameter-free locality without
+    training a quantizer).  Returns (vec_id, cluster_id, is_canonical)
+    with cluster_id = min member id.
+
+    Composition, not new machinery: edges come from ``knn_graph_mutual``
+    (swap in ``knn_graph_mutual_lsh`` at corpus scale — same columns)
+    and the fixpoint is the shared ``connected_components`` engine, so
+    every scale property proven for the text clusters (id-only shuffle
+    rows, O(log diameter) rounds, driver sees only convergence
+    checksums) carries over unchanged.
+    """
+    from k8stream_spark.analytics.dedup import connected_components
+
+    edges = knn_graph_mutual(
+        embeddings, k=k, dim=dim, vec_col=vec_col, id_col=id_col
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    out = connected_components(
+        embeddings.select(F.col(id_col).alias("doc_id")), edges
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col), "cluster_id", "is_canonical"
+    )

@@ -95,8 +95,9 @@ AUDITED = [
     "emb_knn_graph_mutual_lsh",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
-# it) is iterative (driver-controlled fixpoint loop); a single executed
-# plan doesn't describe it — see its docstring instead.
+# it) and emb_semantic_clusters are iterative (driver-controlled
+# fixpoint loop); a single executed plan doesn't describe them — see
+# the connected_components docstring instead.
 
 
 def audit(df) -> dict[str, int]:

@@ -390,3 +390,28 @@ def test_knn_graph_lsh_edge_recall(spark):
     assert recall >= 0.5, f"edge recall {recall} too low"  # 0.70 measured
     # every approx edge is well-formed
     assert all(a < b for a, b in approx)
+
+
+def test_semantic_clusters_knn_invariants(spark):
+    """Cluster assignment is a partition consistent with the mutual-kNN
+    edge set: every edge joins same-cluster nodes, every cluster_id is
+    its own member and the min of the cluster, singletons are canonical."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    edges = {
+        (r.id_a, r.id_b)
+        for r in similarity.knn_graph_mutual(emb, k=5).collect()
+    }
+    assign = {
+        r.vec_id: (r.cluster_id, r.is_canonical)
+        for r in similarity.semantic_clusters_knn(emb, k=5).collect()
+    }
+    n_rows = emb.count()
+    assert len(assign) == n_rows
+    for a, b in edges:
+        assert assign[a][0] == assign[b][0], (a, b)
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cid, canon) in assign.items():
+        by_cluster.setdefault(cid, []).append(vid)
+        assert canon == (vid == cid)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
