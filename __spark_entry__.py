@@ -1777,6 +1777,10 @@ def _q_semantic_clusters_knn(spark, sf_dir):
     )
 
 
+def _q_cms_token_counts(spark, sf_dir):
+    return textan.cms_token_counts(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1860,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph_mutual": _q_knn_graph_mutual,
         "emb_knn_graph_mutual_lsh": _q_knn_graph_mutual_lsh,
         "emb_semantic_clusters": _q_semantic_clusters_knn,
+        "text_cms_token_counts": _q_cms_token_counts,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3279,10 +3284,39 @@ def oracle_sql() -> dict[str, str]:
             FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
             WHERE f.src < f.dst
         """,
-        # Mirrors similarity.semantic_clusters_knn: the exact mutual-kNN
-        # edge CTEs (same text as emb_knn_graph_mutual) followed by the
-        # recursive-CTE transitive closure — the docs_dedup_clusters
-        # oracle pattern applied to the embedding graph.
+        # Mirrors text.cms_token_counts: md5-seeded buckets make the
+        # whole Count-Min sketch deterministic, so the APPROXIMATE
+        # estimates replay and hash-check (the LSH posture applied to a
+        # counting sketch).
+        "text_cms_token_counts": """
+            WITH tf AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS tf_true FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE text IS NOT NULL)
+              GROUP BY token
+            ), hashed AS (
+              SELECT token, tf_true, r.j AS row_id,
+                     CAST(CAST('0x' || substr(md5('cms-v1:'
+                              || CAST(r.j AS VARCHAR) || ':' || token),
+                              1, 8) AS UBIGINT) % 64 AS BIGINT) AS bucket
+              FROM tf, (SELECT unnest(generate_series(0, 3)) AS j) r
+            ), counters AS (
+              SELECT row_id, bucket,
+                     CAST(SUM(tf_true) AS BIGINT) AS bucket_sum
+              FROM hashed GROUP BY row_id, bucket
+            )
+            SELECT h.token, MAX(h.tf_true) AS tf_true,
+                   MIN(c.bucket_sum) AS cms_est,
+                   MIN(c.bucket_sum) - MAX(h.tf_true) AS overcount
+            FROM hashed h JOIN counters c USING (row_id, bucket)
+            GROUP BY h.token
+        """,
+        # Mirrors similarity.semantic_clusters_knn (mutual-kNN edges →
+        # the shared dedup.connected_components fixpoint): the exact
+        # mutual-kNN edge CTEs (same text as emb_knn_graph_mutual)
+        # followed by the recursive-CTE transitive closure — the
+        # docs_dedup_clusters oracle pattern applied to the embedding
+        # graph.
         "emb_semantic_clusters": """
             WITH RECURSIVE base AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -922,16 +922,16 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     and bigints; never full text.
     """
     toks = tokens(text_col)
-    bigram_arr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
+    n_tok = F.size(toks)
+    # arrays_zip of two shifted slices, NOT a transform(sequence →
+    # struct) lambda: higher-order functions evaluate interpreted per
+    # element, and the lambda form measured ~5× slower on the corpus
+    # explode (2.3 s vs 0.45 s warm at sf0.1).  slice/arrays_zip/explode
+    # all stay inside whole-stage codegen.
+    z = F.arrays_zip(
+        F.slice(toks, 1, n_tok - 1), F.slice(toks, 2, n_tok - 1)
     )
-    bigrams = F.when(F.size(toks) >= 2, bigram_arr).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
-    )
+    bigrams = F.when(n_tok >= 2, z).otherwise(F.array())
     # The exploded bigram stream has two consumers (model training and
     # scoring); persist it so the corpus text is scanned ONCE, not per
     # branch — the bm25_topk hits-persist precedent.  Cached rows are
@@ -940,7 +940,9 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ex = df.where(F.col(text_col).isNotNull()).select(
         "doc_id", F.explode(bigrams).alias("__b")
     ).select(
-        "doc_id", F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2")
+        "doc_id",
+        F.col("__b").getField("0").alias("__w1"),
+        F.col("__b").getField("1").alias("__w2"),
     ).persist()
     c2 = ex.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
     # Context totals derive from the bigram table — no second corpus pass.
@@ -969,6 +971,85 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .na.fill({"n_bigrams": 0, "lm_micro": 0})
+    )
+
+
+def cms_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Count-Min Sketch term frequencies, audited against truth
+    (Cormode & Muthukrishnan 2005) — the streaming-memory answer to
+    "how often does each token occur" when the exact token table is too
+    big to hold: ``depth × width`` counters instead of |vocab| cells,
+    estimates never undercount, overcount bounded by εN per row.
+
+    Deterministic end to end: bucket j for row i is the first 8 md5 hex
+    digits of ``seed:i:token`` mod ``width`` — no RNG state, so the
+    whole sketch (bucket sums AND the min-estimates) replays in the
+    DuckDB oracle and even the APPROXIMATE estimates hash-check, the
+    same posture as the LSH queries.  Output per distinct token:
+    (token, tf_true, cms_est, overcount) with overcount = est − true
+    ≥ 0 by construction — the audit row a pipeline would alert on.
+
+    Scale: one corpus-sized shuffle (the exact tf groupBy, map-side
+    combined); everything after runs on the vocab-sized frame — the
+    depth×|vocab| bucket explode, the depth×width counter table, and
+    the estimate join are all tiny.  In a pure-streaming deployment the
+    counter table is the only state; this batch form exists to measure
+    the sketch against truth.
+    """
+    tf = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf_true"))
+        .persist()
+    )
+    bucket = lambda row: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:{row}:"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    rows = [
+        tf.select(
+            "token",
+            "tf_true",
+            F.lit(j).cast("bigint").alias("row_id"),
+            bucket(j).alias("bucket"),
+        )
+        for j in range(depth)
+    ]
+    hashed = rows[0]
+    for r in rows[1:]:
+        hashed = hashed.unionByName(r)
+    hashed = hashed.persist()
+    counters = hashed.groupBy("row_id", "bucket").agg(
+        F.sum("tf_true").alias("bucket_sum")
+    )
+    est = (
+        hashed.join(counters, ["row_id", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("tf_true").alias("tf_true"),
+            F.min("bucket_sum").alias("cms_est"),
+        )
+    )
+    return est.select(
+        "token",
+        "tf_true",
+        "cms_est",
+        (F.col("cms_est") - F.col("tf_true")).alias("overcount"),
     )
 
 

@@ -452,3 +452,48 @@ def test_bigram_lm_score_replica(spark):
     assert got == want
     # doc 0 is pure common transitions -> scores above doc 1's mixed ones
     assert got[0][1] > got[1][1]
+
+
+def test_cms_token_counts_replica(spark):
+    """Sketch estimates match a from-scratch python Count-Min replica
+    (same md5 recipe), never undercount, and equal truth when a token's
+    row has no collision."""
+    import hashlib
+    from collections import Counter
+
+    from k8stream_spark.analytics import text as textan
+
+    docs = [
+        (0, "a b c a"),
+        (1, "b c d"),
+        (2, None),
+        (3, "a e"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    tf = Counter()
+    for _, t in docs:
+        if t is not None:
+            tf.update(t.split(" "))
+    depth, width = 4, 64
+    buckets = {
+        (j, tok): int(
+            hashlib.md5(f"cms-v1:{j}:{tok}".encode()).hexdigest()[:8], 16
+        ) % width
+        for j in range(depth)
+        for tok in tf
+    }
+    counters = Counter()
+    for (j, tok), b in buckets.items():
+        counters[(j, b)] += tf[tok]
+    want = {
+        tok: min(counters[(j, buckets[(j, tok)])] for j in range(depth))
+        for tok in tf
+    }
+    got = {
+        r.token: (r.tf_true, r.cms_est, r.overcount)
+        for r in textan.cms_token_counts(df).collect()
+    }
+    assert set(got) == set(tf)
+    for tok in tf:
+        assert got[tok] == (tf[tok], want[tok], want[tok] - tf[tok]), tok
+        assert got[tok][1] >= got[tok][0]  # never undercounts
