@@ -974,6 +974,28 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _cms_bucket(
+    row: int, token_col: str, width: int, seed: str
+) -> Column:
+    """Counter column for CMS row ``row``: first 8 md5 hex digits of
+    ``seed:row:token`` mod ``width`` — pure codegen, shared by the batch
+    sketch and the streaming counter (``streaming/stateful.py``)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{seed}:{row}:"), F.col(token_col))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
 def cms_token_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -1009,18 +1031,7 @@ def cms_token_counts(
         .agg(F.count(F.lit(1)).alias("tf_true"))
         .persist()
     )
-    bucket = lambda row: (  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:{row}:"), F.col("token"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % width
-    )
+    bucket = lambda row: _cms_bucket(row, "token", width, seed)  # noqa: E731
     rows = [
         tf.select(
             "token",

@@ -197,3 +197,66 @@ def keep_latest_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def cms_counters_stateful(
+    df: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Streaming Count-Min Sketch: maintain the ``depth × width``
+    counter table as keyed state over an unbounded token stream — the
+    deployment form of ``analytics.text.cms_token_counts``, whose
+    docstring promises "the counter table is the only state"; this
+    operator is that promise kept.
+
+    A stateless codegen projection expands each token into ``depth``
+    (row_id, bucket) rows using the SAME md5 recipe as the batch sketch
+    (``text._cms_bucket``), so after any prefix of the stream the state
+    table equals the batch sketch's counter table over the same prefix
+    — the batch/stream symmetry contract, pinned by the pytest that
+    runs both and compares.  State per key is ONE long; update-mode
+    emissions carry the key's new total, so a downstream reader always
+    joins against the freshest counters.  The grouping shuffle is
+    bounded by depth × width keys — constant, not corpus-sized: the
+    whole reason to run a sketch instead of exact tf at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.analytics.text import _cms_bucket
+
+    expanded = None
+    for j in range(depth):
+        part = df.select(
+            F.lit(j).cast("bigint").alias("row_id"),
+            _cms_bucket(j, token_col, width, seed).alias("bucket"),
+        )
+        expanded = part if expanded is None else expanded.unionByName(part)
+
+    def fn(
+        _key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        total = (state.get[0] if state.exists else 0) + add
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "row_id": [_key[0]],
+                "bucket": [_key[1]],
+                "bucket_sum": [total],
+            }
+        )
+
+    return expanded.groupBy("row_id", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType="row_id long, bucket long, bucket_sum long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -179,3 +179,63 @@ def test_keep_latest_string_compare_quirk(
 
     _write(src, "b2.json", [{"uid": "A", "resource_version": "10", "message": "m10"}])
     assert _run_keep_latest(spark, src, ckpt) == []
+
+
+def test_cms_counters_stateful_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS counter state after draining a document stream
+    equals the batch sketch's counter table over the same corpus — the
+    batch/stream symmetry contract, plus cross-restart accumulation
+    (second run adds to the first run's counters via the checkpoint)."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from k8stream_spark.streaming.stateful import cms_counters_stateful
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = ["a b c a", "b c d"]
+    batch2 = ["a e a"]
+
+    latest: dict[tuple[int, int], int] = {}
+
+    def run(files_written: bool) -> None:
+        stream = spark.readStream.schema(schema).json(src)
+        toks = stream.where(F.col("text").isNotNull()).select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+        counters = cms_counters_stateful(toks)
+
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                latest[(r.row_id, r.bucket)] = r.bucket_sum
+
+        q = (
+            counters.writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "query did not terminate"
+
+    _write(src, "b1.json", [{"text": t} for t in batch1])
+    run(True)
+    _write(src, "b2.json", [{"text": t} for t in batch2])
+    run(True)
+
+    # python replica of the batch counter table over batch1+batch2
+    tf = Counter()
+    for t in batch1 + batch2:
+        tf.update(t.split(" "))
+    want: dict[tuple[int, int], int] = {}
+    for tok, n in tf.items():
+        for j in range(4):
+            b = int(
+                hashlib.md5(f"cms-v1:{j}:{tok}".encode()).hexdigest()[:8], 16
+            ) % 64
+            want[(j, b)] = want.get((j, b), 0) + n
+    assert latest == want
