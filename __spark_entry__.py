@@ -1781,6 +1781,12 @@ def _q_cms_token_counts(spark, sf_dir):
     return textan.cms_token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def _q_remove_duplicate_spans(spark, sf_dir):
+    return docdedup.remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1865,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph_mutual_lsh": _q_knn_graph_mutual_lsh,
         "emb_semantic_clusters": _q_semantic_clusters_knn,
         "text_cms_token_counts": _q_cms_token_counts,
+        "docs_remove_duplicate_spans": _q_remove_duplicate_spans,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -4003,6 +4010,57 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             FROM documents d
             LEFT JOIN tot ON tot.doc_id = d.doc_id
             LEFT JOIN dup ON dup.doc_id = d.doc_id
+        """,
+        # Mirrors dedup.remove_duplicate_spans: same md5 window keys as
+        # docs_duplicate_spans but carrying start positions, covered
+        # positions exploded from shared windows, survivors stitched in
+        # order; fully-covered docs come back as ''.
+        "docs_remove_duplicate_spans": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT doc_id, s.i AS start,
+                     md5(list_aggregate(tk[CAST(s.i AS INTEGER)
+                                           : CAST(s.i AS INTEGER) + 9],
+                                        'string_agg', ' ')) AS h
+              FROM t, LATERAL (SELECT unnest(
+                generate_series(1, len(tk) - 9)) AS i) s
+              WHERE len(tk) >= 10
+            ),
+            shared AS (
+              SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT g.doc_id, p.p
+              FROM g JOIN shared USING (h),
+                   LATERAL (SELECT unnest(
+                     generate_series(g.start, g.start + 9)) AS p) p
+            ),
+            pos AS (
+              SELECT doc_id, s.i AS p, tk[CAST(s.i AS INTEGER)] AS token
+              FROM t, LATERAL (SELECT unnest(
+                generate_series(1, len(tk))) AS i) s
+            ),
+            kept AS (
+              SELECT pos.doc_id, pos.p, pos.token
+              FROM pos ANTI JOIN cov USING (doc_id, p)
+            ),
+            reb AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                     string_agg(token, ' ' ORDER BY p) AS clean_text
+              FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+                    FROM t)
+            SELECT d.doc_id,
+                   COALESCE(tot.n_tokens, 0) AS n_tokens,
+                   COALESCE(tot.n_tokens, 0) - COALESCE(reb.n_kept, 0)
+                     AS n_removed,
+                   CASE WHEN tot.doc_id IS NULL THEN NULL
+                        ELSE COALESCE(reb.clean_text, '') END AS clean_text
+            FROM documents d
+            LEFT JOIN tot ON tot.doc_id = d.doc_id
+            LEFT JOIN reb ON reb.doc_id = d.doc_id
         """,
         # Identical md5 hash-bucketing on both engines: membership is a
         # pure function of (seed, id), so the oracle reproduces the exact

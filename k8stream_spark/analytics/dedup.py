@@ -943,3 +943,93 @@ def cluster_size_histogram(
             .alias("n_docs"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str = "text", span_tokens: int = 10
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL — the transform half of
+    ``duplicate_spans`` (Lee et al. "Deduplicating Training Data";
+    RefinedWeb runs exactly this cut): every token covered by any
+    ``span_tokens``-token window that also occurs in another document
+    is dropped, and the survivors are stitched back in order.
+
+    Distributed form: windows keyed by md5 WITH their start position
+    (posexplode), shared keys found by one (hash → distinct-doc-count)
+    groupBy, covered token positions derived by exploding each shared
+    window's position range (ids + ints only — text never rides these
+    shuffles), survivors via LEFT ANTI join on (doc_id, pos), and the
+    rebuild is a per-doc sort-free ``array_sort(collect_list(struct))``
+    aggregate.  A doc whose every token is covered comes back as ''
+    (kept as an audit row, not silently dropped); NULL-text docs pass
+    through with NULL clean_text.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text).
+    """
+    toks = F.split(F.col(text_col), " ")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - span_tokens),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, span_tokens), " ")),
+    )
+    base = df.where(F.col(text_col).isNotNull())
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.size(toks) >= span_tokens, windows).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("start", "h"),
+    ).persist()
+    spans.count()
+    shared = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        spans.join(shared, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("start"), F.col("start") + (span_tokens - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    positions = base.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    totals = base.select(
+        "doc_id", F.size(toks).cast("bigint").alias("__n_tokens")
+    )
+    return (
+        df.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n_tokens"), F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce(F.col("__n_tokens"), F.lit(0))
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).alias("n_removed"),
+            F.when(
+                F.col("__n_tokens").isNotNull(),
+                F.coalesce(F.col("__clean"), F.lit("")),
+            ).alias("clean_text"),
+        )
+    )

@@ -94,6 +94,7 @@ AUDITED = [
     "emb_knn_graph_mutual",
     "emb_knn_graph_mutual_lsh",
     "text_cms_token_counts",
+    "docs_remove_duplicate_spans",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) and emb_semantic_clusters are iterative (driver-controlled

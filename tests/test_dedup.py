@@ -286,3 +286,48 @@ def test_cluster_size_histogram_accounts_every_doc(spark):
     assert out[1].n_clusters == 2 and out[1].n_docs == 2
     # histogram partitions the corpus exactly
     assert sum(r.n_docs for r in out.values()) == 5
+
+
+def test_remove_duplicate_spans_replica(spark):
+    """Span removal matches a from-scratch python replica: tokens under
+    any cross-document 3-token window are cut, survivors stitched in
+    order, fully-covered docs come back as ''."""
+    docs = [
+        (0, "p q r s t u v"),
+        (1, "x y p q r s z"),   # shares window p q r / q r s with 0
+        (2, "a b c"),           # clean
+        (3, "p q r s"),         # fully covered by shared windows
+        (4, None),
+    ]
+    k = 3
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    # python replica
+    windows: dict[str, set[int]] = {}
+    toks = {d: (t.split(" ") if t is not None else None) for d, t in docs}
+    for d, tk in toks.items():
+        if tk is None or len(tk) < k:
+            continue
+        for i in range(len(tk) - k + 1):
+            windows.setdefault(" ".join(tk[i : i + k]), set()).add(d)
+    shared = {w for w, ds in windows.items() if len(ds) >= 2}
+    want = {}
+    for d, tk in toks.items():
+        if tk is None:
+            want[d] = (0, 0, None)
+            continue
+        covered = set()
+        for i in range(max(len(tk) - k + 1, 0)):
+            if " ".join(tk[i : i + k]) in shared:
+                covered.update(range(i, i + k))
+        kept = [t for i, t in enumerate(tk) if i not in covered]
+        want[d] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    from k8stream_spark.analytics import dedup as dd2
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in dd2.remove_duplicate_spans(df, span_tokens=k).collect()
+    }
+    assert got == want
+    assert got[2] == (3, 0, "a b c")      # clean doc untouched
+    assert got[3][2] == ""                # fully covered -> empty audit row
+    assert got[4] == (0, 0, None)         # NULL text passes through
