@@ -104,6 +104,8 @@ BENCH_QUERIES = (
     "text_bpe_merge_pairs",
     "text_bigram_lm_score",
     "emb_knn_graph_mutual",
+    # span REMOVAL (the transform half of docs_duplicate_spans)
+    "docs_remove_duplicate_spans",
 )
 
 
