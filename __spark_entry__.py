@@ -1787,6 +1787,14 @@ def _q_remove_duplicate_spans(spark, sf_dir):
     )
 
 
+def _q_quality_yield_curve(spark, sf_dir):
+    return textan.quality_yield_curve(load_table(spark, sf_dir, "documents"))
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    return textan.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1872,6 +1880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_clusters": _q_semantic_clusters_knn,
         "text_cms_token_counts": _q_cms_token_counts,
         "docs_remove_duplicate_spans": _q_remove_duplicate_spans,
+        "docs_quality_yield_curve": _q_quality_yield_curve,
+        "text_vocab_coverage": _q_vocab_coverage,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -4010,6 +4020,63 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             FROM documents d
             LEFT JOIN tot ON tot.doc_id = d.doc_id
             LEFT JOIN dup ON dup.doc_id = d.doc_id
+        """,
+        # Mirrors text.quality_yield_curve: same hashed-linear score as
+        # docs_quality_classifier, ntile over (score desc, doc_id), one
+        # cumulative pass over the 10 bucket rows.
+        "docs_quality_yield_curve": """
+            WITH d AS (
+              SELECT doc_id, string_split(coalesce(text,''), ' ') AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(list_sum(list_transform(t, w ->
+                          CAST('0x' || substr(md5('qc-v1:' || w), 1, 8)
+                               AS BIGINT) % 100000 - 50000))
+                          AS BIGINT) AS score
+              FROM d),
+            b AS (
+              SELECT *, CAST(ntile(10) OVER (
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                     AS bucket
+              FROM s),
+            pb AS (
+              SELECT bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                     MIN(score) AS score_floor
+              FROM b GROUP BY bucket)
+            SELECT bucket, n_docs, n_tokens, score_floor,
+                   CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+            FROM pb
+            WINDOW w AS (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        """,
+        # Mirrors text.vocab_coverage: (tf desc, token) rank, integer
+        # cumulative sum, coverage_ppm = floor(1e6·cum/total).
+        "text_vocab_coverage": """
+            WITH tf AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE text IS NOT NULL)
+              GROUP BY token
+            ), r AS (
+              SELECT token, tf,
+                     CAST(row_number() OVER (ORDER BY tf DESC, token ASC)
+                          AS BIGINT) AS rank,
+                     CAST(SUM(tf) OVER (ORDER BY tf DESC, token ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum_tf
+              FROM tf
+            ), t AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf)
+            SELECT rank, token, tf, cum_tf,
+                   CAST(FLOOR(1000000.0 * cum_tf / t.total) AS BIGINT)
+                     AS coverage_ppm
+            FROM r CROSS JOIN t
+            WHERE rank IN (1, 2, 5, 10, 20, 50)
         """,
         # Mirrors dedup.remove_duplicate_spans: same md5 window keys as
         # docs_duplicate_spans but carrying start positions, covered

@@ -1064,6 +1064,99 @@ def cms_token_counts(
     )
 
 
+def quality_yield_curve(
+    df: DataFrame, text_col: str = "text", n_buckets: int = 10
+) -> DataFrame:
+    """Filter yield curve: bucket documents into score deciles
+    (``quality_classifier_score`` order) and report, per bucket, the
+    docs/tokens it holds and the CUMULATIVE docs/tokens kept if the
+    filter threshold were set at that bucket's floor — the table a
+    curation run reads before choosing its quality cutoff (every
+    "keep top X%" decision is a row of this curve).
+
+    Deterministic: ntile over (score desc, doc_id) — the id tiebreak
+    pins bucket membership, so the same curve comes out of any engine.
+    All outputs exact integers.
+
+    Scale: scoring is the zero-shuffle hashed-linear projection; the
+    ntile window is ONE total-order sort of (score, id, n_tokens)
+    rows — the honest global-sort cost every exact quantile split pays
+    (at 100 TB swap in approx percentile boundaries + a range filter;
+    the curve semantics are unchanged).  The cumulative pass runs over
+    ``n_buckets`` rows — constant.
+    """
+    scored = quality_classifier_score(df, text_col)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bucketed = scored.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.ntile(n_buckets).over(w).cast("bigint").alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("score").alias("score_floor"),
+    )
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "score_floor",
+        F.sum("n_docs").over(cum).alias("cum_docs"),
+        F.sum("n_tokens").over(cum).alias("cum_tokens"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ranks: tuple[int, ...] = (1, 2, 5, 10, 20, 50),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each requested head size r, the
+    r-th most frequent token and the fraction of all corpus token
+    occurrences the top-r head covers (integer ppm) — the Zipf head/tail
+    report behind tokenizer-vocabulary and stopword decisions.
+
+    Exact integers end to end: tf counts, a (tf desc, token) rank with
+    a pinned tiebreak, a cumulative integer sum, and coverage_ppm =
+    floor(1e6·cum/total) — one correctly-rounded double op on exact
+    ints, identical on any engine.
+
+    Scale: one corpus-sized shuffle (the tf groupBy, map-side
+    combined); the rank window and cumulative sum run over the
+    vocab-sized frame.  The vocab rank window is a single total order
+    — fine for any real vocabulary (10⁵–10⁶ rows).
+    """
+    tf = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = tf.agg(F.sum("tf").alias("__t"))
+    ranked = tf.select(
+        "token",
+        "tf",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("tf").over(cum).alias("cum_tf"),
+    ).where(F.col("rank").isin(*ranks))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "tf",
+        "cum_tf",
+        F.floor(
+            F.lit(1000000.0) * F.col("cum_tf") / F.col("__t")
+        ).cast("bigint").alias("coverage_ppm"),
+    )
+
+
 def source_lang_cube(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus accounting over ``CUBE(source, lang)`` — every mix report a
     dataset card needs (per source, per language, per source×language,

@@ -95,6 +95,8 @@ AUDITED = [
     "emb_knn_graph_mutual_lsh",
     "text_cms_token_counts",
     "docs_remove_duplicate_spans",
+    "docs_quality_yield_curve",
+    "text_vocab_coverage",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) and emb_semantic_clusters are iterative (driver-controlled

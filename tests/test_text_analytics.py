@@ -497,3 +497,69 @@ def test_cms_token_counts_replica(spark):
     for tok in tf:
         assert got[tok] == (tf[tok], want[tok], want[tok] - tf[tok]), tok
         assert got[tok][1] >= got[tok][0]  # never undercounts
+
+
+def test_quality_yield_curve_replica(spark):
+    """Bucketing, cumulative math and determinism match a python replica
+    of the same hashed-linear score + ntile + cumulative pass."""
+    import hashlib
+
+    from k8stream_spark.analytics import text as textan
+
+    docs = [(i, f"w{i % 5} w{(i + 1) % 7} common") for i in range(23)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def weight(tok: str) -> int:
+        return int(hashlib.md5(f"qc-v1:{tok}".encode()).hexdigest()[:8], 16) % 100000 - 50000
+
+    scored = []
+    for d, t in docs:
+        toks = t.split(" ")
+        scored.append((d, len(toks), sum(weight(w) for w in toks)))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    n, k = len(scored), 10
+    # standard ntile: first n % k buckets get one extra row
+    sizes = [(n // k) + (1 if b < n % k else 0) for b in range(k)]
+    want, idx = {}, 0
+    cum_docs = cum_tok = 0
+    for b, sz in enumerate(sizes, start=1):
+        rows = scored[idx : idx + sz]
+        idx += sz
+        nd, nt = len(rows), sum(r[1] for r in rows)
+        cum_docs += nd
+        cum_tok += nt
+        want[b] = (nd, nt, min(r[2] for r in rows), cum_docs, cum_tok)
+    got = {
+        r.bucket: (r.n_docs, r.n_tokens, r.score_floor, r.cum_docs, r.cum_tokens)
+        for r in textan.quality_yield_curve(df).collect()
+    }
+    assert got == want
+
+
+def test_vocab_coverage_replica(spark):
+    from collections import Counter
+
+    from k8stream_spark.analytics import text as textan
+
+    docs = [(0, "a a a b b c"), (1, "a b d"), (2, None)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    tf = Counter()
+    for _, t in docs:
+        if t is not None:
+            tf.update(t.split(" "))
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(tf.values())
+    cum = 0
+    want = {}
+    import math
+
+    for i, (tok, c) in enumerate(ranked, start=1):
+        cum += c
+        if i in (1, 2, 5, 10, 20, 50):
+            want[i] = (tok, c, cum, math.floor(1000000.0 * cum / total))
+    got = {
+        r.rank: (r.token, r.tf, r.cum_tf, r.coverage_ppm)
+        for r in textan.vocab_coverage(df).collect()
+    }
+    assert got == want
+    assert got[1][0] == "a" and got[1][3] == 444444  # 4/9 of the corpus
