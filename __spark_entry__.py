@@ -1795,6 +1795,10 @@ def _q_vocab_coverage(spark, sf_dir):
     return textan.vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def _q_mean_center(spark, sf_dir):
+    return similarity.mean_center(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1882,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_remove_duplicate_spans": _q_remove_duplicate_spans,
         "docs_quality_yield_curve": _q_quality_yield_curve,
         "text_vocab_coverage": _q_vocab_coverage,
+        "emb_mean_center": _q_mean_center,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -4020,6 +4025,26 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             FROM documents d
             LEFT JOIN tot ON tot.doc_id = d.doc_id
             LEFT JOIN dup ON dup.doc_id = d.doc_id
+        """,
+        # Mirrors similarity.mean_center: DECIMAL(28,12) per-dim sums
+        # (the class_centroids convention), mean rounded 6 dp once,
+        # centered value = round(1e6·(x − m)).
+        "emb_mean_center": """
+            WITH ex AS (
+              SELECT vec_id, i.i - 1 AS d,
+                     CAST(embedding[i.i] AS DOUBLE) AS x
+              FROM embeddings,
+                   (SELECT unnest(generate_series(1, 64)) AS i) i
+            ), m AS (
+              SELECT d,
+                     ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                           / COUNT(*), 6) AS m
+              FROM ex GROUP BY d
+            )
+            SELECT ex.vec_id, CAST(ex.d AS BIGINT) AS d,
+                   CAST(ROUND(1000000.0 * (ex.x - m.m)) AS BIGINT)
+                     AS centered_micro
+            FROM ex JOIN m USING (d)
         """,
         # Mirrors text.quality_yield_curve: same hashed-linear score as
         # docs_quality_classifier, ntile over (score desc, doc_id), one

@@ -1734,3 +1734,50 @@ def semantic_clusters_knn(
     return out.select(
         F.col("doc_id").alias(id_col), "cluster_id", "is_canonical"
     )
+
+
+def mean_center(
+    embeddings: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension mean centering — the preprocessing step in front of
+    PCA/whitening and a known IVF/PQ accuracy lever (centered vectors
+    cluster better).  Returns long format (vec_id, d, centered_micro).
+
+    Exactness discipline is the ``class_centroids`` convention: the
+    per-dimension sums run in DECIMAL(28,12) (double summation order
+    differs across engines/partitionings), the mean is rounded to 6 dp
+    ONCE, and each centered value is round(1e6·(x − m)) — after the
+    decimal sum, every op is a single correctly-rounded IEEE step any
+    engine repeats bit-for-bit.
+
+    Scale: one (dim)-keyed shuffle for the means (64 groups — map-side
+    combined, constant-size result), one broadcast join back, zero
+    data-sized exchanges.  The posexplode stream carries (id, d, x)
+    triples.
+    """
+    ex = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("d", "__x"),
+    )
+    means = (
+        ex.groupBy("d")
+        .agg(
+            F.round(
+                F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("__m")
+        )
+    )
+    return ex.join(F.broadcast(means), "d").select(
+        id_col,
+        F.col("d").cast("bigint").alias("d"),
+        F.round(
+            F.lit(1000000.0) * (F.col("__x") - F.col("__m"))
+        ).cast("bigint").alias("centered_micro"),
+    )

@@ -97,6 +97,7 @@ AUDITED = [
     "docs_remove_duplicate_spans",
     "docs_quality_yield_curve",
     "text_vocab_coverage",
+    "emb_mean_center",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it) and emb_semantic_clusters are iterative (driver-controlled

@@ -415,3 +415,34 @@ def test_semantic_clusters_knn_invariants(spark):
         assert canon == (vid == cid)
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_mean_center_zero_sum_and_hand_values(spark):
+    """Centered columns sum to ~0 per dimension; hand-computed values on
+    a tiny frame match round(1e6 * (x - mean))."""
+    rows = [
+        (0, [1.0, 10.0]),
+        (1, [3.0, 20.0]),
+        (2, [5.0, 30.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        (r.vec_id, r.d): r.centered_micro
+        for r in similarity.mean_center(df, dim=2).collect()
+    }
+    # dim 0 mean 3.0, dim 1 mean 20.0
+    assert out[(0, 0)] == -2_000_000 and out[(2, 0)] == 2_000_000
+    assert out[(1, 0)] == 0 and out[(1, 1)] == 0
+    assert out[(0, 1)] == -10_000_000 and out[(2, 1)] == 10_000_000
+    # real table: per-dim residual mean is ~0 (quantization noise only)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cen = similarity.mean_center(emb).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    counts = defaultdict(int)
+    for r in cen:
+        sums[r.d] += r.centered_micro
+        counts[r.d] += 1
+    for d in sums:
+        assert abs(sums[d] / counts[d]) < 1.0, d  # < 1 micro unit
