@@ -1799,6 +1799,12 @@ def _q_mean_center(spark, sf_dir):
     return similarity.mean_center(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    return docdedup.curation_pipeline(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1887,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_yield_curve": _q_quality_yield_curve,
         "text_vocab_coverage": _q_vocab_coverage,
         "emb_mean_center": _q_mean_center,
+        "docs_curation_pipeline": _q_curation_pipeline,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -3713,6 +3720,45 @@ SELECT t.doc_id, c.cluster_id, t.n_tokens,
                           ORDER BY t.n_tokens DESC, t.doc_id ASC) = 1
            AS kept
 FROM tk t JOIN cl c USING (doc_id)
+""",
+        # Mirrors dedup.curation_pipeline: the keep-longest component
+        # pass (same CTEs as docs_cluster_keep_longest) joined with the
+        # exact-dup window flag and the hashed-linear quality keep.
+        "docs_curation_pipeline": "WITH RECURSIVE "
+        + SHINGLES_CTE.strip()[len("WITH ") :]
+        + CLUSTERS_CTE_TAIL
+        + """
+, cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+         FROM reach GROUP BY src),
+tk AS (SELECT doc_id,
+              CAST(len(string_split(coalesce(text,''),' ')) AS BIGINT)
+                  AS n_tokens
+       FROM documents),
+keepl AS (
+  SELECT t.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY t.n_tokens DESC, t.doc_id ASC) = 1
+             AS cluster_kept
+  FROM tk t JOIN cl c USING (doc_id)),
+exd AS (
+  SELECT doc_id,
+         doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))
+             AS is_exact_dup
+  FROM documents),
+qc AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(
+              string_split(coalesce(text,''), ' '), w ->
+              CAST('0x' || substr(md5('qc-v1:' || w), 1, 8) AS BIGINT)
+              % 100000 - 50000)) AS BIGINT) >= 0 AS quality_keep
+  FROM documents)
+SELECT d.doc_id, exd.is_exact_dup, keepl.cluster_kept, qc.quality_keep,
+       ((NOT exd.is_exact_dup) AND keepl.cluster_kept
+        AND qc.quality_keep) AS final_keep
+FROM documents d
+JOIN exd USING (doc_id)
+JOIN keepl USING (doc_id)
+JOIN qc USING (doc_id)
 """,
         # The Spark side REALLY decodes and nearest-neighbor-resamples
         # the synthesized solid-fill BMPs; the oracle states the closed

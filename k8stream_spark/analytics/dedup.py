@@ -1033,3 +1033,59 @@ def remove_duplicate_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def curation_pipeline(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """The whole curation decision in one frame — the composition a
+    training-data run actually executes, assembled from the verified
+    pieces: exact dedup (md5 group, min-id canonical), near-dup cluster
+    survivorship (``cluster_keep_longest`` — LSH pairs → connected
+    components → longest member wins), and model-based quality
+    (``quality_classifier_score``).  Per document:
+
+      is_exact_dup   — another doc with identical text has a lower id
+      cluster_kept   — this doc is its near-dup cluster's survivor
+      quality_keep   — hashed-linear classifier score ≥ 0
+      final_keep     — NOT exact-dup AND cluster-kept AND quality-keep
+
+    Audit shape: every input doc appears with all four flags, so the
+    kill attribution (which stage dropped how much) is one groupBy away.
+    Scale posture is the sum of its parts — each component's shuffle
+    discipline is documented and plan-audited on its own query; the
+    composition adds only three id-keyed joins of flag columns.
+    """
+    from k8stream_spark.analytics.text import quality_classifier_score
+
+    h = F.md5(F.col(text_col))
+    w_exact = Window.partitionBy(h)
+    exd = df.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w_exact)).alias(
+            "is_exact_dup"
+        ),
+    )
+    keepl = cluster_keep_longest(df, text_col, threshold).select(
+        "doc_id", F.col("kept").alias("cluster_kept")
+    )
+    qc = quality_classifier_score(df, text_col).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    return (
+        df.select("doc_id")
+        .join(exd, "doc_id")
+        .join(keepl, "doc_id")
+        .join(qc, "doc_id")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            "cluster_kept",
+            "quality_keep",
+            (
+                (~F.col("is_exact_dup"))
+                & F.col("cluster_kept")
+                & F.col("quality_keep")
+            ).alias("final_keep"),
+        )
+    )

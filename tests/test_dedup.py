@@ -331,3 +331,31 @@ def test_remove_duplicate_spans_replica(spark):
     assert got[2] == (3, 0, "a b c")      # clean doc untouched
     assert got[3][2] == ""                # fully covered -> empty audit row
     assert got[4] == (0, 0, None)         # NULL text passes through
+
+
+def test_curation_pipeline_flag_consistency(spark, docs_df):
+    """Composition invariants over the shared fixture: flags agree with
+    the component operators, and final_keep is their conjunction."""
+    from k8stream_spark.analytics import dedup as dd2
+    from k8stream_spark.analytics import text as ta2
+
+    out = {r.doc_id: r for r in dd2.curation_pipeline(docs_df).collect()}
+    exact = {r.doc_id for r in dd2.exact_dedup(docs_df).collect()}
+    keepl = {
+        r.doc_id: r.kept
+        for r in dd2.cluster_keep_longest(docs_df, threshold=0.8).collect()
+    }
+    qc = {
+        r.doc_id: r.keep
+        for r in ta2.quality_classifier_score(docs_df).collect()
+    }
+    assert set(out) == set(keepl)
+    for d, r in out.items():
+        assert r.is_exact_dup == (d not in exact)
+        assert r.cluster_kept == keepl[d]
+        assert r.quality_keep == qc[d]
+        assert r.final_keep == (
+            (not r.is_exact_dup) and r.cluster_kept and r.quality_keep
+        )
+    # docs 1 and 6 are identical text: exactly the higher id is exact-dup
+    assert not out[1].is_exact_dup and out[6].is_exact_dup
