@@ -106,6 +106,8 @@ BENCH_QUERIES = (
     "emb_knn_graph_mutual",
     # span REMOVAL (the transform half of docs_duplicate_spans)
     "docs_remove_duplicate_spans",
+    # the composed end-to-end curation decision (CC pass + flag joins)
+    "docs_curation_pipeline",
 )
 
 

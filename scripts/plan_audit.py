@@ -100,7 +100,8 @@ AUDITED = [
     "emb_mean_center",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
-# it) and emb_semantic_clusters are iterative (driver-controlled
+# it), emb_semantic_clusters and docs_curation_pipeline are
+# iterative (driver-controlled
 # fixpoint loop); a single executed plan doesn't describe them — see
 # the connected_components docstring instead.
 
