@@ -1805,6 +1805,10 @@ def _q_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_standardize(spark, sf_dir):
+    return similarity.standardize(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1894,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": _q_vocab_coverage,
         "emb_mean_center": _q_mean_center,
         "docs_curation_pipeline": _q_curation_pipeline,
+        "emb_standardize": _q_standardize,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -4091,6 +4096,30 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
                    CAST(ROUND(1000000.0 * (ex.x - m.m)) AS BIGINT)
                      AS centered_micro
             FROM ex JOIN m USING (d)
+        """,
+        # Mirrors similarity.standardize: DECIMAL sums for m and E[x²]
+        # rounded 6 dp once, s = sqrt(m2 − m²), z in integer micro
+        # units; zero-variance dims standardize to 0.
+        "emb_standardize": """
+            WITH ex AS (
+              SELECT vec_id, i.i - 1 AS d,
+                     CAST(embedding[i.i] AS DOUBLE) AS x
+              FROM embeddings,
+                   (SELECT unnest(generate_series(1, 64)) AS i) i
+            ), st AS (
+              SELECT d,
+                     ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                           / COUNT(*), 6) AS m,
+                     ROUND(CAST(SUM(CAST(x * x AS DECIMAL(28,12)))
+                                AS DOUBLE) / COUNT(*), 6) AS m2
+              FROM ex GROUP BY d
+            )
+            SELECT ex.vec_id, CAST(ex.d AS BIGINT) AS d,
+                   CAST(ROUND(1000000.0 * (
+                     CASE WHEN sqrt(st.m2 - st.m * st.m) > 0
+                          THEN (ex.x - st.m) / sqrt(st.m2 - st.m * st.m)
+                          ELSE 0.0 END)) AS BIGINT) AS z_micro
+            FROM ex JOIN st USING (d)
         """,
         # Mirrors text.quality_yield_curve: same hashed-linear score as
         # docs_quality_classifier, ntile over (score desc, doc_id), one

@@ -1781,3 +1781,54 @@ def mean_center(
             F.lit(1000000.0) * (F.col("__x") - F.col("__m"))
         ).cast("bigint").alias("centered_micro"),
     )
+
+
+def standardize(
+    embeddings: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening): z = (x − m)/s
+    in integer micro units — the full preprocessing companion to
+    ``mean_center`` (centering + unit variance; what PCA/k-means/PQ
+    pipelines apply when dimensions have uneven scales).
+
+    Exactness: m and E[x²] are DECIMAL(28,12) sums rounded to 6 dp once
+    (summation-order-proof); s = sqrt(E[x²] − m²) and the final
+    round(1e6·(x − m)/s) are single correctly-rounded IEEE steps any
+    engine repeats.  A zero-variance dimension standardizes to 0 (not
+    NULL/NaN) so downstream folds never poison.
+
+    Scale: identical shape to ``mean_center`` — one 64-group shuffle,
+    broadcast join back, zero data-sized exchanges.
+    """
+    ex = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("d", "__x"),
+    )
+    stats = ex.groupBy("d").agg(
+        F.round(
+            F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m"),
+        F.round(
+            F.sum(
+                (F.col("__x") * F.col("__x")).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m2"),
+    )
+    s = F.sqrt(F.col("__m2") - F.col("__m") * F.col("__m"))
+    z = F.when(s > 0, (F.col("__x") - F.col("__m")) / s).otherwise(
+        F.lit(0.0)
+    )
+    return ex.join(F.broadcast(stats), "d").select(
+        id_col,
+        F.col("d").cast("bigint").alias("d"),
+        F.round(F.lit(1000000.0) * z).cast("bigint").alias("z_micro"),
+    )

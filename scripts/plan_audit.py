@@ -98,6 +98,7 @@ AUDITED = [
     "docs_quality_yield_curve",
     "text_vocab_coverage",
     "emb_mean_center",
+    "emb_standardize",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters and docs_curation_pipeline are

@@ -446,3 +446,43 @@ def test_mean_center_zero_sum_and_hand_values(spark):
         counts[r.d] += 1
     for d in sums:
         assert abs(sums[d] / counts[d]) < 1.0, d  # < 1 micro unit
+
+
+def test_standardize_hand_values_and_moments(spark):
+    """Hand-computed z-scores on a tiny frame; on the real table every
+    standardized dimension has ~0 mean and ~unit second moment."""
+    rows = [
+        (0, [1.0, 7.0]),
+        (1, [3.0, 7.0]),
+        (2, [5.0, 7.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        (r.vec_id, r.d): r.z_micro
+        for r in similarity.standardize(df, dim=2).collect()
+    }
+    # dim 0: mean 3, var (4+0+4)/3 -> s = sqrt(8/3); z0 = -2/s
+    import math
+
+    s = math.sqrt(round(35 / 3, 6) - 9.0)
+    assert out[(0, 0)] == round(1e6 * (-2.0 / s))
+    assert out[(1, 0)] == 0
+    assert out[(2, 0)] == round(1e6 * (2.0 / s))
+    # constant dim standardizes to 0, never NaN/NULL
+    assert out[(0, 1)] == 0 and out[(2, 1)] == 0
+    emb = load_table(spark, SF_DIR, "embeddings")
+    z = similarity.standardize(emb).collect()
+    from collections import defaultdict
+
+    s1 = defaultdict(int)
+    s2 = defaultdict(int)
+    n = defaultdict(int)
+    for r in z:
+        s1[r.d] += r.z_micro
+        s2[r.d] += r.z_micro * r.z_micro
+        n[r.d] += 1
+    for d in s1:
+        # the 6-dp rounding of m leaves up to ~0.5e-6/s of residual
+        # mean, i.e. a few micro units at s ~ 0.3
+        assert abs(s1[d] / n[d]) < 5.0, d              # mean ~0 micro
+        assert abs(s2[d] / n[d] / 1e12 - 1.0) < 0.01, d  # E[z^2] ~1
