@@ -1809,6 +1809,10 @@ def _q_standardize(spark, sf_dir):
     return similarity.standardize(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_anomaly_zscore(spark, sf_dir):
+    return evan.anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -1899,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mean_center": _q_mean_center,
         "docs_curation_pipeline": _q_curation_pipeline,
         "emb_standardize": _q_standardize,
+        "events_anomaly_zscore": _q_anomaly_zscore,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -4096,6 +4101,30 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
                    CAST(ROUND(1000000.0 * (ex.x - m.m)) AS BIGINT)
                      AS centered_micro
             FROM ex JOIN m USING (d)
+        """,
+        # Mirrors events.anomaly_zscore: the standardize discipline
+        # applied per event_type; |z| > 3 flags, zero-variance groups
+        # flag nothing.
+        "events_anomaly_zscore": """
+            WITH st AS (
+              SELECT event_type,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12)))
+                                AS DOUBLE) / COUNT(*), 6) AS m,
+                     ROUND(CAST(SUM(CAST(value * value AS DECIMAL(28,12)))
+                                AS DOUBLE) / COUNT(*), 6) AS m2
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   CAST(ROUND(1000000.0 * (
+                     CASE WHEN sqrt(st.m2 - st.m * st.m) > 0
+                          THEN (e.value - st.m)
+                               / sqrt(st.m2 - st.m * st.m)
+                          ELSE 0.0 END)) AS BIGINT) AS z_micro,
+                   (abs(CASE WHEN sqrt(st.m2 - st.m * st.m) > 0
+                             THEN (e.value - st.m)
+                                  / sqrt(st.m2 - st.m * st.m)
+                             ELSE 0.0 END) > 3.0) AS is_anomaly
+            FROM events e JOIN st USING (event_type)
         """,
         # Mirrors similarity.standardize: DECIMAL sums for m and E[x²]
         # rounded 6 dp once, s = sqrt(m2 − m²), z in integer micro

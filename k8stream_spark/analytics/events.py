@@ -416,3 +416,48 @@ def salted_distinct_counts(
         )
         .select(F.col("key").alias(key_col), "n_distinct", "n_events")
     )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "event_type",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flags — the classic monitoring
+    primitive over an event stream (the reference's own observability
+    domain: "is this event's value wildly off for its type").  Per
+    event: z in integer micro units and ``is_anomaly`` = |z| exceeds
+    the threshold.
+
+    Same exactness discipline as ``similarity.standardize``: per-group
+    m and E[x²] are DECIMAL(28,12) sums rounded to 6 dp once (no
+    float-summation-order dependence), then s = sqrt(m2 − m²), the z
+    division and the threshold compare are single correctly-rounded
+    IEEE ops.  Zero-variance groups flag nothing and z pins to 0.
+
+    Scale: one shuffle keyed by the (low-cardinality) group for the
+    stats, broadcast join back, zero data-sized exchanges — the stats
+    frame is |groups| rows.
+    """
+    x = F.col(value_col).cast("double")
+    stats = df.groupBy(by).agg(
+        F.round(
+            F.sum(x.cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m"),
+        F.round(
+            F.sum((x * x).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m2"),
+    )
+    s = F.sqrt(F.col("__m2") - F.col("__m") * F.col("__m"))
+    z = F.when(s > 0, (x - F.col("__m")) / s).otherwise(F.lit(0.0))
+    return df.join(F.broadcast(stats), by).select(
+        "event_id",
+        by,
+        F.round(F.lit(1000000.0) * z).cast("bigint").alias("z_micro"),
+        (F.abs(z) > F.lit(float(z_threshold))).alias("is_anomaly"),
+    )

@@ -99,6 +99,7 @@ AUDITED = [
     "text_vocab_coverage",
     "emb_mean_center",
     "emb_standardize",
+    "events_anomaly_zscore",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters and docs_curation_pipeline are

@@ -273,3 +273,32 @@ def test_salted_distinct_counts_exactness(spark):
         }
         assert (out["a"].n_distinct, out["a"].n_events) == (4, 7)
         assert (out["b"].n_distinct, out["b"].n_events) == (2, 3)
+
+
+def test_anomaly_zscore_hand_values(spark):
+    """Hand-computed z flags: an injected spike is flagged, the bulk is
+    not, zero-variance groups flag nothing."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.analytics import events as ev
+
+    rows = [(i, "a", 10.0) for i in range(20)] + [
+        (100, "a", 1000.0),          # spike
+        (200, "b", 5.0),
+        (201, "b", 5.0),             # constant group: s = 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    out = {r.event_id: r for r in ev.anomaly_zscore(df).collect()}
+    assert out[100].is_anomaly
+    assert not out[0].is_anomaly
+    assert not out[200].is_anomaly and out[200].z_micro == 0
+    # replica of the rounding discipline for the spike
+    n = 21
+    m = round((20 * 10.0 + 1000.0) / n, 6)
+    m2 = round((20 * 100.0 + 1000000.0) / n, 6)
+    s = math.sqrt(m2 - m * m)
+    assert out[100].z_micro == round(1e6 * (1000.0 - m) / s)
