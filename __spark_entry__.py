@@ -1604,21 +1604,26 @@ def _q_image_decode(spark, sf_dir):
     return multimodal.decode_image(blobs)
 
 
-def _latest_graded_round() -> dict[str, int]:
-    """Newest driver-grading round per query name, parsed from the
-    committed ``CORRECTNESS_r*.json`` snapshots next to this file.
+def _latest_graded_round() -> dict[str, tuple[int, bool]]:
+    """Newest driver-grading round per query name — and whether that
+    newest grade was green — parsed from the committed
+    ``CORRECTNESS_r*.json`` snapshots next to this file.
 
-    Names absent from every snapshot have never been graded and map to 0.
-    Any parse/read failure degrades to "never graded" for the affected
-    file — the rotation then just preserves registration order, which is
-    a safe static fallback.
+    Returns ``name -> (round, last_grade_was_green)``.  Green means the
+    newest record has ``err is None`` and ``hash_match is True``; a
+    ``no_oracle`` rows-only record, a failed hash, or a hard error all
+    count as not-green so the rotation re-grades them first.  Names
+    absent from every snapshot have never been graded and map to
+    ``(0, False)``.  Any parse/read failure degrades to "never graded"
+    for the affected file — the rotation then just preserves
+    registration order, which is a safe static fallback.
     """
     import glob
     import json
     import os
     import re
 
-    latest: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -1632,8 +1637,15 @@ def _latest_graded_round() -> dict[str, int]:
             continue
         if not isinstance(data, dict):
             continue
-        for name in data:
-            latest[name] = max(latest.get(name, 0), rnd)
+        for name, rec in data.items():
+            green = (
+                isinstance(rec, dict)
+                and rec.get("err") is None
+                and rec.get("hash_match") is True
+            )
+            prev = latest.get(name, (0, False))
+            if rnd >= prev[0]:
+                latest[name] = (rnd, green)
     return latest
 
 
@@ -1816,16 +1828,20 @@ def _q_anomaly_zscore(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
-    ROTATION RULE (institutionalized round 5 — do not hand-order): the
-    driver grades only the first ~50 registered entries per round, so the
-    returned dict is sorted by grading age — never-graded names first,
-    then ascending by the newest round each name was graded in
+    ROTATION RULE (institutionalized round 5, red-first since round 8 —
+    do not hand-order): the driver grades only the first ~50 registered
+    entries per round, so the returned dict is sorted by the key
+    ``(last_grade_was_green, grading age, registration order)`` —
+    entries whose NEWEST grade was not green (never graded, hash-red,
+    no_oracle, or hard error) sort before everything green, then
+    ascending by the newest round each name was graded in
     (``_latest_graded_round`` over the committed CORRECTNESS_r*.json
-    files), registration order as the stable tiebreak.  With ~90 entries
-    and a 50/round budget every entry is re-graded at worst every other
-    round, and a newly added query is automatically graded the round it
-    lands.  Hand-reordering this literal is never needed again — rounds
-    2–4 each fixed one cutoff by hand and created the next.
+    files), registration order as the stable tiebreak.  A red row fixed
+    this round therefore re-grades THIS round instead of waiting out the
+    age queue (the r7 verdict showed 4 fixed-but-red rows would
+    otherwise stay red on record until round 9).  With ~140 entries and
+    a 50/round budget a green entry is re-graded at worst every ~3
+    rounds; red and newly added entries are graded the round they land.
     """
     reg = {
         # Registration order only breaks ties within a grading-age class.
@@ -1978,8 +1994,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_canonical": _q_dedup_canonical,
         "docs_dedup_minhash_lsh": _q_minhash_lsh,
     }
-    age = _latest_graded_round()
-    return {name: reg[name] for name in sorted(reg, key=lambda n: age.get(n, 0))}
+    graded = _latest_graded_round()
+    order = {name: i for i, name in enumerate(reg)}
+    def _key(n):
+        rnd, green = graded.get(n, (0, False))
+        return (green, rnd, order[n])
+    return {name: reg[name] for name in sorted(reg, key=_key)}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2799,7 +2819,10 @@ def oracle_sql() -> dict[str, str]:
                           / len(string_split(text,' '))
                         AS DECIMAL(30,8))) AS rsum
               FROM documents GROUP BY source)
-            SELECT source, n_docs, n_tokens,
+            -- CAST(n_tokens AS BIGINT): DuckDB types SUM(BIGINT) as
+            -- HUGEINT, which the driver hash canonicalizes differently
+            -- from Spark's bigint (the r7 false-negative class).
+            SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST((CAST(n_tokens AS HUGEINT) * 20000 + n_docs)
                         // (CAST(n_docs AS HUGEINT) * 2) AS DOUBLE)
                        / 10000 AS mean_doc_tokens,
@@ -3039,7 +3062,7 @@ def oracle_sql() -> dict[str, str]:
                    (n // 32) * 32 AS bucket_lo,
                    (n // 32) * 32 + 31 AS bucket_hi,
                    COUNT(*) AS n_docs,
-                   SUM(n) AS n_tokens
+                   CAST(SUM(n) AS BIGINT) AS n_tokens  -- HUGEINT guard
             FROM d GROUP BY 1, 2, 3
         """,
         # Mirrors text.chunk_overlap (chunk 64, stride 48): same integer
@@ -3087,7 +3110,7 @@ def oracle_sql() -> dict[str, str]:
             pdb AS (SELECT doc_id, b, COUNT(*) AS c
                     FROM tok GROUP BY doc_id, b)
             SELECT doc_id,
-                   SUM(c) AS n_tokens,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,  -- HUGEINT guard
                    CAST(SUM(CAST(c AS HUGEINT) *
                             (CAST(p AS HUGEINT) * tq
                              - CAST(q AS HUGEINT) * tp))
@@ -3597,7 +3620,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT okey % 16 AS shard_id,
                    COUNT(*) AS n_docs,
-                   SUM(n) AS n_tokens,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,  -- HUGEINT guard
                    bit_xor(okey) AS xor_checksum
             FROM d GROUP BY 1
         """,
@@ -4114,13 +4137,17 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
                                 AS DOUBLE) / COUNT(*), 6) AS m2
               FROM events GROUP BY event_type
             )
+            -- Guard on the VARIANCE (m2 - m*m) > 0, not sqrt's result:
+            -- 6-dp rounding can make the difference slightly negative
+            -- for constant groups (sqrt -> NaN, and both engines treat
+            -- NaN > 0 as TRUE).  Mirrors events.anomaly_zscore.
             SELECT e.event_id, e.event_type,
                    CAST(ROUND(1000000.0 * (
-                     CASE WHEN sqrt(st.m2 - st.m * st.m) > 0
+                     CASE WHEN (st.m2 - st.m * st.m) > 0
                           THEN (e.value - st.m)
                                / sqrt(st.m2 - st.m * st.m)
                           ELSE 0.0 END)) AS BIGINT) AS z_micro,
-                   (abs(CASE WHEN sqrt(st.m2 - st.m * st.m) > 0
+                   (abs(CASE WHEN (st.m2 - st.m * st.m) > 0
                              THEN (e.value - st.m)
                                   / sqrt(st.m2 - st.m * st.m)
                              ELSE 0.0 END) > 3.0) AS is_anomaly
@@ -4128,7 +4155,8 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
         """,
         # Mirrors similarity.standardize: DECIMAL sums for m and E[x²]
         # rounded 6 dp once, s = sqrt(m2 − m²), z in integer micro
-        # units; zero-variance dims standardize to 0.
+        # units; zero-variance dims standardize to 0 (variance guard,
+        # not sqrt-result guard — see events_anomaly_zscore note).
         "emb_standardize": """
             WITH ex AS (
               SELECT vec_id, i.i - 1 AS d,
@@ -4145,7 +4173,7 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             )
             SELECT ex.vec_id, CAST(ex.d AS BIGINT) AS d,
                    CAST(ROUND(1000000.0 * (
-                     CASE WHEN sqrt(st.m2 - st.m * st.m) > 0
+                     CASE WHEN (st.m2 - st.m * st.m) > 0
                           THEN (ex.x - st.m) / sqrt(st.m2 - st.m * st.m)
                           ELSE 0.0 END)) AS BIGINT) AS z_micro
             FROM ex JOIN st USING (d)

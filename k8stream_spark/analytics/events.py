@@ -434,7 +434,12 @@ def anomaly_zscore(
     m and E[x²] are DECIMAL(28,12) sums rounded to 6 dp once (no
     float-summation-order dependence), then s = sqrt(m2 − m²), the z
     division and the threshold compare are single correctly-rounded
-    IEEE ops.  Zero-variance groups flag nothing and z pins to 0.
+    IEEE ops.  Zero-variance groups flag nothing and z pins to 0; the
+    guard tests the VARIANCE (m2 − m²) > 0, never sqrt's result —
+    because m and m2 are rounded independently the difference can be
+    slightly negative for constant groups (e.g. value 1.4999996),
+    sqrt would give NaN, and Spark evaluates NaN > 0 as TRUE, turning
+    the bigint cast of round(1e6·NaN) into CAST_OVERFLOW.
 
     Scale: one shuffle keyed by the (low-cardinality) group for the
     stats, broadcast join back, zero data-sized exchanges — the stats
@@ -453,8 +458,10 @@ def anomaly_zscore(
             6,
         ).alias("__m2"),
     )
-    s = F.sqrt(F.col("__m2") - F.col("__m") * F.col("__m"))
-    z = F.when(s > 0, (x - F.col("__m")) / s).otherwise(F.lit(0.0))
+    var = F.col("__m2") - F.col("__m") * F.col("__m")
+    z = F.when(var > 0, (x - F.col("__m")) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
     return df.join(F.broadcast(stats), by).select(
         "event_id",
         by,

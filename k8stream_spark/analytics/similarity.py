@@ -1798,7 +1798,11 @@ def standardize(
     (summation-order-proof); s = sqrt(E[x²] − m²) and the final
     round(1e6·(x − m)/s) are single correctly-rounded IEEE steps any
     engine repeats.  A zero-variance dimension standardizes to 0 (not
-    NULL/NaN) so downstream folds never poison.
+    NULL/NaN) so downstream folds never poison.  The guard tests the
+    VARIANCE (m2 − m²) > 0, never sqrt's result: independent 6-dp
+    rounding of m and m2 can make the difference slightly negative for
+    constant dimensions (e.g. 1.4999996), sqrt would give NaN, Spark
+    treats NaN > 0 as TRUE, and the bigint cast would CAST_OVERFLOW.
 
     Scale: identical shape to ``mean_center`` — one 64-group shuffle,
     broadcast join back, zero data-sized exchanges.
@@ -1823,10 +1827,10 @@ def standardize(
             6,
         ).alias("__m2"),
     )
-    s = F.sqrt(F.col("__m2") - F.col("__m") * F.col("__m"))
-    z = F.when(s > 0, (F.col("__x") - F.col("__m")) / s).otherwise(
-        F.lit(0.0)
-    )
+    var = F.col("__m2") - F.col("__m") * F.col("__m")
+    z = F.when(
+        var > 0, (F.col("__x") - F.col("__m")) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
     return ex.join(F.broadcast(stats), "d").select(
         id_col,
         F.col("d").cast("bigint").alias("d"),

@@ -302,3 +302,20 @@ def test_anomaly_zscore_hand_values(spark):
     m2 = round((20 * 100.0 + 1000000.0) / n, 6)
     s = math.sqrt(m2 - m * m)
     assert out[100].z_micro == round(1e6 * (1000.0 - m) / s)
+
+
+def test_anomaly_zscore_negative_rounded_variance(spark):
+    """Constant group whose value has 7+ decimals: independent 6-dp
+    rounding makes m2 − m² slightly negative (m = round(1.4999996, 6)
+    = 1.5 so m² = 2.25, but m2 = round(2.2499988, 6) = 2.249999).  The
+    variance guard must pin z to 0 — the old sqrt-result guard turned
+    this into NaN > 0 (TRUE in Spark) and a CAST_OVERFLOW abort."""
+    from k8stream_spark.analytics import events as ev
+
+    rows = [(0, "c", 1.4999996), (1, "c", 1.4999996), (2, "c", 1.4999996)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    out = {r.event_id: r for r in ev.anomaly_zscore(df).collect()}
+    assert all(out[i].z_micro == 0 for i in range(3))
+    assert not any(out[i].is_anomaly for i in range(3))

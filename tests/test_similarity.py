@@ -470,6 +470,18 @@ def test_standardize_hand_values_and_moments(spark):
     assert out[(2, 0)] == round(1e6 * (2.0 / s))
     # constant dim standardizes to 0, never NaN/NULL
     assert out[(0, 1)] == 0 and out[(2, 1)] == 0
+    # constant dim whose value has 7+ decimals: 6-dp rounding makes
+    # m2 − m² slightly negative; the variance guard (not a sqrt-result
+    # guard, which NaN-poisons and CAST_OVERFLOWs) must pin z to 0
+    bad = spark.createDataFrame(
+        [(0, [1.4999996, 2.0]), (1, [1.4999996, 4.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    bout = {
+        (r.vec_id, r.d): r.z_micro
+        for r in similarity.standardize(bad, dim=2).collect()
+    }
+    assert bout[(0, 0)] == 0 and bout[(1, 0)] == 0
     emb = load_table(spark, SF_DIR, "embeddings")
     z = similarity.standardize(emb).collect()
     from collections import defaultdict
