@@ -621,10 +621,10 @@ def duplicate_spans(
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, span_tokens), " ")),
     )
     # Persisted because three branches (shared keys, per-pair counts,
-    # per-doc totals) read it; the cache lives as long as the returned
-    # (lazy) frame needs it — callers release via
-    # spark.catalog.clearCache() between queries, as the oracle gate and
-    # bench do (same contract as minhash_lsh_pairs' signature cache).
+    # per-doc totals) read it; released before return via
+    # _cache.finalize — the per-doc output is tiny next to the span
+    # stream, so eager materialization costs nothing and a long-lived
+    # session doesn't accumulate the cache.
     spans = df.select(
         "doc_id",
         F.explode(
@@ -652,7 +652,9 @@ def duplicate_spans(
         .join(dup_counts, "doc_id", "left")
         .na.fill({"n_spans": 0, "n_dup_spans": 0})
     )
-    return out
+    from k8stream_spark.analytics._cache import finalize
+
+    return finalize(out, spans)
 
 
 def remove_boilerplate(

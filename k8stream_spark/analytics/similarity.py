@@ -56,6 +56,29 @@ def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+def _vec_checked(a: Column, dim: int) -> Column:
+    """Fail LOUDLY when a vector is shorter than the declared ``dim``.
+
+    ``_dot_fixed`` reads ``element_at`` past the array end, which
+    returns NULL — every cosine would go NULL and a downstream
+    threshold filter would silently drop ALL pairs, an empty result
+    indistinguishable from "no near-dups".  Wrapping the base
+    projection in this check turns that silent wrong answer into an
+    immediate job error naming the bad row.  Pure codegen (size
+    compare per ROW, not per pair); vectors longer than ``dim`` pass —
+    using a prefix of a wider embedding is legitimate."""
+    return F.when(F.size(a) >= dim, a).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"embedding shorter than declared dim={dim}: size="
+                ),
+                F.size(a).cast("string"),
+            )
+        )
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -74,7 +97,12 @@ def with_unit_vectors(
     per row (an inline ``_norm`` inside the division lambda would re-run
     the whole fold per element); pass ``dim`` to use the unrolled
     codegen dot instead of the interpreted fold."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = (
+        _vec_checked(F.col(vec_col), dim)
+        if dim is not None
+        else F.col(vec_col)
+    )
+    v = F.transform(src, lambda x: x.cast("double"))
     staged = df.withColumn("__vd", v)
     nc = (
         F.sqrt(_dot_fixed(F.col("__vd"), F.col("__vd"), dim))
@@ -281,7 +309,12 @@ def cosine_near_dup_pairs(
     repartition so a single-file input doesn't run the whole O(n²)
     stage on one core (49 s → 12 s at sf0.1 with dim=64).
     """
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = (
+        _vec_checked(F.col(vec_col), dim)
+        if dim is not None
+        else F.col(vec_col)
+    )
+    vec_d = F.transform(src, lambda x: x.cast("double"))
     dot = (
         (lambda x, y: _dot_fixed(x, y, dim)) if dim is not None else _dot
     )
@@ -1554,14 +1587,16 @@ def knn_graph_mutual(
     window shuffles (id, id, cosine) rows only; vectors never leave the
     scoring join.
     """
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # Norms are per-ROW quantities: compute them once in each side's
     # projection instead of re-running two extra 64-term dots per PAIR
     # (3× the pair-stage flops).  The pair expression keeps the oracle's
     # exact op shape — dot / (na·nb) with na, nb each sqrt(self-dot) —
     # so the 6-dp rounding cannot diverge.
     base = embeddings.select(
-        F.col(id_col).alias("__id"), vec_d.alias("__v")
+        F.col(id_col).alias("__id"),
+        F.transform(
+            _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+        ).alias("__v"),
     ).withColumn("__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim)))
     # The O(n²) scoring parallelism is the STREAM side's partition count
     # — the fixture parquet is one file/one partition, which would run
@@ -1601,7 +1636,12 @@ def _mutual_topk(half: DataFrame, k: int) -> DataFrame:
     (id_a < id_b, cosine rounded 6 dp): rank both directions per source,
     keep top-k, emit pairs present in BOTH top-k lists once (a < b).
     Consumed by the exact diagonal join and the LSH-candidate variant —
-    everything here is id-sized; vectors never reach these stages."""
+    everything here is id-sized; vectors never reach these stages.
+
+    Takes ownership of the persisted ``half``: the returned edge list
+    (≤ n·k rows) is eagerly materialized and both caches released
+    before return (``_cache.finalize``), so back-to-back graph queries
+    in one session don't accumulate the O(pairs) scored frames."""
     # Both directions from the one scored half — the pair stream doubles
     # AFTER the vectors are dropped, so the rank shuffle carries 24-byte
     # rows.
@@ -1623,7 +1663,7 @@ def _mutual_topk(half: DataFrame, k: int) -> DataFrame:
     rev = topk.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
-    return (
+    out = (
         fwd.join(rev, ["src", "dst"])
         .where(F.col("src") < F.col("dst"))
         .select(
@@ -1632,6 +1672,9 @@ def _mutual_topk(half: DataFrame, k: int) -> DataFrame:
             "cosine",
         )
     )
+    from k8stream_spark.analytics._cache import finalize
+
+    return finalize(out, topk, half)
 
 
 def knn_graph_mutual_lsh(
@@ -1658,7 +1701,9 @@ def knn_graph_mutual_lsh(
     """
     raw = embeddings.select(
         F.col(id_col).alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        F.transform(
+            _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+        ).alias("__v"),
     ).withColumn(
         "__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim))
     ).persist()
@@ -1699,7 +1744,12 @@ def knn_graph_mutual_lsh(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .persist()
     )
-    return _mutual_topk(half, k)
+    # _mutual_topk materializes eagerly and releases half; raw/bucketed
+    # are only needed while half computes, so release them here too.
+    out = _mutual_topk(half, k)
+    raw.unpersist()
+    bucketed.unpersist()
+    return out
 
 
 def semantic_clusters_knn(

@@ -967,11 +967,14 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("__sum_m DIV n_bigrams").alias("lm_micro"),
         )
     )
-    return (
+    out = (
         df.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .na.fill({"n_bigrams": 0, "lm_micro": 0})
     )
+    from k8stream_spark.analytics._cache import finalize
+
+    return finalize(out, ex)
 
 
 def _cms_bucket(
@@ -1056,12 +1059,15 @@ def cms_token_counts(
             F.min("bucket_sum").alias("cms_est"),
         )
     )
-    return est.select(
+    out = est.select(
         "token",
         "tf_true",
         "cms_est",
         (F.col("cms_est") - F.col("tf_true")).alias("overcount"),
     )
+    from k8stream_spark.analytics._cache import finalize
+
+    return finalize(out, tf, hashed)
 
 
 def quality_yield_curve(

@@ -66,6 +66,8 @@ def test_every_public_operator_registered_or_excluded():
         entry_src = fh.read()
     missing = []
     for m in pkgutil.iter_modules(pkg.__path__):
+        if m.name.startswith("_"):  # private helpers (_cache), not operators
+            continue
         mod = importlib.import_module(f"k8stream_spark.analytics.{m.name}")
         for name, fn in vars(mod).items():
             if name.startswith("_") or not inspect.isfunction(fn):

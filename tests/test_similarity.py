@@ -448,6 +448,31 @@ def test_mean_center_zero_sum_and_hand_values(spark):
         assert abs(sums[d] / counts[d]) < 1.0, d  # < 1 micro unit
 
 
+def test_declared_dim_longer_than_vector_raises(spark):
+    """dim > actual vector length must raise, not silently NULL every
+    cosine (element_at past the array end is NULL; a threshold filter
+    would then drop all pairs — an empty result that reads as 'no
+    near-dups').  A vector LONGER than dim passes (prefix use is
+    legitimate)."""
+    import pytest
+
+    short = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="shorter than declared dim"):
+        similarity.cosine_near_dup_pairs(short, dim=64).collect()
+    with pytest.raises(Exception, match="shorter than declared dim"):
+        similarity.knn_graph_mutual(short, dim=64).collect()
+    # prefix of a wider vector is fine
+    wide = spark.createDataFrame(
+        [(0, [1.0, 2.0, 9.0]), (1, [2.0, 1.0, 9.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.cosine_near_dup_pairs(wide, threshold=0.0, dim=2)
+    assert out.count() == 1
+
+
 def test_standardize_hand_values_and_moments(spark):
     """Hand-computed z-scores on a tiny frame; on the real table every
     standardized dimension has ~0 mean and ~unit second moment."""
