@@ -317,10 +317,11 @@ WITH planes AS (
 # Every argmax/rank input is either an exact int64 or a double computed
 # from exact int64s (< 2^53) by correctly-rounded IEEE ops, so numpy and
 # DuckDB produce identical orderings — no float-summation-order risk.
-def _ivf_oracle_sql(
-    iters: int = 4, nprobe: int = 8, k: int = 10, dim: int = 64
-) -> str:
-    qids = "(" + ",".join(str(i) for i in (0, 1, 2, 3, 4)) + ")"
+def _ivf_training_sql(iters: int = 4, dim: int = 64) -> str:
+    """Shared WITH-body ending at ``ranked``/``asgf`` (every vector's
+    per-cell cosine rank and final cell), used by the IVF-search oracle
+    and the replayable semantic-dedup oracle.  ``__TAIL__`` is the
+    consumer's final SELECT."""
     parts = []
     for i in range(iters):
         parts.append(f"""
@@ -394,7 +395,16 @@ af AS (
   FROM af a JOIN n2f n USING (cell)
 ), asgf AS (
   SELECT pid, cell FROM ranked WHERE rn = 1
-), probes AS (
+)
+__TAIL__
+"""
+
+
+def _ivf_oracle_sql(
+    iters: int = 4, nprobe: int = 8, k: int = 10, dim: int = 64
+) -> str:
+    qids = "(" + ",".join(str(i) for i in (0, 1, 2, 3, 4)) + ")"
+    tail = f""", probes AS (
   SELECT pid AS query_id, cell FROM ranked
   WHERE pid IN {qids} AND rn <= {nprobe}
 ), cand AS (
@@ -414,7 +424,89 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored)
-WHERE rank <= {k}
+WHERE rank <= {k}"""
+    return _ivf_training_sql(iters, dim).replace("__TAIL__", tail)
+
+
+# Oracle for docs_semantic_dedup (similarity.semantic_dedup_replayable):
+# the IVF training replay provides every vector's final cell (asgf);
+# within a cell, each pair (a < b) is scored with the raw-double cosine
+# list_dot_product(xa,xb)/(sqrt(·)·sqrt(·)) — the identical left-to-
+# right IEEE sum Spark's unrolled _dot_fixed performs — and b is marked
+# a duplicate of its smallest-id evictor when the UNROUNDED cosine
+# meets the threshold.  Cells, kept flags and dup_of pointers are all
+# hash-checked.
+def _semantic_dedup_oracle_sql(
+    threshold: float = 0.45, iters: int = 4, dim: int = 64
+) -> str:
+    tail = f""", pr AS (
+  SELECT a.pid AS keep_id, b.pid AS dup_id,
+         list_dot_product(xa.x, xb.x)
+           / (sqrt(list_dot_product(xa.x, xa.x))
+              * sqrt(list_dot_product(xb.x, xb.x))) AS cos
+  FROM asgf a JOIN asgf b ON a.cell = b.cell AND a.pid < b.pid
+  JOIN base xa ON xa.id = a.pid
+  JOIN base xb ON xb.id = b.pid
+), dup AS (
+  SELECT dup_id, MIN(keep_id) AS dup_of
+  FROM pr WHERE cos >= {threshold!r} GROUP BY dup_id
+)
+SELECT f.pid AS vec_id, CAST(f.cell AS BIGINT) AS cell,
+       d.dup_of IS NULL AS kept, d.dup_of AS dup_of
+FROM asgf f LEFT JOIN dup d ON d.dup_id = f.pid"""
+    return _ivf_training_sql(iters, dim).replace("__TAIL__", tail)
+
+
+# Oracle for events_approx_user_counts (events.hll_user_counts): the
+# replayable HLL rebuilds the registers from the same 60-bit sha256
+# hash (9 index bits, 51 rank bits, bitlength via the base-2 string),
+# sums 2^(52−M) terms in exact int64 (absent registers = 2^52 each),
+# and applies the identical raw-estimate / linear-counting branch.
+# Literal constants are pulled from the events module so the two sides
+# can never drift.
+def _hll_oracle_sql(factor: float = 3.0) -> str:
+    m = evan._HLL_M
+    b = evan._HLL_B
+    numer = evan._HLL_NUMER
+    rel = factor * 1.04 / (m ** 0.5)
+    raw = (
+        f"{numer!r} / CAST(s_present + ({m} - n_present) * "
+        f"(CAST(1 AS BIGINT) << 52) AS DOUBLE)"
+    )
+    return f"""
+WITH src AS (
+  SELECT event_type,
+         CAST(CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)
+              AS UBIGINT) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), reg AS (
+  SELECT event_type, h & {m - 1} AS idx,
+         MAX(CASE WHEN (h >> {b}) = 0 THEN 52
+                  ELSE 52 - length(bin(h >> {b})) END) AS M
+  FROM src GROUP BY event_type, idx
+), sk AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (52 - M)) AS BIGINT) AS s_present,
+         COUNT(*) AS n_present
+  FROM reg GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         CASE WHEN {raw} <= {2.5 * m!r} AND ({m} - n_present) > 0
+              THEN {float(m)!r}
+                   * ln({float(m)!r} / CAST({m} - n_present AS DOUBLE))
+              ELSE {raw}
+         END AS e
+  FROM sk
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT x.event_type, x.exact_users,
+       CAST(ROUND(e.e) AS BIGINT) AS hll_users,
+       abs(CAST(ROUND(e.e) AS BIGINT) - x.exact_users)
+         <= GREATEST(CAST(CEIL({rel!r} * x.exact_users) AS BIGINT),
+                     CAST(1 AS BIGINT)) AS within_bound
+FROM est e JOIN ex x USING (event_type)
 """
 
 
@@ -1243,7 +1335,12 @@ def _q_value_quantiles(spark, sf_dir):
 
 
 def _q_approx_users(spark, sf_dir):
-    return evan.approx_user_counts(load_table(spark, sf_dir, "events"))
+    # Hash-checked since r8: the replayable HLL (engine-portable sha256
+    # registers, exact-int64 harmonic sum, linear-counting correction)
+    # replaces Spark's engine-specific HLL++ sketch as the graded
+    # surface — the ESTIMATE itself is oracle-replayed, and the HLL++
+    # path stays covered through events_approx_distinct_bound.
+    return evan.hll_user_counts(load_table(spark, sf_dir, "events"))
 
 
 def _q_user_matrix(spark, sf_dir):
@@ -1354,11 +1451,13 @@ def _q_source_quota_cap(spark, sf_dir):
 
 
 def _q_semantic_dedup(spark, sf_dir):
-    # Rows-only by design (like IVF/LSH): the k-means cell ids are
-    # engine-specific, so there is no SQL oracle; pytest pins the hand
-    # vectors and bounds same-cell recall against the exact all-pairs
-    # baseline (tests/test_similarity.py).
-    return similarity.semantic_dedup(
+    # Hash-checked since r8: the replayable variant trains the
+    # integer-exact IVF quantizer, so cells, kept flags and dup_of
+    # pointers all replay in the DuckDB oracle
+    # (_semantic_dedup_oracle_sql).  The float seed-separated
+    # semantic_dedup stays the recall-tuned pipeline default, graded
+    # through its invariants companion below.
+    return similarity.semantic_dedup_replayable(
         load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
@@ -1789,6 +1888,15 @@ def _q_semantic_clusters_knn(spark, sf_dir):
     )
 
 
+def _q_semantic_clusters_lsh(spark, sf_dir):
+    # The 100 TB path of the full cluster pipeline, itself hash-checked:
+    # CC over the LSH-bucketed mutual k-NN graph (the swap the exact
+    # variant's docstring promises).
+    return similarity.semantic_clusters_knn_lsh(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_cms_token_counts(spark, sf_dir):
     return textan.cms_token_counts(load_table(spark, sf_dir, "documents"))
 
@@ -1912,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph_mutual": _q_knn_graph_mutual,
         "emb_knn_graph_mutual_lsh": _q_knn_graph_mutual_lsh,
         "emb_semantic_clusters": _q_semantic_clusters_knn,
+        "emb_semantic_clusters_lsh": _q_semantic_clusters_lsh,
         "text_cms_token_counts": _q_cms_token_counts,
         "docs_remove_duplicate_spans": _q_remove_duplicate_spans,
         "docs_quality_yield_curve": _q_quality_yield_curve,
@@ -2003,18 +2112,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query.  The approximate pipelines are
+    """DuckDB-equivalent SQL per query — COMPLETE since r8: every
+    registered query has an oracle.  The approximate pipelines are
     hash-checked end to end where the engine decisions are integer-exact:
     emb_cosine_topk_lsh / emb_cosine_near_dup_lsh (_LSH_CTE),
-    docs_dedup_simhash (sha256 token hash), and emb_cosine_topk_ivf
+    docs_dedup_simhash (sha256 token hash), emb_cosine_topk_ivf
     (_ivf_oracle_sql replays quantizer training, assignment, probing and
-    rerank bit-for-bit).  Omitted on purpose (rows-only checks, each with
-    a hash-green derived companion): docs_semantic_dedup (k-means cell
-    ids are engine-specific — docs_semantic_dedup_invariants grades the
-    cell-independent integer contract; pytest pins hand vectors and
-    bounds same-cell recall) and events_approx_user_counts (HLL++
-    estimates are implementation-defined — events_approx_distinct_bound
-    grades the 3×rsd accuracy contract; pytest bounds relative error)."""
+    rerank bit-for-bit), docs_semantic_dedup (the replayable int-
+    quantizer variant — cells, kept flags and dup_of pointers replay via
+    _semantic_dedup_oracle_sql; the float seed-separated semantic_dedup
+    remains graded through its invariants companion) and
+    events_approx_user_counts (the replayable HLL — the estimate itself
+    replays via _hll_oracle_sql; Spark's HLL++ stays covered through
+    events_approx_distinct_bound's 3×rsd contract)."""
     # Exact scaled-integer money sums, mirroring tpch._scaled_total /
     # exact_sum / exact_avg EXPRESSION-FOR-EXPRESSION: per row both
     # engines evaluate the same IEEE doubles (x*1e8+0.5, /2^23 exact,
@@ -2927,6 +3037,8 @@ def oracle_sql() -> dict[str, str]:
         # rerank are all reproduced bit-for-bit, so the APPROXIMATE
         # result itself is hash-checked, not just a recall bound.
         "emb_cosine_topk_ivf": _ivf_oracle_sql(),
+        "docs_semantic_dedup": _semantic_dedup_oracle_sql(threshold=0.45),
+        "events_approx_user_counts": _hll_oracle_sql(),
         "emb_pq_encode": _pq_oracle_sql(),
         "emb_pq_adc_topk": _pq_adc_oracle_sql(TOPK_QUERY_IDS, m=16),
         "emb_ivf_pq_topk": _ivf_pq_oracle_sql(TOPK_QUERY_IDS, m=16),
@@ -3345,6 +3457,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.src AS id_a, f.dst AS id_b, f.cosine
             FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
             WHERE f.src < f.dst
+        """,
+        # Mirrors similarity.semantic_clusters_knn_lsh: the LSH mutual
+        # graph replay above + the same recursive min-label reachability
+        # the exact emb_semantic_clusters oracle runs.
+        "emb_semantic_clusters_lsh": _LSH_CTE.replace(
+            "WITH planes", "WITH RECURSIVE planes", 1
+        )
+        + """
+            , cand AS (
+              SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+              FROM bkey a JOIN bkey b
+                ON a.bkt = b.bkt AND a.vid < b.vid
+            ), base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), half AS (
+              SELECT c.id_a, c.id_b,
+                     ROUND(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 6)
+                       AS cosine
+              FROM cand c
+              JOIN base x ON x.vec_id = c.id_a
+              JOIN base y ON y.vec_id = c.id_b
+            ), directed AS (
+              SELECT id_a AS src, id_b AS dst, cosine FROM half
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst, cosine FROM half
+            ), topk AS (
+              SELECT src, dst, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS r
+                FROM directed)
+              WHERE r <= 5
+            ), mutual AS (
+              SELECT f.src AS a, f.dst AS b
+              FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
+              WHERE f.src < f.dst
+            ), medges AS (
+              SELECT a, b FROM mutual
+              UNION ALL
+              SELECT b, a FROM mutual
+            ), reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN medges e ON r.dst = e.a
+            )
+            SELECT src AS vec_id, MIN(dst) AS cluster_id,
+                   (src = MIN(dst)) AS is_canonical
+            FROM reach GROUP BY src
         """,
         # Mirrors text.cms_token_counts: md5-seeded buckets make the
         # whole Count-Min sketch deterministic, so the APPROXIMATE

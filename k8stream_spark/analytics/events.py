@@ -144,6 +144,114 @@ def approx_distinct_bound(
     )
 
 
+#: Register-count exponent for the replayable HLL: m = 2^9 = 512
+#: registers → rsd ≈ 1.04/√512 ≈ 4.6 %.  The 60-bit sha256 hash splits
+#: into 9 index bits + 51 rank bits, so every quantity below stays an
+#: exact int64: per-register term 2^(52−rank) ≤ 2^51, register sum
+#: ≤ 512·2^52 = 2^61 < 2^63.
+_HLL_B = 9
+_HLL_M = 1 << _HLL_B
+#: α_m·m²·2^52 precomputed as ONE double literal (repr-exact in both
+#: engines), so the raw estimate is a single division of exact parts.
+_HLL_NUMER = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << 52)
+
+
+def hll_user_counts(df: DataFrame, factor: float = 3.0) -> DataFrame:
+    """Distinct users per event type via a REPLAYABLE HyperLogLog
+    (Flajolet et al. 2007) — the hash-checked successor to the
+    rows-only ``approx_user_counts``: instead of Spark's HLL++ sketch
+    (engine-specific registers), the sketch is built from first
+    principles with engine-portable ops, so the DuckDB oracle replays
+    register construction, the harmonic-mean estimate and the
+    linear-counting correction bit-for-bit and the ESTIMATE ITSELF is
+    graded, not just an error bound.
+
+    Construction (every step integer-exact or a single IEEE op both
+    engines repeat):
+
+    * h = first 15 sha256 hex digits of str(user_id) → 60-bit int64;
+    * register index = h & (m−1); rank = 52 − bitlength(h >> 9)
+      (bitlength via the base-2 string, no float log2 — floor(log2(x))
+      rounds WRONG at 2^k−1 for large k);
+    * per register M = max(rank); registers sum S = Σ 2^(52−M) as exact
+      int64 (absent registers contribute 2^52 each);
+    * raw estimate = α_m·m²·2^52 / S (one double division of exact
+      parts); linear counting m·ln(m/V) when raw ≤ 2.5 m and V > 0
+      empty registers remain — the only transcendental in the pipeline,
+      and the final round() is ~1e-10 away from any boundary.
+
+    Output: (event_type, exact_users, hll_users, within_bound) with the
+    exact distinct count as in-query accuracy witness and
+    ``within_bound`` = |estimate − exact| ≤ max(1, ⌈factor·rsd·exact⌉).
+
+    Scale: the register build is one (type, register)-keyed groupBy —
+    map-side combined, ≤ m rows per type survive the shuffle — plus the
+    exact countDistinct witness (itself two-stage).  At 100 TB the
+    witness is the expensive half; drop it and the sketch alone is one
+    bounded-state pass, the HLL contract.
+    """
+    m = _HLL_M
+    rsd = 1.04 / (m ** 0.5)
+    h = F.conv(
+        F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    rem = F.shiftright(F.col("__h"), _HLL_B)
+    rank = F.when(rem == 0, F.lit(52)).otherwise(
+        F.lit(52) - F.length(F.conv(rem.cast("string"), 10, 2))
+    )
+    regs = (
+        df.where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            h.alias("__h"),
+        )
+        .select(
+            "event_type",
+            F.col("__h").bitwiseAND(F.lit(m - 1)).alias("__idx"),
+            rank.alias("__rank"),
+        )
+        .groupBy("event_type", "__idx")
+        .agg(F.max("__rank").alias("__M"))
+    )
+    # PySpark's F.shiftleft only takes a literal bit count — the SQL
+    # form accepts a column expression.
+    sketch = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - __M)"))
+        .cast("bigint")
+        .alias("__s_present"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    v = F.lit(m) - F.col("__n_present")
+    s_total = F.col("__s_present") + v * F.shiftleft(
+        F.lit(1).cast("bigint"), 52
+    )
+    e_raw = F.lit(_HLL_NUMER) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    exact = df.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    bound = F.greatest(
+        F.ceil(F.lit(factor * rsd) * F.col("exact_users")), F.lit(1)
+    )
+    return (
+        sketch.withColumn("hll_users", F.round(est).cast("bigint"))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "hll_users",
+            (
+                F.abs(F.col("hll_users") - F.col("exact_users")) <= bound
+            ).alias("within_bound"),
+        )
+    )
+
+
 def user_type_matrix(df: DataFrame) -> DataFrame:
     """Per-user event-type pivot counts (fixed pivot values → single pass,
     no second job to discover distinct values)."""

@@ -1100,6 +1100,106 @@ def semantic_dedup_invariants(
     )
 
 
+def semantic_dedup_replayable(
+    embeddings: DataFrame,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    nlist: int | None = None,
+) -> DataFrame:
+    """``semantic_dedup`` with the INTEGER-EXACT coarse quantizer
+    (``_sample_kmeans_int`` / ``_int_cell_assigner``, the IVF recipe) so
+    the WHOLE pipeline — quantizer training, cell assignment, within-
+    cell cosine dedup — replays bit-for-bit in a DuckDB oracle and the
+    cell-bearing output is hash-checked, not just invariant-bounded.
+    Same columns as ``semantic_dedup``: (vec_id, cell, kept, dup_of).
+
+    Differences from the float variant, both deliberate:
+
+    * seeds are the first ``nlist`` sample rows (no ``seed_min_cos``
+      separation — greedy separation is sequential and not SQL-
+      replayable).  A near-dup pair can therefore seed two cells and
+      stay split; that is a CROSS-cell recall miss, the same class the
+      SemDedup contract already concedes.  The float variant keeps the
+      separation and remains the recall-tuned pipeline default; this
+      variant is the graded, engine-portable form.
+    * within-cell cosines run on the RAW double vectors with the
+      unrolled left-to-right dot (``_dot_fixed``) — the exact IEEE op
+      shape DuckDB's ``list_dot_product`` repeats, the
+      ``cosine_near_dup_pairs`` parity precedent.  The unit-vector
+      normalization of the float variant would add a division whose
+      placement differs between engines.
+
+    Scale posture is unchanged from ``semantic_dedup``: training reads
+    a bounded hash-deterministic sample (driver holds the nlist×dim
+    int64 centroid matrix only), assignment is one Arrow-batched
+    argmax matmul, the pair join is a cell equi-join, the dup-map
+    groupBy shuffles 16-byte id pairs.  Output is eagerly finalized
+    (``_cache.finalize``) releasing the assigned cache.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+        ).alias("__x"),
+    )
+    n_rows = base.count()
+    if nlist is None:
+        nlist = max(4, int(n_rows ** 0.5 / 2))
+    base = base.persist()
+    C = _sample_kmeans_int(base, nlist, n_rows)
+    assigned = (
+        base.withColumn("__cell", _int_cell_assigner(C)(F.col("__x")))
+        .withColumn("__n", F.sqrt(_dot_fixed(F.col("__x"), F.col("__x"), dim)))
+        .persist()
+    )
+    assigned.count()  # materialize before the self-join
+    base.unpersist()
+    left = assigned.select(
+        "__cell",
+        F.col("__id").alias("keep_id"),
+        F.col("__x").alias("__xa"),
+        F.col("__n").alias("__na"),
+    )
+    right = assigned.select(
+        "__cell",
+        F.col("__id").alias("dup_id"),
+        F.col("__x").alias("__xb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = _dot_fixed(F.col("__xa"), F.col("__xb"), dim) / (
+        F.col("__na") * F.col("__nb")
+    )
+    # Threshold on the UNROUNDED cosine, computed in a SELECT after the
+    # cell equi-join (module convention; never inside a join condition).
+    dup_map = (
+        left.join(right, "__cell")
+        .where(F.col("keep_id") < F.col("dup_id"))
+        .withColumn("__cos", cos)
+        .where(F.col("__cos") >= threshold)
+        .groupBy("dup_id")
+        .agg(F.min("keep_id").alias("dup_of"))
+    )
+    out = (
+        assigned.select(
+            F.col("__id").alias("vec_id"),
+            F.col("__cell").cast("bigint").alias("cell"),
+        )
+        .join(
+            dup_map.select(F.col("dup_id").alias("vec_id"), "dup_of"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id", "cell", F.col("dup_of").isNull().alias("kept"), "dup_of"
+        )
+    )
+    from k8stream_spark.analytics._cache import finalize
+
+    return finalize(out, assigned)
+
+
 #: Product-quantization defaults: m subspaces × k codes.  k=16 keeps a
 #: code in 4 bits (a 64-dim vector compresses to m·4 = 16 bits + norms),
 #: and codebook training reuses the IVF discipline: bounded hash-selected
@@ -1777,6 +1877,45 @@ def semantic_clusters_knn(
 
     edges = knn_graph_mutual(
         embeddings, k=k, dim=dim, vec_col=vec_col, id_col=id_col
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    out = connected_components(
+        embeddings.select(F.col(id_col).alias("doc_id")), edges
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col), "cluster_id", "is_canonical"
+    )
+
+
+def semantic_clusters_knn_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tables: int = 24,
+    bits: int = 6,
+) -> DataFrame:
+    """The 100 TB form of ``semantic_clusters_knn``: connected
+    components over the LSH-bucketed mutual k-NN graph
+    (``knn_graph_mutual_lsh``) instead of the exact O(n²) one.  Same
+    output columns — (vec_id, cluster_id, is_canonical) with
+    cluster_id = min member id — and the same shared
+    ``connected_components`` fixpoint, so every scale property of the
+    text-side clusters carries over; the only change is where the
+    edges come from, which is exactly the swap the exact variant's
+    docstring promises.  Hash-checked end to end: the LSH graph is
+    integer-exact and oracle-replayable, and the CC fixpoint is
+    engine-independent (min-label reachability)."""
+    from k8stream_spark.analytics.dedup import connected_components
+
+    edges = knn_graph_mutual_lsh(
+        embeddings,
+        k=k,
+        dim=dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        tables=tables,
+        bits=bits,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     out = connected_components(
         embeddings.select(F.col(id_col).alias("doc_id")), edges

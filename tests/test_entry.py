@@ -23,14 +23,12 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
-    # documented rows-only exceptions (r7: LSH topk/near-dup, simhash and
-    # IVF gained integer-exact oracles; the remaining two are genuinely
-    # engine-specific and each has a hash-green derived companion —
-    # docs_semantic_dedup_invariants / events_approx_distinct_bound)
-    assert qs - os_ == {
-        "docs_semantic_dedup",
-        "events_approx_user_counts",
-    }
+    # 142/142 since r8: the last two rows-only entries converted —
+    # docs_semantic_dedup now runs the integer-exact replayable variant
+    # (cells hash-checked via the IVF training replay) and
+    # events_approx_user_counts the replayable HLL (estimate itself
+    # oracle-replayed).  Every registered query carries an oracle.
+    assert qs - os_ == set()
 
 
 # Building blocks invoked INSIDE registered operators, not operators
@@ -40,6 +38,9 @@ def test_oracle_keys_subset_of_queries():
 # operators (semantic_dedup, remove_boilerplate) that simply never
 # entered the registry and so were never graded.
 NOT_OPERATORS = {
+    "events.approx_user_counts",  # HLL++ stage of approx_distinct_bound
+    # (the graded events_approx_user_counts surface is the replayable
+    # hll_user_counts since r8)
     "dedup.minhash_signature",  # signature stage of minhash_lsh_pairs
     "dedup.simhash",  # signature stage of simhash_pairs
     "dedup.word_shingles",  # shingling helper for minhash/jaccard

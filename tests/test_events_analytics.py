@@ -60,6 +60,35 @@ def test_approx_user_counts_error_bound(spark):
         assert rel <= 0.15, f"{r.event_type}: rel err {rel}"
 
 
+def test_hll_user_counts_replayable(spark):
+    """The replayable HLL lands within its stated bound on the fixture
+    and on a hand-built frame with a known cardinality."""
+    ev = load_table(spark, SF_DIR, "events")
+    for r in evan.hll_user_counts(ev).collect():
+        assert r.within_bound, (
+            f"{r.event_type}: hll {r.hll_users} vs exact {r.exact_users}"
+        )
+    # 1000 distinct users in one type: estimate within 15 %
+    hand = spark.createDataFrame(
+        [(i, "t", i % 1000) for i in range(3000)],
+        "event_id bigint, event_type string, user_id bigint",
+    )
+    row = evan.hll_user_counts(hand).collect()[0]
+    assert row.exact_users == 1000
+    assert abs(row.hll_users - 1000) <= 150
+    # NULL user_ids are ignored by both the sketch and the witness
+    with_null = hand.union(
+        spark.createDataFrame(
+            [(99999, "t", None)],
+            "event_id bigint, event_type string, user_id bigint",
+        )
+    )
+    row2 = evan.hll_user_counts(with_null).collect()[0]
+    assert (row2.exact_users, row2.hll_users) == (
+        row.exact_users, row.hll_users
+    )
+
+
 def test_asof_join_backward_inclusive(spark):
     """Backward as-of semantics: latest right row with ts <= left ts wins,
     ties are inclusive, and rows with no prior state get null."""

@@ -159,6 +159,27 @@ def test_semantic_dedup_hand_vectors(spark):
     assert out[3].cell == out[2].cell
 
 
+def test_semantic_dedup_replayable_matches_contract(spark):
+    """The int-quantizer variant keeps the semantic_dedup contract:
+    one row per vector, within-cell near-dups flagged with a dup_of
+    pointer, kept vectors pointer-free — and on the fixture every
+    same-cell exact pair is caught (within-cell completeness)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sd = {r.vec_id: r for r in
+          similarity.semantic_dedup_replayable(
+              emb, threshold=0.45).collect()}
+    assert len(sd) == 500
+    exact = {(r.id_a, r.id_b) for r in
+             similarity.cosine_near_dup_pairs(emb, threshold=0.45).collect()}
+    same_cell = {(a, b) for a, b in exact if sd[a].cell == sd[b].cell}
+    for a, b in same_cell:
+        assert not sd[b].kept, f"same-cell pair ({a},{b}) not flagged"
+    for v, r in sd.items():
+        assert r.kept == (r.dup_of is None)
+        if r.dup_of is not None:
+            assert r.dup_of < v and sd[r.dup_of].cell == r.cell
+
+
 def test_semantic_dedup_same_cell_recall(spark):
     # Every exact near-dup pair that lands in the same cell MUST be
     # flagged; cross-cell misses are the documented recall tradeoff.
