@@ -1,25 +1,40 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs ALL registered queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-The set covers every engine layer: the reference-parity E2E pipeline,
-heavy OLAP joins/aggs, window functions, and the LLM-pipeline operators
-(near-dup LSH + clustering, cosine top-k brute/IVF, as-of join, funnel,
-packing) whose scale posture is the point.
+Three tiers (r8 restructure — VERDICT r7 items 6 and 8):
 
-Noise control: each query runs $SPARK_GRAFT_BENCH_REPS times (default 3
-after the shared warmup) and the MIN is reported — warm repeats converge
-tightly while single-shot timings at sf0.1 swing +-30% on JIT/footer
--cache luck, which round-over-round comparisons can't tolerate.  The cache
-is cleared between repeats so persisted intermediates (LSH signatures,
-IVF centroids) are re-earned every run, never carried into the min.
-Per-query median/max spread is emitted as a separate JSON line on STDERR
-(the stdout line must stay compact and LAST for the driver's parser).
+* HEADLINE (``BENCH_QUERIES``): the scale-path queries the engine would
+  actually run at 100 TB — reference-parity E2E, heavy OLAP joins/aggs,
+  windows, and the LLM-pipeline operators in their bucketed/LSH forms.
+  min-of-$SPARK_GRAFT_BENCH_REPS (default 3); the headline ``value`` is
+  this tier's total, so round-over-round movement tracks the queries
+  that matter at scale.
+* BASELINE (``BASELINE_QUERIES``): the declared exact O(n²) oracle
+  anchors (brute-force top-k, the exact mutual-kNN graph and its CC
+  composition).  Timed the same way but totaled SEPARATELY — their
+  quadratic cost is a correctness fixture, not an engine property, and
+  folding them into the headline hid scale-path movement behind ~7 s of
+  deliberate quadratic work (r7).
+* TIER 2: every other registered query, 1 rep each, so NO query ships
+  performance-unmeasured.  Full per-query timings for all tiers go to
+  stderr and to ``BENCH_FULL_latest.json`` next to this file; the
+  stdout line carries only the tier totals plus a compact regression
+  list (tier-2 queries >2x their newest committed BENCH_r*.json time) —
+  the r5 incident showed an oversized stdout line loses the round its
+  official number.
+
+Noise control: headline/baseline reps report the MIN — warm repeats
+converge tightly while single-shot timings at sf0.1 swing +-30% on
+JIT/footer-cache luck.  The cache is cleared between repeats so
+persisted intermediates (LSH signatures, IVF centroids) are re-earned
+every run, never carried into the min.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -30,6 +45,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from k8stream_spark.session import get_spark  # noqa: E402
+
+#: Declared exact-baseline twins: O(n²) by design, kept as oracle/recall
+#: anchors; each has a registered bucketed scale twin in the headline.
+BASELINE_QUERIES = (
+    "emb_cosine_topk",        # brute-force; scale twins: _lsh / _ivf
+    "emb_cosine_near_dup",    # all-pairs; scale twin: _lsh
+    "emb_knn_graph_mutual",   # diagonal self-join; scale twin: _lsh
+    "emb_semantic_clusters",  # CC over the exact graph; twin: _lsh
+)
 
 BENCH_QUERIES = (
     # reference-parity hot path
@@ -49,7 +73,6 @@ BENCH_QUERIES = (
     "text_term_stats",
     "text_rolling_fingerprint",
     "docs_dedup_minhash_lsh",
-    "emb_cosine_topk",
     "emb_cosine_near_dup_lsh",
     "mm_blob_meta",
     # r3 surface
@@ -99,16 +122,40 @@ BENCH_QUERIES = (
     "events_window_range_counts",
     "events_salted_distinct_counts",
     "docs_source_lang_cube",
-    # tokenizer-training + LM-scoring + kNN-graph additions (the pure
-    # single-scan random_projection tracks existing map-only shapes)
+    # tokenizer-training + LM-scoring additions
     "text_bpe_merge_pairs",
     "text_bigram_lm_score",
-    "emb_knn_graph_mutual",
     # span REMOVAL (the transform half of docs_duplicate_spans)
     "docs_remove_duplicate_spans",
     # the composed end-to-end curation decision (CC pass + flag joins)
     "docs_curation_pipeline",
+    # r8 surface: the LSH graph + its CC composition (the 100 TB cluster
+    # pipeline, replacing the exact twins that moved to the baseline
+    # tier)
+    "emb_knn_graph_mutual_lsh",
+    "emb_semantic_clusters_lsh",
 )
+
+
+def _newest_committed_times() -> dict[str, float]:
+    """Per-query timings from the newest committed BENCH_r*.json with a
+    parseable queries map (regression reference for tier 2)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict[str, float]] = (0, {})
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+            queries = data.get("queries") or {}
+        except (OSError, ValueError, AttributeError):
+            continue
+        if rnd > best[0] and isinstance(queries, dict) and queries:
+            best = (rnd, {k: float(v) for k, v in queries.items()})
+    return best[1]
 
 
 def main() -> None:
@@ -126,76 +173,103 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    maxes: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        samples: list[float] = []
-        for _ in range(reps):
-            t0 = time.time()
-            # noop write materializes EVERY output column (count() would
-            # let Catalyst prune projection-only work down to a bare scan)
-            # without driver-collect costs skewing the number.
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            samples.append(time.time() - t0)
-            # Persisted intermediates (LSH signatures, IVF centroids) must
-            # be re-earned by every repeat, and one query's cache must not
-            # occupy storage memory during the next query.
-            spark.catalog.clearCache()
-            # Untimed housekeeping between reps: clearCache() cannot free
-            # broadcast blocks, shuffle files, or localCheckpoint RDDs —
-            # the ContextCleaner only reaps those after a driver GC
-            # notices the references died.  Forcing one here keeps each
-            # rep from inheriting the previous reps'/queries'
-            # executor-side litter (the r5 late-session tail: same query
-            # 6s isolated, 30-60s reps late in the 41-query session; the
-            # iterative CC query alone leaves ~45 dead localCheckpoint
-            # RDDs per rep).
-            spark.sparkContext._jvm.System.gc()
-        samples.sort()
-        timings[name] = round(samples[0], 3)
-        # Spread disclosed alongside the min so a regression that only
-        # widens the tail (or a min hiding a flaky rep) stays visible in
-        # round-over-round diffs.
-        medians[name] = round(samples[len(samples) // 2], 3)
-        maxes[name] = round(samples[-1], 3)
-        total += timings[name]
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        # noop write materializes EVERY output column (count() would
+        # let Catalyst prune projection-only work down to a bare scan)
+        # without driver-collect costs skewing the number.
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        # Persisted intermediates (LSH signatures, IVF centroids) must
+        # be re-earned by every repeat, and one query's cache must not
+        # occupy storage memory during the next query.
+        spark.catalog.clearCache()
+        # Untimed housekeeping between reps: clearCache() cannot free
+        # broadcast blocks, shuffle files, or localCheckpoint RDDs —
+        # the ContextCleaner only reaps those after a driver GC
+        # notices the references died.  Forcing one here keeps each
+        # rep from inheriting the previous reps'/queries'
+        # executor-side litter (the r5 late-session tail: same query
+        # 6s isolated, 30-60s reps late in the 41-query session; the
+        # iterative CC query alone leaves ~45 dead localCheckpoint
+        # RDDs per rep).
+        spark.sparkContext._jvm.System.gc()
+        return dt
 
-    # Spread goes to STDERR: r5 folded median/max into the stdout line,
-    # which tripled it past what the driver's parser captures and cost
-    # the round its official number (BENCH_r05.json parsed: null).  The
-    # driver-facing headline JSON must be the LAST stdout line and stay
-    # compact.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_spread",
-                # Box-state fingerprint: back-to-back full runs differ by
-                # ±30-100% per query on page-cache/GC luck even at
-                # min-of-3 (r7 measured run1 71.6s vs run2 68.7s total
-                # with individual queries swinging 2× both directions);
-                # the load average lets round-over-round diffs separate
-                # a loaded box from a real regression.
-                "loadavg": list(os.getloadavg()),
-                "queries_median": medians,
-                "queries_max": maxes,
-            }
-        ),
-        file=sys.stderr,
+    def run_tier(names, n_reps) -> tuple[dict, dict, dict, float]:
+        timings: dict[str, float] = {}
+        medians: dict[str, float] = {}
+        maxes: dict[str, float] = {}
+        total = 0.0
+        for name in names:
+            samples = sorted(run_once(name) for _ in range(n_reps))
+            timings[name] = round(samples[0], 3)
+            # Spread disclosed alongside the min so a regression that
+            # only widens the tail (or a min hiding a flaky rep) stays
+            # visible in round-over-round diffs.
+            medians[name] = round(samples[len(samples) // 2], 3)
+            maxes[name] = round(samples[-1], 3)
+            total += timings[name]
+        return timings, medians, maxes, round(total, 3)
+
+    timings, medians, maxes, total = run_tier(BENCH_QUERIES, reps)
+    b_timings, b_medians, b_maxes, b_total = run_tier(BASELINE_QUERIES, reps)
+    tier2_names = [
+        n
+        for n in qs
+        if n not in BENCH_QUERIES and n not in BASELINE_QUERIES
+    ]
+    t2_timings, _, _, t2_total = run_tier(tier2_names, 1)
+
+    # Tier-2 regressions vs the newest committed round: >2x flags a
+    # query whose only performance record would otherwise silently rot.
+    prev = _newest_committed_times()
+    flagged = sorted(
+        n
+        for n, t in t2_timings.items()
+        if n in prev and prev[n] > 0.2 and t > 2.0 * prev[n]
     )
+
+    full = {
+        "metric": "bench_full",
+        "sf": sf,
+        "reps": reps,
+        "agg": "min (tier2: single shot)",
+        "loadavg": list(os.getloadavg()),
+        "headline": timings,
+        "headline_median": medians,
+        "headline_max": maxes,
+        "baseline": b_timings,
+        "baseline_median": b_medians,
+        "baseline_max": b_maxes,
+        "tier2": t2_timings,
+        "tier2_flagged_vs_prev": flagged,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(
+        os.path.join(here, "BENCH_FULL_latest.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    # Full detail also to STDERR; the driver-facing headline JSON must
+    # be the LAST stdout line and stay compact (the r5 parser incident).
+    print(json.dumps(full), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
                 "agg": "min",
+                "baseline": b_timings,
+                "baseline_total": b_total,
+                "tier2_total": t2_total,
+                "tier2_n": len(tier2_names),
+                "tier2_flagged_vs_prev": flagged,
             }
         )
     )

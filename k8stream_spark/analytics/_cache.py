@@ -22,12 +22,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Escape hatch for plan introspection: ``scripts/plan_audit.py`` flips
+#: this to False so the operators return their LAZY plan (a checkpointed
+#: output is just an RDD scan — nothing to audit) with the intermediates
+#: left persisted, i.e. exactly the pre-finalize behavior.  Production
+#: and bench paths leave it True.
+EAGER = True
+
 
 def finalize(out: DataFrame, *caches: DataFrame) -> DataFrame:
     """Materialize ``out`` eagerly (localCheckpoint), then unpersist
     every frame in ``caches``.  Returns the checkpointed frame — safe
     to consume any number of times with zero recompute and zero
     lingering CacheManager entries."""
+    if not EAGER:
+        return out
     out = out.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()

@@ -13,7 +13,15 @@ import sys
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from k8stream_spark.analytics import _cache  # noqa: E402
 from k8stream_spark.session import get_spark  # noqa: E402
+
+# A finalized (localCheckpoint-ed) output is an RDD scan — nothing to
+# audit.  Flip the escape hatch so the finalize-using operators (kNN
+# graphs, CMS, bigram LM, span removal, replayable semantic dedup)
+# return their lazy plans; the clearCache() between queries releases
+# the intermediates they leave persisted.
+_cache.EAGER = False
 
 AUDITED = [
     "p5_eligibility",
@@ -100,10 +108,13 @@ AUDITED = [
     "emb_mean_center",
     "emb_standardize",
     "events_anomaly_zscore",
+    # r8 surface
+    "docs_semantic_dedup",
+    "events_approx_user_counts",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
-# it), emb_semantic_clusters and docs_curation_pipeline are
-# iterative (driver-controlled
+# it), emb_semantic_clusters, emb_semantic_clusters_lsh and
+# docs_curation_pipeline are iterative (driver-controlled
 # fixpoint loop); a single executed plan doesn't describe them — see
 # the connected_components docstring instead.
 

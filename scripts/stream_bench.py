@@ -9,6 +9,13 @@ same single-node contract on BOTH source bindings — the built-in file
 stream source and the custom ``k8s_informer`` DataSourceStreamReader
 (LIST/WATCH offsets, sources/informer.py) — one JSON line each.
 
+Also measures the continuous-ingestion DOCUMENT gate (r8): a streamed
+new-document batch runs the stream-static exact incremental dedup
+(``incremental_exact_filter`` anti-join against the reference corpus)
+plus the watermarked within-stream content dedup (``dedup_streaming``
+on the md5 hash — RocksDB state store, the session default from
+SCALE.md), reporting docs/s.  One more JSON line.
+
 Usage: python scripts/stream_bench.py [sf_dir] [out_dir]
 """
 
@@ -83,6 +90,62 @@ def main() -> None:
                 }
             )
         )
+    # --- continuous-ingestion document gate (stream-static incremental
+    # dedup + watermarked within-stream dedup, RocksDB-backed state) ---
+    from pyspark.sql import functions as F
+
+    from k8stream_spark.analytics.dedup import incremental_exact_filter
+    from k8stream_spark.ops.dedup import dedup_streaming
+    from k8stream_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Even doc_ids play the (static, periodically refreshed) reference
+    # corpus, odd ones the streamed new batch — the
+    # docs_dedup_incremental oracle's split.
+    ref = docs.where((F.col("doc_id") % 2) == 0)
+    new = docs.where((F.col("doc_id") % 2) == 1).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id") % 3600
+        ),
+    )
+    n_docs = new.count()
+    doc_src = f"{work}/docsrc"
+    new.write.mode("overwrite").json(doc_src)
+    stream = spark.readStream.schema(new.schema).json(doc_src)
+    t0 = time.time()
+    gated = dedup_streaming(
+        incremental_exact_filter(stream, ref).withColumn(
+            "__h", F.md5(F.col("text"))
+        ),
+        key="__h",
+        ts_col="ts",
+    )
+    q = (
+        gated.writeStream.format("noop")
+        .option("checkpointLocation", f"{work}/ckpt-docgate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    elapsed = time.time() - t0
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "doc-gate stream did not finish within 600s - refusing to "
+            "report a throughput number for an incomplete run"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "stream_doc_gate_throughput",
+                "docs_in": n_docs,
+                "seconds": round(elapsed, 2),
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                "sf_dir": sf_dir,
+            }
+        )
+    )
     spark.stop()
     if len(sys.argv) <= 2:
         shutil.rmtree(work, ignore_errors=True)
