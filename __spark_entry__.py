@@ -1334,6 +1334,13 @@ def _q_value_quantiles(spark, sf_dir):
     return evan.value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def _q_value_quantiles_sketch(spark, sf_dir):
+    # Bounded-state scale twin of events_value_quantiles: equi-width
+    # histogram bins instead of exact per-group value gathering; every
+    # boundary decision is an int64 compare, so the estimates replay.
+    return evan.value_quantiles_sketch(load_table(spark, sf_dir, "events"))
+
+
 def _q_approx_users(spark, sf_dir):
     # Hash-checked since r8: the replayable HLL (engine-portable sha256
     # registers, exact-int64 harmonic sum, linear-counting correction)
@@ -2089,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_session_window": _q_session_window,
         "events_value_quantiles": _q_value_quantiles,
+        "events_value_quantiles_sketch": _q_value_quantiles_sketch,
         "events_approx_user_counts": _q_approx_users,
         "events_user_type_matrix": _q_user_matrix,
         # LLM-data-pipeline layer
@@ -2762,6 +2770,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.95), 4) AS p95,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        # Mirrors events.value_quantiles_sketch: equi-width histogram
+        # replay — floor(value/0.01) bins, per-type running count, the
+        # q-quantile = lowest bin whose cumulative count reaches
+        # ceil(q·n).  Window SUM(BIGINT) is HUGEINT in DuckDB → cast.
+        "events_value_quantiles_sketch": """
+            WITH counts AS (
+              SELECT event_type,
+                     CAST(FLOOR(value / 0.01) AS BIGINT) AS b,
+                     COUNT(*) AS c
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type, b
+            ), run AS (
+              SELECT event_type, b,
+                     SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS rn,
+                     SUM(c) OVER (PARTITION BY event_type) AS n
+              FROM counts
+            )
+            SELECT event_type,
+                   CAST(MAX(n) AS BIGINT) AS n_events,
+                   CAST(MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN b END)
+                        AS BIGINT) AS p50_bin,
+                   ROUND(MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN b END)
+                         * 0.01, 4) AS p50_est,
+                   CAST(MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN b END)
+                        AS BIGINT) AS p95_bin,
+                   ROUND(MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN b END)
+                         * 0.01, 4) AS p95_est
+            FROM run GROUP BY event_type
         """,
         "events_user_type_matrix": """
             SELECT user_id,

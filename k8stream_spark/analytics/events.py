@@ -102,6 +102,70 @@ def value_quantiles(df: DataFrame) -> DataFrame:
     )
 
 
+def value_quantiles_sketch(
+    df: DataFrame, bin_width: float = 0.01
+) -> DataFrame:
+    """Bin-sketch percentiles of ``value`` per event type — the 100 TB
+    twin of ``value_quantiles``: exact ``percentile`` gathers every
+    group's values into one aggregation buffer (state = O(group size)),
+    while the equi-width histogram carries ONE counter per occupied bin
+    (state = value-range / bin_width, fixed however big the data), the
+    same bounded-state argument as the CMS and HLL sketches.  The
+    estimate is the NEAREST-RANK quantile (the ceil(q·n)-th order
+    statistic) to within one ``bin_width`` by construction — vs the
+    INTERPOLATED quantile of ``value_quantiles`` it can additionally
+    differ by the local data gap, which is a property of sparse data,
+    not of the sketch.
+
+    Deterministic and oracle-replayable end to end: bin =
+    floor(value / bin_width) (one IEEE division + floor both engines
+    repeat), per-(type, bin) counts, a per-type cumulative sum ordered
+    by bin, and the q-quantile = the lowest bin whose running count
+    reaches ceil(q·n) — every boundary decision is an int64 compare.
+
+    Output per type: (event_type, n_events, p50_bin, p50_est, p95_bin,
+    p95_est) with est = the bin's lower edge (bin · bin_width, rounded
+    4 dp).
+
+    Scale: one (type, bin)-keyed shuffle with map-side combine, then a
+    per-type window over the BIN TABLE (≤ range/width rows per type,
+    never the data), then a per-type min — all post-aggregation sizes.
+    """
+    b = F.floor(F.col("value").cast("double") / F.lit(float(bin_width)))
+    counts = (
+        df.where(F.col("value").isNotNull())
+        .groupBy("event_type", b.cast("bigint").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    run = counts.select(
+        "event_type",
+        "__b",
+        F.sum("__c").over(w).alias("__run"),
+        F.sum("__c").over(tot).alias("n_events"),
+    )
+    est = lambda col: F.round(  # noqa: E731
+        col * F.lit(float(bin_width)), 4
+    )
+    qbin = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("__run") >= F.ceil(F.lit(q) * F.col("n_events")), F.col("__b")
+        )
+    )
+    return run.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        qbin(0.5).alias("p50_bin"),
+        est(qbin(0.5)).alias("p50_est"),
+        qbin(0.95).alias("p95_bin"),
+        est(qbin(0.95)).alias("p95_est"),
+    )
+
+
 def approx_user_counts(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     """Distinct users per event type via HyperLogLog++
     (``approx_count_distinct``) next to the exact count — the sketch the

@@ -199,6 +199,81 @@ def keep_latest_stateful(
     )
 
 
+def anomaly_stats_stateful(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "event_type",
+) -> DataFrame:
+    """Streaming per-group moment state for z-score anomaly detection —
+    the deployment form of ``analytics.events.anomaly_zscore``: maintain
+    (n, Σv, Σv²) per group as keyed state so each micro-batch can score
+    incoming events against the group's running mean/variance without
+    rescanning history.
+
+    Exact batch/stream symmetry (the ``cms_counters_stateful``
+    contract): values are quantized ONCE to milli units
+    (floor(v·1000 + 0.5), a stateless codegen projection), and the
+    state carries int64 (n, Σ_milli, Σ_milli²) — integer addition is
+    order-free, so after any stream prefix the state equals the batch
+    fold over the same prefix bit-for-bit, which the pytest pins.
+    Milli quantization keeps Σv² in range: |v_milli| ≤ ~5·10⁵ on the
+    events domain → per-row square ≤ 2.5·10¹¹, leaving headroom for
+    ~10⁷ rows per group per key; at larger per-group volumes shard the
+    key (the salted-counts recipe) and merge shards downstream.
+
+    Update-mode emissions carry the group's refreshed stats row; the
+    z-score itself is a stateless downstream join
+    (mean = Σ/n, var = Σ²/n − mean², the batch operator's guarded
+    variance shape).  State per group is three longs — group-count
+    sized, the bounded-state argument every sketch here shares.
+    """
+    from pyspark.sql import functions as F
+
+    quant = df.select(
+        F.col(by).alias("grp"),
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(1000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("v_milli"),
+    )
+
+    def fn(
+        _key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        add_n = 0
+        add_s = 0
+        add_q = 0
+        for pdf in pdfs:
+            vals = pdf["v_milli"].to_numpy()
+            add_n += len(vals)
+            add_s += int(vals.sum())
+            add_q += int((vals * vals).sum())
+        n, s, q = state.get if state.exists else (0, 0, 0)
+        n, s, q = n + add_n, s + add_s, q + add_q
+        state.update((n, s, q))
+        yield pd.DataFrame(
+            {
+                "grp": [_key[0]],
+                "n": [n],
+                "sum_milli": [s],
+                "sumsq_milli2": [q],
+            }
+        )
+
+    return quant.groupBy("grp").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "grp string, n long, sum_milli long, sumsq_milli2 long"
+        ),
+        stateStructType="n long, s long, q long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cms_counters_stateful(
     df: DataFrame,
     token_col: str = "token",

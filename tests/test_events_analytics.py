@@ -60,6 +60,44 @@ def test_approx_user_counts_error_bound(spark):
         assert rel <= 0.15, f"{r.event_type}: rel err {rel}"
 
 
+def test_value_quantiles_sketch_bounds_exact(spark):
+    """The bin-sketch quantile lands within one bin width of the exact
+    interpolated percentile; hand case: 100 values 0.01..1.00 -> p50
+    within a bin of 0.50.  (Bin ids themselves are IEEE-fuzzy at bin
+    EDGES — floor(0.5/0.01) is 49, not 50 — which is fine for a sketch:
+    both engines compute the identical fuzz, and the estimate error
+    stays <= one bin width.)"""
+    import math
+    from collections import defaultdict
+
+    ev = load_table(spark, SF_DIR, "events")
+    vals = defaultdict(list)
+    for r in ev.select("event_type", "value").collect():
+        if r.value is not None:
+            vals[r.event_type].append(r.value)
+    sk = {r.event_type: r for r in evan.value_quantiles_sketch(ev).collect()}
+    assert set(sk) == set(vals)
+    for t, r in sk.items():
+        ordered = sorted(vals[t])
+        n = len(ordered)
+        assert r.n_events == n
+        # the sketch's contract is the NEAREST-RANK quantile (the
+        # ceil(q*n)-th order statistic), not the interpolated one —
+        # on sparse data those can sit a whole data gap apart.  The
+        # lower-edge estimate lands within one bin width below it.
+        for q, est in ((0.5, r.p50_est), (0.95, r.p95_est)):
+            target = ordered[math.ceil(q * n) - 1]
+            assert target - 0.011 <= est <= target + 1e-9, (t, q)
+    hand = spark.createDataFrame(
+        [(i, "t", round(i / 100.0, 2)) for i in range(1, 101)],
+        "event_id bigint, event_type string, value double",
+    )
+    row = evan.value_quantiles_sketch(hand).collect()[0]
+    assert row.n_events == 100
+    assert abs(row.p50_est - 0.5) <= 0.01
+    assert abs(row.p95_est - 0.95) <= 0.01
+
+
 def test_hll_user_counts_replayable(spark):
     """The replayable HLL lands within its stated bound on the fixture
     and on a hand-built frame with a known cardinality."""

@@ -181,6 +181,61 @@ def test_keep_latest_string_compare_quirk(
     assert _run_keep_latest(spark, src, ckpt) == []
 
 
+def test_anomaly_stats_stateful_matches_batch_fold(spark, tmp_path):
+    """Streaming per-group moment state after draining an event stream
+    equals the exact integer batch fold over the same events — the
+    batch/stream symmetry contract for the anomaly-zscore deployment
+    form, including cross-restart accumulation via the checkpoint."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from k8stream_spark.streaming.stateful import anomaly_stats_stateful
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [("a", 1.25), ("a", 2.5), ("b", 10.0)]
+    batch2 = [("a", 0.001), ("b", 10.0)]
+
+    latest: dict[str, tuple[int, int, int]] = {}
+
+    def run() -> None:
+        stream = spark.readStream.schema(schema).json(src)
+        stats = anomaly_stats_stateful(stream)
+
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                latest[r.grp] = (r.n, r.sum_milli, r.sumsq_milli2)
+
+        q = (
+            stats.writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "query did not terminate"
+
+    _write(src, "b1.json", [{"event_type": t, "value": v} for t, v in batch1])
+    run()
+    _write(src, "b2.json", [{"event_type": t, "value": v} for t, v in batch2])
+    run()
+
+    # exact integer replica of the quantized fold over batch1+batch2
+    want: dict[str, tuple[int, int, int]] = {}
+    for t, v in batch1 + batch2:
+        m = math.floor(v * 1000.0 + 0.5)
+        n, s, q_ = want.get(t, (0, 0, 0))
+        want[t] = (n + 1, s + m, q_ + m * m)
+    assert latest == want
+
+
 def test_cms_counters_stateful_matches_batch_sketch(spark, tmp_path):
     """Streaming CMS counter state after draining a document stream
     equals the batch sketch's counter table over the same corpus — the
