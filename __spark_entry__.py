@@ -849,7 +849,10 @@ pr AS (
   JOIN sz sb ON sb.doc_id = cand.doc_b
   WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
 ),
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB inlines plain CTEs, so the recursive step
+  -- would re-run the shingle/candidate pipeline every iteration (the
+  -- emb_semantic_clusters_lsh lesson — >29 GB spill at sf0.1).
   SELECT doc_a AS a, doc_b AS b FROM pr
   UNION ALL
   SELECT doc_b, doc_a FROM pr
@@ -3534,7 +3537,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT f.src AS a, f.dst AS b
               FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
               WHERE f.src < f.dst
-            ), medges AS (
+            ), medges AS MATERIALIZED (
+              -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
+              -- so the recursive step below would otherwise re-run the
+              -- whole LSH pipeline (bucketing, candidate join, scoring,
+              -- ranking) on EVERY iteration — measured as a >29 GB
+              -- spill at sf0.1 vs seconds with the edge list pinned.
               SELECT a, b FROM mutual
               UNION ALL
               SELECT b, a FROM mutual
@@ -3601,7 +3609,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT f.src AS a, f.dst AS b
               FROM topk f JOIN topk r ON r.src = f.dst AND r.dst = f.src
               WHERE f.src < f.dst
-            ), edges AS (
+            ), edges AS MATERIALIZED (
+              -- MATERIALIZED: keeps the recursive step from re-running
+              -- the O(n²) scoring join every iteration (see the
+              -- emb_semantic_clusters_lsh note).
               SELECT a, b FROM mutual
               UNION ALL
               SELECT b, a FROM mutual

@@ -89,6 +89,13 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # DuckDB shares the box with a 100+GB-heap JVM: cap its threads and
+    # memory and give it a spill directory, or the heavy recursive-CTE
+    # oracles (CC reachability over the LSH replay) die with a hard
+    # allocator/thread-spawn failure at sf0.1 instead of spilling.
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb-spill'")
     for t in FIXTURE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
