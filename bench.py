@@ -150,7 +150,14 @@ def _newest_committed_times() -> dict[str, float]:
         try:
             with open(path, encoding="utf-8") as fh:
                 data = json.load(fh)
-            queries = data.get("queries") or {}
+            # The driver wraps the bench stdout line: {"tail": "...",
+            # "parsed": {...}} — unwrap before looking for "queries".
+            queries = data.get("queries")
+            if not queries and isinstance(data.get("parsed"), dict):
+                queries = data["parsed"].get("queries")
+            if not queries and isinstance(data.get("tail"), str):
+                line = data["tail"].strip().rsplit("\n", 1)[-1]
+                queries = json.loads(line).get("queries")
         except (OSError, ValueError, AttributeError):
             continue
         if rnd > best[0] and isinstance(queries, dict) and queries:
