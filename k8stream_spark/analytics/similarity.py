@@ -905,26 +905,51 @@ def quantize_int8(
     ×1e6 as int64 — per-element double math is bit-identical across
     engines, and the max is order-free, so no float-sum flap).
 
-    Pure array expressions — transform/aggregate stay in codegen; one
-    projection, no shuffle, no Python.
+    Pure array expressions, no shuffle, no Python — but STAGED:
+    higher-order functions evaluate interpreted, and a subtree
+    referenced inside a lambda re-evaluates PER ELEMENT, so inlining
+    ``amax``/``scale``/``codes`` into every consumer made each row cost
+    O(dims²) re-walks of the whole chain (measured 7.2 s for a
+    map-only scan at sf0.1; ~0.5 s staged).  Each intermediate is
+    computed once per row in its own projection and lambdas reference
+    plain columns.
     """
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(vec, F.abs))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    codes = F.transform(vec, lambda x: F.round(x / scale, 0).cast("bigint"))
-    err_micro = F.zip_with(
-        vec,
-        codes,
-        lambda x, c: F.round(F.abs(x - c * scale) * 1e6, 0).cast("bigint"),
+    staged = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.size(F.col(vec_col)).cast("bigint").alias("n_dims"),
+            vec.alias("__v"),
+        )
+        .withColumn("__amax", F.array_max(F.transform(F.col("__v"), F.abs)))
+        .withColumn(
+            "__scale",
+            F.when(F.col("__amax") > 0, F.col("__amax") / F.lit(127.0))
+            .otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "__codes",
+            F.transform(
+                F.col("__v"),
+                lambda x: F.round(x / F.col("__scale"), 0).cast("bigint"),
+            ),
+        )
     )
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.size(F.col(vec_col)).cast("bigint").alias("n_dims"),
-        F.round(amax, 6).alias("amax"),
+    err_micro = F.zip_with(
+        F.col("__v"),
+        F.col("__codes"),
+        lambda x, c: F.round(
+            F.abs(x - c * F.col("__scale")) * 1e6, 0
+        ).cast("bigint"),
+    )
+    return staged.select(
+        "vec_id",
+        "n_dims",
+        F.round(F.col("__amax"), 6).alias("amax"),
         F.aggregate(
-            codes, F.lit(0).cast("bigint"), lambda a, c: a + c
+            F.col("__codes"), F.lit(0).cast("bigint"), lambda a, c: a + c
         ).alias("sum_codes"),
-        F.size(F.filter(codes, lambda c: F.abs(c) == 127))
+        F.size(F.filter(F.col("__codes"), lambda c: F.abs(c) == 127))
         .cast("bigint")
         .alias("n_saturated"),
         F.array_max(err_micro).alias("max_err_micro"),
