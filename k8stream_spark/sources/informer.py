@@ -81,6 +81,15 @@ class InformerStreamReader(DataSourceStreamReader):
             (f.name, isinstance(f.dataType, TimestampNTZType))
             for f in schema.fields
         ]
+        from pyspark.sql.types import StringType
+
+        # Arrow fast path eligibility (see read()): only all-string/
+        # all-ntz schemas build clean columnar batches; map columns
+        # stay on the row path.
+        self._all_simple = all(
+            isinstance(f.dataType, (StringType, TimestampNTZType))
+            for f in schema.fields
+        )
 
     def _gen(self) -> int:
         """Resync generation derived from the wall clock
@@ -195,7 +204,68 @@ class InformerStreamReader(DataSourceStreamReader):
         pass
 
     # -- executor side -----------------------------------------------------
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+    def read(self, partition: _RangePartition) -> Iterator:
+        """Deliver the partition's line range.  Fast path: yield Arrow
+        RecordBatches (Spark 4 Python data sources accept them) instead
+        of per-row pickled tuples.  Honest accounting (SCALE.md): this
+        removes the row-at-a-time boundary cost but the measured
+        informer-vs-file-source gap barely moves (~12.5k vs ~18-21k
+        events/s at sf0.1) — profiling puts the remainder in per-
+        partition Python worker startup and driver-side offset
+        planning, i.e. fixed DataSource-API overhead, not data volume,
+        so it amortizes at larger batches.  Falls back to row tuples
+        when the schema has non-string/non-timestamp fields (the
+        service schema's map columns) or pyarrow is unavailable."""
+        if self._arrow_schema() is not None:
+            return self._read_arrow(partition)
+        return self._read_rows(partition)
+
+    def _arrow_schema(self):
+        """pyarrow schema when every source field is string or
+        TimestampNTZ (``self._all_simple``, recorded at init from the
+        real Spark schema); None otherwise — map-typed columns (the
+        service schema) take the row path."""
+        if not self._all_simple:
+            return None
+        try:
+            import pyarrow as pa
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+        return pa.schema(
+            [
+                pa.field(name, pa.timestamp("us") if is_ts else pa.string())
+                for name, is_ts in self._fields
+            ]
+        )
+
+    def _read_arrow(self, partition: _RangePartition) -> Iterator:
+        import pyarrow as pa
+
+        schema = self._arrow_schema()
+        batch_rows = 4096
+        cols: list[list] = [[] for _ in self._fields]
+        n = 0
+        for row in self._read_rows(partition):
+            for i, v in enumerate(row):
+                cols[i].append(v)
+            n += 1
+            if n >= batch_rows:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(c, type=f.type)
+                        for c, f in zip(cols, schema)
+                    ],
+                    schema=schema,
+                )
+                cols = [[] for _ in self._fields]
+                n = 0
+        if n:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                schema=schema,
+            )
+
+    def _read_rows(self, partition: _RangePartition) -> Iterator[tuple]:
         permissive = self._mode != "failfast"
         with open(partition.path) as fh:
             idx = 0

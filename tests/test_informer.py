@@ -29,9 +29,17 @@ def _reader(path: str, resync: int = 0) -> InformerStreamReader:
 
 
 def _rows(reader, parts):
+    """Flatten read() output to row tuples — the reader yields Arrow
+    RecordBatches on the fast path (all-string/ntz schemas) and plain
+    tuples otherwise; tests assert on rows either way."""
     out = []
     for p in parts:
-        out += list(reader.read(p))
+        for item in reader.read(p):
+            if hasattr(item, "columns"):  # pyarrow.RecordBatch
+                cols = [c.to_pylist() for c in item.columns]
+                out += list(zip(*cols)) if cols else []
+            else:
+                out.append(item)
     return out
 
 
