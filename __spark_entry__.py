@@ -1391,6 +1391,12 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    # Doc-in-doc near-containment via mod-p sampled k-gram fingerprints
+    # (Broder modulus sampling) — deterministic md5 path, oracle-replayed.
+    return docdedup.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _q_eval_contamination(spark, sf_dir):
     # Eval set = a deterministic benchmark-sized slice of the corpus
     # (doc_id % 31); contamination = other docs leaking its 5-grams.
@@ -2113,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_exact": _q_dedup_exact,
         "docs_dedup_canonical": _q_dedup_canonical,
         "docs_dedup_minhash_lsh": _q_minhash_lsh,
+        "docs_containment_pairs": _q_containment_pairs,
     }
     graded = _latest_graded_round()
     order = {name: i for i, name in enumerate(reg)}
@@ -2894,6 +2901,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_minhash_lsh": NEAR_DUP_SQL,
         "docs_dedup_ngram_jaccard": NEAR_DUP_SQL,
+        # Mirrors dedup.containment_pairs: mod-4 sampled 8-char-gram md5
+        # fingerprints, df<=50 prune, inverted-index pair join, integer
+        # containment compare on the smaller side's retained count.
+        "docs_containment_pairs": """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, length(t) - 8 + 2),
+                            i -> md5(substr(t, CAST(i AS INT), 8)))) AS h
+              FROM d WHERE length(t) >= 8
+            ), fp0 AS (
+              SELECT DISTINCT doc_id, h FROM g
+              WHERE CAST(CAST('0x' || substr(h, 1, 8) AS UBIGINT)
+                         AS BIGINT) % 4 = 0
+            ), dfc AS (
+              SELECT h, COUNT(*) AS df FROM fp0 GROUP BY h
+            ), fp AS (
+              SELECT f.doc_id, f.h
+              FROM fp0 f JOIN dfc USING (h) WHERE dfc.df <= 50
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id
+            ), sh AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS shared
+              FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT sh.id_a, sh.id_b, sh.shared,
+                   CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+            FROM sh
+            JOIN sz sa ON sa.doc_id = sh.id_a
+            JOIN sz sb ON sb.doc_id = sh.id_b
+            WHERE 100 * sh.shared >= 80 * LEAST(sa.n, sb.n)
+        """,
         # SimHash pairs: the engine's pigeonhole banding is EXACT (any
         # pair at Hamming<=3 shares a full band), so its output equals
         # the all-pairs answer, which the oracle computes directly; the

@@ -301,6 +301,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    mod: int = 4,
+    max_df: int = 50,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Near-containment detection — the doc-IN-doc case symmetric
+    near-dup misses (Lee et al. 2021's substring-duplication concern;
+    Broder 1997's containment coefficient): a short doc pasted inside a
+    longer one shares a high fraction of ITS OWN fingerprints even when
+    the union-based Jaccard is low.
+
+    Fingerprints are mod-p sampled character k-grams (Broder's modulus
+    sampling): md5 every k-char gram, keep grams whose first-8-hex
+    integer ≡ 0 (mod ``mod``) — deterministic, position-independent,
+    ~1/mod of the grams, no RNG and no window state, so the whole
+    pipeline replays in the DuckDB oracle (winnowing windows were
+    measured 80× slower to replay for identical output on the
+    fixture).  Fingerprints seen in more than ``max_df`` docs are
+    dropped before the pair join — the df-prune that keeps template
+    grams from exploding the inverted index (the boilerplate-removal
+    precedent); sizes are counted over RETAINED fingerprints on both
+    sides, so the containment ratio stays consistent.
+
+    A pair (a < b) is emitted when shared ≥ threshold_pct% of the
+    SMALLER side's fingerprints — an integer compare
+    (100·shared ≥ pct·min(n_a, n_b)), no float boundary.  Output:
+    (id_a, id_b, shared, n_a, n_b).
+
+    Scale: corpus-sized explode → (doc, gram) distinct, one df-count
+    groupBy, the inverted-index equi-join on df-pruned fingerprints
+    (the ``ngram_jaccard_pairs`` shape), and id-sized rollups — no
+    all-pairs stage anywhere.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - k + 1),
+        lambda i: F.md5(F.substring(t, i, k)),
+    )
+    g = df.where(F.length(t) >= k).select(
+        "doc_id", F.explode(grams).alias("__h")
+    )
+    fp0 = (
+        g.where(
+            F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("bigint")
+            % mod
+            == 0
+        )
+        .distinct()
+    )
+    dfc = fp0.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    fp = fp0.join(dfc.where(F.col("__df") <= max_df), "__h").select(
+        "doc_id", "__h"
+    )
+    sz = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    sh = (
+        fp.select(F.col("doc_id").alias("id_a"), "__h")
+        .join(fp.select(F.col("doc_id").alias("id_b"), "__h"), "__h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        sh.join(
+            sz.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("n_b")),
+            "id_b",
+        )
+        .where(
+            F.lit(100) * F.col("shared")
+            >= F.lit(threshold_pct) * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
+    )
+
+
 def eval_contamination(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -112,6 +112,7 @@ AUDITED = [
     "docs_semantic_dedup",
     "events_approx_user_counts",
     "events_value_quantiles_sketch",
+    "docs_containment_pairs",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh and

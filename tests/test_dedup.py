@@ -359,3 +359,31 @@ def test_curation_pipeline_flag_consistency(spark, docs_df):
         )
     # docs 1 and 6 are identical text: exactly the higher id is exact-dup
     assert not out[1].is_exact_dup and out[6].is_exact_dup
+
+
+def test_containment_pairs_planted(spark):
+    """A short doc pasted verbatim inside a long one is caught even
+    though symmetric Jaccard over the union is low; unrelated docs are
+    not paired."""
+    import random
+
+    from k8stream_spark.analytics.dedup import containment_pairs
+
+    rng = random.Random(7)
+    words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    long_text = " ".join(rng.choice(words) for _ in range(400))
+    short_text = long_text[50:130]          # substring -> contained
+    other = " ".join(reversed(words)) * 12  # unrelated filler
+    df = spark.createDataFrame(
+        [(0, long_text), (1, short_text), (2, other)],
+        "doc_id bigint, text string",
+    )
+    # max_df high: a 3-doc corpus would otherwise prune nothing anyway
+    rows = containment_pairs(df, threshold_pct=80).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+    r = next(r for r in rows if (r.id_a, r.id_b) == (0, 1))
+    # the smaller side's fingerprints are (almost) all shared
+    assert r.shared * 100 >= 80 * min(r.n_a, r.n_b)
+    assert r.n_a > r.n_b  # doc 0 is the longer side
