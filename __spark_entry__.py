@@ -2804,12 +2804,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n) AS BIGINT) AS n_events,
                    CAST(MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN b END)
                         AS BIGINT) AS p50_bin,
+                   -- 1e-2 (double), NOT 0.01 (decimal literal): the
+                   -- decimal multiply types the column DECIMAL(22,2),
+                   -- the driver-hash-unsafe class the pytest guard
+                   -- rejects; Spark multiplies by a double.
                    ROUND(MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN b END)
-                         * 0.01, 4) AS p50_est,
+                         * 1e-2, 4) AS p50_est,
                    CAST(MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN b END)
                         AS BIGINT) AS p95_bin,
                    ROUND(MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN b END)
-                         * 0.01, 4) AS p95_est
+                         * 1e-2, 4) AS p95_est
             FROM run GROUP BY event_type
         """,
         "events_user_type_matrix": """

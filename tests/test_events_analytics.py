@@ -63,10 +63,11 @@ def test_approx_user_counts_error_bound(spark):
 def test_value_quantiles_sketch_bounds_exact(spark):
     """The bin-sketch quantile lands within one bin width of the exact
     interpolated percentile; hand case: 100 values 0.01..1.00 -> p50
-    within a bin of 0.50.  (Bin ids themselves are IEEE-fuzzy at bin
-    EDGES — floor(0.5/0.01) is 49, not 50 — which is fine for a sketch:
-    both engines compute the identical fuzz, and the estimate error
-    stays <= one bin width.)"""
+    within a bin of 0.50.  (Bin ids at EXACT bin edges depend on how
+    the IEEE quotient rounds — both engines compute the identical
+    double division, so parity holds either way, and the estimate
+    error stays <= one bin width; assert with tolerance, not exact bin
+    ids.)"""
     import math
     from collections import defaultdict
 
