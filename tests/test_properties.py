@@ -145,3 +145,73 @@ def test_dsir_importance_matches_python_replica(spark, docs):
         score = sum(p.get(bucket(t), 0) * Q - q[bucket(t)] * P for t in toks)
         expect[i] = (len(toks), score)
     assert got == expect
+
+
+@PROP
+@given(
+    groups=st.lists(
+        st.tuples(st.integers(1, 400), st.integers(0, 3)),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_hll_user_counts_matches_python_replica(spark, groups):
+    """Replayable-HLL law over random cardinalities: the Spark sketch
+    equals a pure-python replica of the same register algebra (not just
+    an error bound — the estimate is deterministic)."""
+    import math
+
+    rows = []
+    eid = 0
+    for gi, (n_users, offset) in enumerate(groups):
+        for u in range(n_users):
+            rows.append((eid, f"t{gi}", u * 7 + offset))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, user_id bigint"
+    )
+    got = {r.event_type: r for r in evan.hll_user_counts(df).collect()}
+    # python replica
+    m = 512
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for _, t, u in rows:
+        h = int(hashlib.sha256(str(u).encode()).hexdigest()[:15], 16)
+        idx, rem = h & (m - 1), h >> 9
+        rank = 52 - rem.bit_length() if rem else 52
+        regs.setdefault(t, {})
+        regs[t][idx] = max(regs[t].get(idx, 0), rank)
+        exact.setdefault(t, set()).add(u)
+    for t, rs in regs.items():
+        s = sum(1 << (52 - mm) for mm in rs.values())
+        v = m - len(rs)
+        s += v << 52
+        e = (0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << 52)) / float(s)
+        if e <= 2.5 * m and v > 0:
+            e = float(m) * math.log(float(m) / v)
+        assert got[t].hll_users == round(e), t
+        assert got[t].exact_users == len(exact[t])
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.integers(1, 50000), min_size=1, max_size=120
+    )
+)
+def test_value_quantiles_sketch_nearest_rank_law(spark, vals):
+    """Sketch law on random values: each estimate is the bin lower edge
+    of the nearest-rank order statistic, within one bin width below."""
+    import math
+
+    rows = [(i, "g", v / 100.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    r = evan.value_quantiles_sketch(df).collect()[0]
+    ordered = sorted(v / 100.0 for v in vals)
+    n = len(ordered)
+    assert r.n_events == n
+    for q, est in ((0.5, r.p50_est), (0.95, r.p95_est)):
+        target = ordered[math.ceil(q * n) - 1]
+        assert target - 0.011 <= est <= target + 1e-9
