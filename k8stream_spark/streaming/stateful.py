@@ -274,6 +274,64 @@ def anomaly_stats_stateful(
     )
 
 
+def histogram_bins_stateful(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "event_type",
+    bin_width: float = 0.01,
+) -> DataFrame:
+    """Streaming equi-width histogram: maintain the per-(group, bin)
+    counter table as keyed state over an unbounded value stream — the
+    deployment form of ``analytics.events.value_quantiles_sketch``,
+    whose docstring's bounded-state argument this operator is at run
+    time: state = one long per OCCUPIED bin (≤ value-range/width per
+    group), never the values.
+
+    Batch/stream symmetry (the ``cms_counters_stateful`` contract): the
+    bin id is the identical IEEE ``floor(v / bin_width)`` projection
+    the batch sketch computes, and counts are integer adds, so after
+    any stream prefix the state table equals the batch sketch's
+    ``counts`` stage over the same prefix — pinned by pytest.
+    Update-mode emissions carry each touched bin's refreshed total; a
+    downstream reader re-derives any quantile with the batch tail (the
+    per-group cumulative scan over ≤ range/width rows).
+    """
+    from pyspark.sql import functions as F
+
+    binned = df.where(F.col(value_col).isNotNull()).select(
+        F.col(by).alias("grp"),
+        F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width)))
+        .cast("bigint")
+        .alias("bin"),
+    )
+
+    def fn(
+        _key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        total = (state.get[0] if state.exists else 0) + add
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "grp": [_key[0]],
+                "bin": [_key[1]],
+                "bin_count": [total],
+            }
+        )
+
+    return binned.groupBy("grp", "bin").applyInPandasWithState(
+        fn,
+        outputStructType="grp string, bin long, bin_count long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cms_counters_stateful(
     df: DataFrame,
     token_col: str = "token",

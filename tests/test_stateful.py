@@ -236,6 +236,58 @@ def test_anomaly_stats_stateful_matches_batch_fold(spark, tmp_path):
     assert latest == want
 
 
+def test_histogram_bins_stateful_matches_batch_bins(spark, tmp_path):
+    """Streaming histogram state after draining a value stream equals
+    the batch sketch's bin counts over the same values (identical IEEE
+    binning), including cross-restart accumulation."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from k8stream_spark.streaming.stateful import histogram_bins_stateful
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [("a", 0.015), ("a", 0.016), ("a", 1.25), ("b", 3.0)]
+    batch2 = [("a", 0.015), ("b", 2.999)]
+
+    latest: dict[tuple[str, int], int] = {}
+
+    def run() -> None:
+        stream = spark.readStream.schema(schema).json(src)
+        bins = histogram_bins_stateful(stream)
+
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                latest[(r.grp, r.bin)] = r.bin_count
+
+        q = (
+            bins.writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "query did not terminate"
+
+    _write(src, "b1.json", [{"event_type": t, "value": v} for t, v in batch1])
+    run()
+    _write(src, "b2.json", [{"event_type": t, "value": v} for t, v in batch2])
+    run()
+
+    want: dict[tuple[str, int], int] = {}
+    for t, v in batch1 + batch2:
+        b = math.floor(v / 0.01)
+        want[(t, b)] = want.get((t, b), 0) + 1
+    assert latest == want
+
+
 def test_cms_counters_stateful_matches_batch_sketch(spark, tmp_path):
     """Streaming CMS counter state after draining a document stream
     equals the batch sketch's counter table over the same corpus — the
