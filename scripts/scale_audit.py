@@ -180,6 +180,34 @@ def main() -> None:
         f"(quantized-coord^2 units; 256B->2B payload, 128x) "
         f"time={time.time() - t0:.1f}s"
     )
+    spark.catalog.clearCache()
+
+    # r8 surface: containment fingerprints — how hard mod-p sampling +
+    # the df-prune cut the inverted index before the pair join.
+    t0 = time.time()
+    t = F.coalesce(F.col("text"), F.lit(""))
+    grams = docs.where(F.length(t) >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 8 + 1),
+                lambda i: F.md5(F.substring(t, i, 8)),
+            )
+        ).alias("h"),
+    )
+    n_grams = grams.count()
+    fp0 = grams.where(
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % 4 == 0
+    ).distinct()
+    n_fp = fp0.count()
+    dfc = fp0.groupBy("h").count()
+    n_hot = dfc.where(F.col("count") > 50).count()
+    n_pairs = dd.containment_pairs(docs).count()
+    print(
+        f"containment: grams={n_grams} sampled_fps={n_fp} "
+        f"(sample={n_grams / max(1, n_fp):.1f}x) hot_fps_pruned={n_hot} "
+        f"contained_pairs={n_pairs} time={time.time() - t0:.1f}s"
+    )
     spark.stop()
 
 
