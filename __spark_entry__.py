@@ -281,6 +281,43 @@ def _j4_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything integer → no float summation-order dependence, so the
 # candidate sets match Spark's exactly and the approximate pipeline is
 # hash-checkable end to end.
+# Shared body for the containment oracles (docs_containment_pairs /
+# docs_containment_dedup): mod-4 sampled 8-char-gram md5 fingerprints,
+# df<=50 prune, inverted-index pair join, integer containment compare.
+_CONTAINMENT_CTE = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(t) - 8 + 2),
+                i -> md5(substr(t, CAST(i AS INT), 8)))) AS h
+  FROM d WHERE length(t) >= 8
+), fp0 AS (
+  SELECT DISTINCT doc_id, h FROM g
+  WHERE CAST(CAST('0x' || substr(h, 1, 8) AS UBIGINT)
+             AS BIGINT) % 4 = 0
+), dfc AS (
+  SELECT h, COUNT(*) AS df FROM fp0 GROUP BY h
+), fp AS (
+  SELECT f.doc_id, f.h
+  FROM fp0 f JOIN dfc USING (h) WHERE dfc.df <= 50
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id
+), sh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS shared
+  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cpairs AS (
+  SELECT sh.id_a, sh.id_b, sh.shared,
+         CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+  FROM sh
+  JOIN sz sa ON sa.doc_id = sh.id_a
+  JOIN sz sb ON sb.doc_id = sh.id_b
+  WHERE 100 * sh.shared >= 80 * LEAST(sa.n, sb.n)
+)
+"""
+
 _LSH_CTE = """
 WITH planes AS (
   SELECT t.t AS t, b.b AS b, d.d AS d,
@@ -1397,6 +1434,12 @@ def _q_containment_pairs(spark, sf_dir):
     return docdedup.containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _q_containment_dedup(spark, sf_dir):
+    # The removal half: per doc, kept / contained_in (smaller-
+    # fingerprint side drops, smallest container as the pointer).
+    return docdedup.containment_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def _q_eval_contamination(spark, sf_dir):
     # Eval set = a deterministic benchmark-sized slice of the corpus
     # (doc_id % 31); contamination = other docs leaking its 5-grams.
@@ -2120,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_canonical": _q_dedup_canonical,
         "docs_dedup_minhash_lsh": _q_minhash_lsh,
         "docs_containment_pairs": _q_containment_pairs,
+        "docs_containment_dedup": _q_containment_dedup,
     }
     graded = _latest_graded_round()
     order = {name: i for i, name in enumerate(reg)}
@@ -2908,37 +2952,24 @@ def oracle_sql() -> dict[str, str]:
         # Mirrors dedup.containment_pairs: mod-4 sampled 8-char-gram md5
         # fingerprints, df<=50 prune, inverted-index pair join, integer
         # containment compare on the smaller side's retained count.
-        "docs_containment_pairs": """
-            WITH d AS (
-              SELECT doc_id, coalesce(text, '') AS t FROM documents
-            ), g AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(1, length(t) - 8 + 2),
-                            i -> md5(substr(t, CAST(i AS INT), 8)))) AS h
-              FROM d WHERE length(t) >= 8
-            ), fp0 AS (
-              SELECT DISTINCT doc_id, h FROM g
-              WHERE CAST(CAST('0x' || substr(h, 1, 8) AS UBIGINT)
-                         AS BIGINT) % 4 = 0
-            ), dfc AS (
-              SELECT h, COUNT(*) AS df FROM fp0 GROUP BY h
-            ), fp AS (
-              SELECT f.doc_id, f.h
-              FROM fp0 f JOIN dfc USING (h) WHERE dfc.df <= 50
-            ), sz AS (
-              SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id
-            ), sh AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     COUNT(*) AS shared
-              FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
+        "docs_containment_pairs": _CONTAINMENT_CTE
+        + """
+            SELECT id_a, id_b, shared, n_a, n_b FROM cpairs
+        """,
+        # Mirrors dedup.containment_dedup: the contained side is the one
+        # with fewer retained fingerprints (larger id on ties), pointer
+        # = smallest container, RAW (not transitively resolved).
+        "docs_containment_dedup": _CONTAINMENT_CTE
+        + """
+            , rm AS (
+              SELECT CASE WHEN n_a < n_b THEN id_a ELSE id_b END AS doc_id,
+                     CASE WHEN n_a < n_b THEN id_b ELSE id_a END AS c
+              FROM cpairs
+            ), agg AS (
+              SELECT doc_id, MIN(c) AS contained_in FROM rm GROUP BY doc_id
             )
-            SELECT sh.id_a, sh.id_b, sh.shared,
-                   CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
-            FROM sh
-            JOIN sz sa ON sa.doc_id = sh.id_a
-            JOIN sz sb ON sb.doc_id = sh.id_b
-            WHERE 100 * sh.shared >= 80 * LEAST(sa.n, sb.n)
+            SELECT d.doc_id, a.contained_in IS NULL AS kept, a.contained_in
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # SimHash pairs: the engine's pigeonhole banding is EXACT (any
         # pair at Hamming<=3 shares a full band), so its output equals

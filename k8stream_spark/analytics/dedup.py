@@ -382,6 +382,54 @@ def containment_pairs(
     )
 
 
+def containment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    mod: int = 4,
+    max_df: int = 50,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """The removal half of ``containment_pairs`` (the
+    ``remove_duplicate_spans`` precedent: detect + act as separate,
+    separately-audited operators): per document, is it CONTAINED in
+    another and should therefore drop from the corpus.
+
+    The contained side of a pair is the one with FEWER retained
+    fingerprints (its own set is the covered one — Broder's containment
+    is asymmetric); on equal counts the larger id drops, keeping the
+    house lowest-id-survives convention.  ``contained_in`` is the
+    smallest container id, RAW like ``semantic_dedup.dup_of`` — on a
+    chain c ⊂ b ⊂ a both b and c drop and c may point at the dropped b;
+    follow pointers to a kept root for transitive substitution (ids do
+    not necessarily decrease along containment chains, but the pointer
+    walk is bounded by chain depth).
+
+    Output: one row per input doc — (doc_id, kept, contained_in).
+    Scale adds nothing beyond ``containment_pairs``: one groupBy-min
+    over the (pair-sized) removal stream and one id-keyed left join.
+    """
+    pairs = containment_pairs(
+        df, text_col, k=k, mod=mod, max_df=max_df,
+        threshold_pct=threshold_pct,
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    removed = F.when(na < nb, F.col("id_a")).otherwise(F.col("id_b"))
+    container = F.when(na < nb, F.col("id_b")).otherwise(F.col("id_a"))
+    rm = pairs.select(
+        removed.alias("doc_id"), container.alias("__c")
+    ).groupBy("doc_id").agg(F.min("__c").alias("contained_in"))
+    return (
+        df.select("doc_id")
+        .join(rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("contained_in").isNull().alias("kept"),
+            "contained_in",
+        )
+    )
+
+
 def eval_contamination(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -113,6 +113,7 @@ AUDITED = [
     "events_approx_user_counts",
     "events_value_quantiles_sketch",
     "docs_containment_pairs",
+    "docs_containment_dedup",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh and

@@ -387,3 +387,28 @@ def test_containment_pairs_planted(spark):
     # the smaller side's fingerprints are (almost) all shared
     assert r.shared * 100 >= 80 * min(r.n_a, r.n_b)
     assert r.n_a > r.n_b  # doc 0 is the longer side
+
+
+def test_containment_dedup_drops_contained_side(spark):
+    """The fewer-fingerprint (contained) side drops with a pointer at
+    its container; unrelated docs keep; every input doc appears."""
+    import random
+
+    from k8stream_spark.analytics.dedup import containment_dedup
+
+    rng = random.Random(7)
+    words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    long_text = " ".join(rng.choice(words) for _ in range(400))
+    df = spark.createDataFrame(
+        [
+            (0, long_text),
+            (1, long_text[50:130]),           # contained in 0
+            (2, " ".join(reversed(words)) * 12),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in containment_dedup(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].kept and out[0].contained_in is None
+    assert not out[1].kept and out[1].contained_in == 0
+    assert out[2].kept
