@@ -131,9 +131,10 @@ BENCH_QUERIES = (
     "docs_curation_pipeline",
     # r8 surface: the LSH graph + its CC composition (the 100 TB cluster
     # pipeline, replacing the exact twins that moved to the baseline
-    # tier)
+    # tier), and the containment inverted-index join
     "emb_knn_graph_mutual_lsh",
     "emb_semantic_clusters_lsh",
+    "docs_containment_pairs",
 )
 
 
