@@ -1440,6 +1440,12 @@ def _q_containment_dedup(spark, sf_dir):
     return docdedup.containment_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_containment_roots(spark, sf_dir):
+    # Transitive resolution of contained_in chains: path-doubling
+    # pointer jumps to a KEPT root (c ⊂ b ⊂ a → both point at a).
+    return docdedup.containment_roots(load_table(spark, sf_dir, "documents"))
+
+
 def _q_eval_contamination(spark, sf_dir):
     # Eval set = a deterministic benchmark-sized slice of the corpus
     # (doc_id % 31); contamination = other docs leaking its 5-grams.
@@ -2164,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_minhash_lsh": _q_minhash_lsh,
         "docs_containment_pairs": _q_containment_pairs,
         "docs_containment_dedup": _q_containment_dedup,
+        "docs_containment_roots": _q_containment_roots,
     }
     graded = _latest_graded_round()
     order = {name: i for i, name in enumerate(reg)}
@@ -2970,6 +2977,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, a.contained_in IS NULL AS kept, a.contained_in
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # Mirrors dedup.containment_roots: recursive pointer walk over
+        # the contained_in functional graph until the root is a kept
+        # doc.  agg is MATERIALIZED (the recursive-CTE gotcha: inlined
+        # CTEs re-run the whole fingerprint pipeline per iteration);
+        # the walk is single-path per doc and acyclic (pointers ascend
+        # the (fingerprint-count, -id) order), so the final row per doc
+        # is the one whose root is not itself dropped.
+        "docs_containment_roots": _CONTAINMENT_CTE.replace(
+            "WITH d AS", "WITH RECURSIVE d AS"
+        )
+        + """
+            , rm AS (
+              SELECT CASE WHEN n_a < n_b THEN id_a ELSE id_b END AS doc_id,
+                     CASE WHEN n_a < n_b THEN id_b ELSE id_a END AS c
+              FROM cpairs
+            ), agg AS MATERIALIZED (
+              SELECT doc_id, MIN(c) AS contained_in FROM rm GROUP BY doc_id
+            ), walk AS (
+              SELECT doc_id, contained_in AS root FROM agg
+              UNION ALL
+              SELECT w.doc_id, a.contained_in AS root
+              FROM walk w JOIN agg a ON a.doc_id = w.root
+            ), resolved AS (
+              SELECT w.doc_id, w.root
+              FROM walk w LEFT JOIN agg a2 ON a2.doc_id = w.root
+              WHERE a2.doc_id IS NULL
+            )
+            SELECT d.doc_id,
+                   a.contained_in IS NULL AS kept,
+                   COALESCE(r.root, d.doc_id) AS root_id
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN resolved r ON r.doc_id = d.doc_id
         """,
         # SimHash pairs: the engine's pigeonhole banding is EXACT (any
         # pair at Hamming<=3 shares a full band), so its output equals

@@ -139,9 +139,30 @@ BENCH_QUERIES = (
 
 
 def _newest_committed_times() -> dict[str, float]:
-    """Per-query timings from the newest committed BENCH_r*.json with a
-    parseable queries map (regression reference for tier 2)."""
+    """Per-query timings serving as the tier-2 regression reference.
+
+    Primary source: the committed ``BENCH_FULL_latest.json`` (previous
+    round's full per-query detail — tier2 entries compare
+    like-for-like against past tier2 timings).  The old path read the
+    stdout ``queries`` map out of BENCH_r*.json, which (a) holds
+    headline timings only, so tier-2 flagging silently compared
+    against nothing, and (b) broke entirely once the stdout line was
+    compacted (the r8 truncation incident).  BENCH_r*.json remains a
+    fallback for a fresh clone missing the full file."""
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(
+            os.path.join(here, "BENCH_FULL_latest.json"), encoding="utf-8"
+        ) as fh:
+            full = json.load(fh)
+        ref: dict[str, float] = {}
+        for tier in ("tier2", "headline", "baseline"):
+            for k, v in (full.get(tier) or {}).items():
+                ref[k] = float(v)
+        if ref:
+            return ref
+    except (OSError, ValueError, TypeError):
+        pass
     best: tuple[int, dict[str, float]] = (0, {})
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -206,30 +227,47 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         return dt
 
-    def run_tier(names, n_reps) -> tuple[dict, dict, dict, float]:
+    def run_tier(
+        names, n_reps, heavy_extra_rep=False
+    ) -> tuple[dict, dict, dict, dict, float]:
         timings: dict[str, float] = {}
         medians: dict[str, float] = {}
         maxes: dict[str, float] = {}
+        reps_used: dict[str, int] = {}
         total = 0.0
         for name in names:
-            samples = sorted(run_once(name) for _ in range(n_reps))
+            samples = [run_once(name) for _ in range(n_reps)]
+            # Tier-2 de-noising (r8 verdict item 2): a single-shot
+            # timing over ~2 s is dominated by first-touch costs
+            # (codegen, footer cache, broadcast build) — e.g.
+            # a1_service_pod_map read 7.31 s single-shot while its
+            # composed parts run ~4 s warm — so heavy entries earn a
+            # second rep and report the min, like the headline tier.
+            if heavy_extra_rep and min(samples) > 2.0:
+                samples.append(run_once(name))
+            samples.sort()
             timings[name] = round(samples[0], 3)
             # Spread disclosed alongside the min so a regression that
             # only widens the tail (or a min hiding a flaky rep) stays
             # visible in round-over-round diffs.
             medians[name] = round(samples[len(samples) // 2], 3)
             maxes[name] = round(samples[-1], 3)
+            reps_used[name] = len(samples)
             total += timings[name]
-        return timings, medians, maxes, round(total, 3)
+        return timings, medians, maxes, reps_used, round(total, 3)
 
-    timings, medians, maxes, total = run_tier(BENCH_QUERIES, reps)
-    b_timings, b_medians, b_maxes, b_total = run_tier(BASELINE_QUERIES, reps)
+    timings, medians, maxes, _, total = run_tier(BENCH_QUERIES, reps)
+    b_timings, b_medians, b_maxes, _, b_total = run_tier(
+        BASELINE_QUERIES, reps
+    )
     tier2_names = [
         n
         for n in qs
         if n not in BENCH_QUERIES and n not in BASELINE_QUERIES
     ]
-    t2_timings, _, _, t2_total = run_tier(tier2_names, 1)
+    t2_timings, _, t2_maxes, t2_reps, t2_total = run_tier(
+        tier2_names, 1, heavy_extra_rep=True
+    )
 
     # Tier-2 regressions vs the newest committed round: >2x flags a
     # query whose only performance record would otherwise silently rot.
@@ -244,7 +282,7 @@ def main() -> None:
         "metric": "bench_full",
         "sf": sf,
         "reps": reps,
-        "agg": "min (tier2: single shot)",
+        "agg": "min (tier2: min-of-2 over 2s, else single shot)",
         "loadavg": list(os.getloadavg()),
         "headline": timings,
         "headline_median": medians,
@@ -253,6 +291,8 @@ def main() -> None:
         "baseline_median": b_medians,
         "baseline_max": b_maxes,
         "tier2": t2_timings,
+        "tier2_max": t2_maxes,
+        "tier2_reps": t2_reps,
         "tier2_flagged_vs_prev": flagged,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -261,26 +301,37 @@ def main() -> None:
     ) as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     # Full detail also to STDERR; the driver-facing headline JSON must
-    # be the LAST stdout line and stay compact (the r5 parser incident).
+    # be the LAST stdout line and stay compact — the driver keeps only
+    # the last ~2000 stdout chars, and r8's line (full 61-entry
+    # headline map + baseline map) overflowed it: the tail was cut
+    # mid-JSON and the round's official number parsed as null (the r5
+    # incident, repeated).  The stdout "queries" map is therefore
+    # BOUNDED to the 12 slowest headline entries (~400 bytes); complete
+    # per-query maps for every tier live in BENCH_FULL_latest.json
+    # (committed each round) and on stderr.
     print(json.dumps(full), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "agg": "min",
-                "baseline": b_timings,
-                "baseline_total": b_total,
-                "tier2_total": t2_total,
-                "tier2_n": len(tier2_names),
-                "tier2_flagged_vs_prev": flagged,
-            }
-        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:12]
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "queries_note": "12 slowest of %d; full maps in BENCH_FULL_latest.json" % len(timings),
+            "sf": sf,
+            "reps": reps,
+            "agg": "min",
+            "headline_n": len(timings),
+            "baseline_total": b_total,
+            "tier2_total": t2_total,
+            "tier2_n": len(tier2_names),
+            "tier2_flagged_vs_prev": flagged[:8],
+        }
+    )
+    assert len(line) < 1500, "stdout line must fit the driver's tail"
+    print(line)
     spark.stop()
 
 

@@ -342,16 +342,22 @@ def containment_pairs(
         F.sequence(F.lit(1), F.length(t) - k + 1),
         lambda i: F.md5(F.substring(t, i, k)),
     )
-    g = df.where(F.length(t) >= k).select(
-        "doc_id", F.explode(grams).alias("__h")
-    )
-    fp0 = (
-        g.where(
-            F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("bigint")
+    # mod-p sampling + per-doc dedup INSIDE the gram array, before the
+    # explode: only ~1/mod of the grams are ever generated as rows
+    # (~4× fewer at mod=4), and array_distinct replaces the
+    # (doc_id, gram) shuffle-distinct that used to follow — identical
+    # retained-fingerprint set, one less exchange, corpus-sized explode
+    # shrunk at the source (r8 verdict item 3).
+    kept = F.array_distinct(
+        F.filter(
+            grams,
+            lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
             % mod
-            == 0
+            == 0,
         )
-        .distinct()
+    )
+    fp0 = df.where(F.length(t) >= k).select(
+        "doc_id", F.explode(kept).alias("__h")
     )
     dfc = fp0.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     fp = fp0.join(dfc.where(F.col("__df") <= max_df), "__h").select(
@@ -428,6 +434,76 @@ def containment_dedup(
             "contained_in",
         )
     )
+
+
+def containment_roots(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    mod: int = 4,
+    max_df: int = 50,
+    threshold_pct: int = 80,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive root resolution over ``containment_dedup``'s RAW
+    ``contained_in`` pointers: on a chain c ⊂ b ⊂ a both b and c drop
+    and c's pointer names the dropped b — this operator walks every
+    pointer to a KEPT document so the substitution target is usable
+    directly (the consumer-side pointer walk the ``containment_dedup``
+    docstring defers, now an audited operator).
+
+    NOT the min-label CC fixpoint (``connected_components``): a
+    containment component's minimum id can itself be a dropped doc
+    (a tiny low-id doc pasted into a large one), so min-label would
+    "resolve" onto a removed document.  The right fixpoint is pointer
+    JUMPING over the functional graph parent(x) = contained_in(x) for
+    dropped x, identity for kept x — and it terminates without cycle
+    risk because pointers strictly ascend the (retained-fingerprint
+    count, −id) order: the container side of every pair has more
+    fingerprints, or equal with a smaller id.
+
+    Path doubling (root := root(root) each round) resolves depth-d
+    chains in ⌈log₂ d⌉ rounds; each round is one id-keyed self-join
+    over (doc_id, root) rows with localCheckpoint plan truncation —
+    the ``connected_components`` shuffle posture exactly.
+
+    Output: one row per input doc — (doc_id, kept, root_id) with
+    root_id a kept doc always (itself when kept).
+    """
+    dd = containment_dedup(
+        df, text_col, k=k, mod=mod, max_df=max_df,
+        threshold_pct=threshold_pct,
+    )
+    labels = dd.select(
+        "doc_id",
+        "kept",
+        F.coalesce(F.col("contained_in"), F.col("doc_id")).alias("root"),
+    ).localCheckpoint()
+    dropped = (
+        dd.where(~F.col("kept"))
+        .select(F.col("doc_id").alias("root"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Converged when no doc's root is itself a dropped doc — an
+        # id-sized semi-join count, the loop's only extra job.
+        if labels.join(dropped, "root", "left_semi").count() == 0:
+            break
+        hop = labels.select(
+            F.col("doc_id").alias("root"), F.col("root").alias("__r2")
+        )
+        # Kept roots map to themselves (coalesce above), so jumping an
+        # already-resolved doc is a no-op — the join stays total.
+        labels = (
+            labels.join(hop, "root")
+            .select("doc_id", "kept", F.col("__r2").alias("root"))
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"containment_roots did not converge in {max_iter} rounds"
+        )
+    return labels.select("doc_id", "kept", F.col("root").alias("root_id"))
 
 
 def eval_contamination(

@@ -297,9 +297,20 @@ class InformerStreamReader(DataSourceStreamReader):
 def _coerce(value, is_ts: bool):
     """Normalize epoch seconds / ISO strings to NAIVE UTC datetimes —
     the schema is TimestampNTZ, and a tz-aware value (ISO '...Z' or
-    '+02:00') would error or shift with the session timezone."""
-    if value is None or not is_ts:
-        return value
+    '+02:00') would error or shift with the session timezone.
+
+    String fields always yield str-or-None: a syntactically valid line
+    whose field holds a JSON number/bool/object would otherwise raise
+    ArrowInvalid on the fast path (``pa.array(..., pa.string())``) and
+    kill the stream even in permissive mode — a harder failure than
+    the documented malformed-line tolerance.  Non-string values render
+    as their JSON text (5 → "5", true → "true", {...} → '{"..."}'),
+    which keeps the downstream permissive ``from_json`` decode
+    (ops/project.py) working on nested objects."""
+    if value is None:
+        return None
+    if not is_ts:
+        return value if isinstance(value, str) else json.dumps(value)
     if isinstance(value, (int, float)):
         return datetime.fromtimestamp(value, tz=timezone.utc).replace(
             tzinfo=None

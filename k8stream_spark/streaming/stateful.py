@@ -229,7 +229,17 @@ def anomaly_stats_stateful(
     """
     from pyspark.sql import functions as F
 
-    quant = df.select(
+    # Null values are dropped BEFORE the state function (matching
+    # histogram_bins_stateful): a null v_milli arrives as NaN in the
+    # float64 pandas column and int(vals.sum()) raises, killing the
+    # whole streaming query on a single null event.  Documented
+    # divergence: here n counts only non-null VALUES (the moment
+    # denominator over observed data), while the batch operator's
+    # denominator is count(1) over rows — nulls included — with a
+    # null-skipping sum.  The streaming form is the statistically
+    # coherent one; consumers matching the batch operator bit-for-bit
+    # must pre-filter nulls on the batch side too.
+    quant = df.where(F.col(value_col).isNotNull()).select(
         F.col(by).alias("grp"),
         F.floor(
             F.col(value_col).cast("double") * F.lit(1000.0) + F.lit(0.5)

@@ -412,3 +412,39 @@ def test_containment_dedup_drops_contained_side(spark):
     assert out[0].kept and out[0].contained_in is None
     assert not out[1].kept and out[1].contained_in == 0
     assert out[2].kept
+
+
+def test_containment_roots_resolve_chain_to_kept_doc(spark):
+    """On a chain c ⊂ b ⊂ a the RAW contained_in pointer can name a
+    dropped doc (c's min container is b, itself contained in a);
+    containment_roots walks every pointer to a KEPT root.  Ids are laid
+    out so the chain actually occurs: the long doc gets the LARGEST id,
+    so min-container pointers land on intermediate (dropped) docs —
+    also the case where CC min-label would resolve onto a dropped doc."""
+    import random
+
+    from k8stream_spark.analytics.dedup import (
+        containment_dedup,
+        containment_roots,
+    )
+
+    rng = random.Random(7)
+    words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    long_text = " ".join(rng.choice(words) for _ in range(400))
+    mid_text = long_text[30:230]
+    short_text = long_text[50:130]  # substring of both mid and long
+    df = spark.createDataFrame(
+        [(0, short_text), (1, mid_text), (2, long_text)],
+        "doc_id bigint, text string",
+    )
+    raw = {r.doc_id: r for r in containment_dedup(df).collect()}
+    assert raw[2].kept
+    assert not raw[1].kept and raw[1].contained_in == 2
+    # the chain: doc 0's raw pointer names the DROPPED doc 1
+    assert not raw[0].kept and raw[0].contained_in == 1
+
+    out = {r.doc_id: r for r in containment_roots(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[2].kept and out[2].root_id == 2
+    assert not out[1].kept and out[1].root_id == 2
+    assert not out[0].kept and out[0].root_id == 2  # resolved past 1

@@ -285,3 +285,31 @@ def test_timestamp_coercion_normalizes_to_naive_utc(tmp_path):
     assert _coerce("2024-03-01T14:00:00+02:00", True) == want
     assert _coerce(None, True) is None
     assert _coerce("left alone", False) == "left alone"
+
+
+def test_non_string_values_in_string_fields_coerce_to_json_text(tmp_path):
+    """A syntactically valid line whose string-schema field holds a JSON
+    number/bool/object must NOT kill the stream: the Arrow fast path
+    builds pa.array(..., pa.string()) which raises ArrowInvalid on raw
+    non-strings.  _coerce renders them as JSON text instead (5 → "5",
+    true → "true", nested objects → their JSON string, which the
+    downstream permissive from_json decode still parses)."""
+    from k8stream_spark.sources.informer import _coerce
+
+    assert _coerce(5, False) == "5"
+    assert _coerce(2.5, False) == "2.5"
+    assert _coerce(True, False) == "true"
+    assert _coerce({"app": "web"}, False) == '{"app": "web"}'
+    assert _coerce([1, 2], False) == "[1, 2]"
+    assert _coerce(None, False) is None
+
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"uid": 123, "message": {"k": "v"}}) + "\n")
+        f.write(json.dumps({"uid": "e2", "count": 7}) + "\n")
+
+    r = _reader(src)
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    rows = _rows(r, parts)  # must not raise ArrowInvalid
+    assert [row[0] for row in rows] == ["123", "e2"]

@@ -201,7 +201,10 @@ def test_anomaly_stats_stateful_matches_batch_fold(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     batch1 = [("a", 1.25), ("a", 2.5), ("b", 10.0)]
-    batch2 = [("a", 0.001), ("b", 10.0)]
+    # Null values must be dropped before the state function (a single
+    # null otherwise reaches the int() fold as NaN and kills the whole
+    # query) and must not count toward n.
+    batch2 = [("a", 0.001), ("b", 10.0), ("a", None), ("c", None)]
 
     latest: dict[str, tuple[int, int, int]] = {}
 
@@ -228,8 +231,11 @@ def test_anomaly_stats_stateful_matches_batch_fold(spark, tmp_path):
     run()
 
     # exact integer replica of the quantized fold over batch1+batch2
+    # (nulls skipped entirely — the all-null group "c" never emits)
     want: dict[str, tuple[int, int, int]] = {}
     for t, v in batch1 + batch2:
+        if v is None:
+            continue
         m = math.floor(v * 1000.0 + 0.5)
         n, s, q_ = want.get(t, (0, 0, 0))
         want[t] = (n + 1, s + m, q_ + m * m)
