@@ -64,6 +64,17 @@ class _RangePartition(InputPartition):
         self.relist = relist
 
 
+class _SpoolSlices(InputPartition):
+    """Several (file, row-range) slices delivered by ONE task.  The
+    measured informer overhead is fixed per-partition Python worker
+    startup (SCALE.md), so many tiny per-file slices — the steady-state
+    spool shape — are packed together instead of paying that cost per
+    file."""
+
+    def __init__(self, slices: list[_RangePartition]):
+        self.slices = slices
+
+
 class InformerStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._path = options.get("path")
@@ -73,15 +84,35 @@ class InformerStreamReader(DataSourceStreamReader):
             options.get("resyncinterval", options.get("resyncInterval", 0))
         )
         self._mode = str(options.get("mode", "permissive")).lower()
+        # Task sizing (r8 verdict item 7): split oversized ranges for
+        # parallelism, pack small ones to amortize per-partition Python
+        # worker startup — the measured fixed cost behind the informer
+        # vs file-source gap.  0 disables repacking (one task per raw
+        # range, the pre-r9 behavior).
+        self._rows_per_part = int(
+            options.get(
+                "rowsperpartition", options.get("rowsPerPartition", 16384)
+            )
+        )
         # (path → (size, mtime_ns, count, sig)) so unchanged files are
         # not re-read on every trigger (driver-side; offsets stay pure
         # data).
         self._count_cache: dict[str, tuple[int, int, int, str]] = {}
-        self._fields = [
-            (f.name, isinstance(f.dataType, TimestampNTZType))
-            for f in schema.fields
-        ]
         from pyspark.sql.types import StringType
+
+        # Per-field coercion kind: "ts" normalizes to naive-UTC
+        # datetimes, "str" stringifies non-string JSON values (the
+        # ArrowInvalid guard), "raw" passes through untouched — map/
+        # struct fields MUST stay raw or Spark's row-path converters
+        # reject the stringified value (convert_map asserts dict).
+        def _kind(dt):
+            if isinstance(dt, TimestampNTZType):
+                return "ts"
+            if isinstance(dt, StringType):
+                return "str"
+            return "raw"
+
+        self._fields = [(f.name, _kind(f.dataType)) for f in schema.fields]
 
         # Arrow fast path eligibility (see read()): only all-string/
         # all-ntz schemas build clean columnar batches; map columns
@@ -198,27 +229,73 @@ class InformerStreamReader(DataSourceStreamReader):
                 end_n, _ = self._entry(end["files"], path)
                 if end_n > 0:
                     parts.append(_RangePartition(path, 0, end_n, True))
-        return parts
+        return self._repack(parts)
+
+    def _repack(
+        self, parts: list[_RangePartition]
+    ) -> list[InputPartition]:
+        """Size tasks to ~``rowsPerPartition`` rows: split oversized
+        ranges (the initial-LIST single-huge-file case would otherwise
+        serialize on one task) and pack small ones (the steady-state
+        many-tiny-appends case would otherwise pay Python worker
+        startup per file).  Deterministic given the same range list —
+        the checkpoint-replay contract ``partitions`` already pins.
+        Single-range groups stay plain ``_RangePartition``."""
+        target = self._rows_per_part
+        if target <= 0:
+            return list(parts)
+        split: list[_RangePartition] = []
+        for p in parts:
+            if p.end - p.start <= target:
+                split.append(p)
+            else:
+                s = p.start
+                while s < p.end:
+                    e = min(s + target, p.end)
+                    split.append(_RangePartition(p.path, s, e, p.relist))
+                    s = e
+        packed: list[InputPartition] = []
+        cur: list[_RangePartition] = []
+        cur_rows = 0
+        for p in split:
+            rows = p.end - p.start
+            if cur and cur_rows + rows > target:
+                packed.append(cur[0] if len(cur) == 1 else _SpoolSlices(cur))
+                cur, cur_rows = [], 0
+            cur.append(p)
+            cur_rows += rows
+        if cur:
+            packed.append(cur[0] if len(cur) == 1 else _SpoolSlices(cur))
+        return packed
 
     def commit(self, end: dict) -> None:
         pass
 
     # -- executor side -----------------------------------------------------
-    def read(self, partition: _RangePartition) -> Iterator:
-        """Deliver the partition's line range.  Fast path: yield Arrow
-        RecordBatches (Spark 4 Python data sources accept them) instead
-        of per-row pickled tuples.  Honest accounting (SCALE.md): this
-        removes the row-at-a-time boundary cost but the measured
-        informer-vs-file-source gap barely moves (~12.5k vs ~18-21k
-        events/s at sf0.1) — profiling puts the remainder in per-
-        partition Python worker startup and driver-side offset
-        planning, i.e. fixed DataSource-API overhead, not data volume,
-        so it amortizes at larger batches.  Falls back to row tuples
-        when the schema has non-string/non-timestamp fields (the
+    def read(self, partition: InputPartition) -> Iterator:
+        """Deliver the partition's line range(s) — a single
+        ``_RangePartition`` or a packed ``_SpoolSlices`` group.  Fast
+        path: yield Arrow RecordBatches (Spark 4 Python data sources
+        accept them) instead of per-row pickled tuples.  Honest
+        accounting (SCALE.md): Arrow removed the row-at-a-time boundary
+        cost but most of the informer-vs-file-source gap is fixed
+        per-partition Python worker startup and driver-side offset
+        planning — hence ``_repack``'s task sizing.  Falls back to row
+        tuples when the schema has non-string/non-timestamp fields (the
         service schema's map columns) or pyarrow is unavailable."""
+        ranges = (
+            partition.slices
+            if isinstance(partition, _SpoolSlices)
+            else [partition]
+        )
         if self._arrow_schema() is not None:
-            return self._read_arrow(partition)
-        return self._read_rows(partition)
+            return self._read_arrow(ranges)
+
+        def rows() -> Iterator[tuple]:
+            for r in ranges:
+                yield from self._read_rows(r)
+
+        return rows()
 
     def _arrow_schema(self):
         """pyarrow schema when every source field is string or
@@ -233,32 +310,37 @@ class InformerStreamReader(DataSourceStreamReader):
             return None
         return pa.schema(
             [
-                pa.field(name, pa.timestamp("us") if is_ts else pa.string())
-                for name, is_ts in self._fields
+                pa.field(
+                    name, pa.timestamp("us") if kind == "ts" else pa.string()
+                )
+                for name, kind in self._fields
             ]
         )
 
-    def _read_arrow(self, partition: _RangePartition) -> Iterator:
+    def _read_arrow(self, ranges: list[_RangePartition]) -> Iterator:
         import pyarrow as pa
 
         schema = self._arrow_schema()
         batch_rows = 4096
         cols: list[list] = [[] for _ in self._fields]
         n = 0
-        for row in self._read_rows(partition):
-            for i, v in enumerate(row):
-                cols[i].append(v)
-            n += 1
-            if n >= batch_rows:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(c, type=f.type)
-                        for c, f in zip(cols, schema)
-                    ],
-                    schema=schema,
-                )
-                cols = [[] for _ in self._fields]
-                n = 0
+        # Batches accumulate ACROSS the packed ranges — many tiny files
+        # still produce full-size Arrow batches.
+        for partition in ranges:
+            for row in self._read_rows(partition):
+                for i, v in enumerate(row):
+                    cols[i].append(v)
+                n += 1
+                if n >= batch_rows:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(c, type=f.type)
+                            for c, f in zip(cols, schema)
+                        ],
+                        schema=schema,
+                    )
+                    cols = [[] for _ in self._fields]
+                    n = 0
         if n:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
@@ -288,29 +370,37 @@ class InformerStreamReader(DataSourceStreamReader):
                             continue
                         raise
                     yield tuple(
-                        _coerce(obj.get(name), is_ts)
-                        for name, is_ts in self._fields
+                        _coerce(obj.get(name), kind)
+                        for name, kind in self._fields
                     )
                 idx += 1
 
 
-def _coerce(value, is_ts: bool):
-    """Normalize epoch seconds / ISO strings to NAIVE UTC datetimes —
-    the schema is TimestampNTZ, and a tz-aware value (ISO '...Z' or
+def _coerce(value, kind: str):
+    """Per-field-kind value normalization.
+
+    ``"ts"``: epoch seconds / ISO strings → NAIVE UTC datetimes — the
+    schema is TimestampNTZ, and a tz-aware value (ISO '...Z' or
     '+02:00') would error or shift with the session timezone.
 
-    String fields always yield str-or-None: a syntactically valid line
-    whose field holds a JSON number/bool/object would otherwise raise
-    ArrowInvalid on the fast path (``pa.array(..., pa.string())``) and
-    kill the stream even in permissive mode — a harder failure than
+    ``"str"``: always yield str-or-None — a syntactically valid line
+    whose string field holds a JSON number/bool/object would otherwise
+    raise ArrowInvalid on the fast path (``pa.array(..., pa.string())``)
+    and kill the stream even in permissive mode, a harder failure than
     the documented malformed-line tolerance.  Non-string values render
     as their JSON text (5 → "5", true → "true", {...} → '{"..."}'),
     which keeps the downstream permissive ``from_json`` decode
-    (ops/project.py) working on nested objects."""
+    (ops/project.py) working on nested objects.
+
+    ``"raw"`` (map/struct fields, row path only): untouched — Spark's
+    row-path converters expect the native shape (convert_map asserts
+    the value is a dict)."""
     if value is None:
         return None
-    if not is_ts:
+    if kind == "str":
         return value if isinstance(value, str) else json.dumps(value)
+    if kind == "raw":
+        return value
     if isinstance(value, (int, float)):
         return datetime.fromtimestamp(value, tz=timezone.utc).replace(
             tzinfo=None
@@ -351,14 +441,19 @@ def informer_stream(
     source_dir: str,
     kind: str = "event",
     resync_interval: int = 0,
+    rows_per_partition: int | None = None,
 ):
     """readStream DataFrame over the informer source — drop-in for the
-    file-stream builders in streaming/pipeline.py."""
+    file-stream builders in streaming/pipeline.py.
+    ``rows_per_partition`` overrides the task-sizing target (see
+    ``_repack``); None keeps the source default."""
     register(spark)
-    return (
+    reader = (
         spark.readStream.format("k8s_informer")
         .option("path", source_dir)
         .option("kind", kind)
         .option("resyncInterval", str(resync_interval))
-        .load()
     )
+    if rows_per_partition is not None:
+        reader = reader.option("rowsPerPartition", str(rows_per_partition))
+    return reader.load()

@@ -146,6 +146,53 @@ def main() -> None:
             }
         )
     )
+    # --- keyed-state analytics twins (r8): per-group moment state for
+    # z-score anomaly scoring and the equi-width histogram-bin state,
+    # both applyInPandasWithState on the RocksDB provider — measured
+    # over the sf events table streamed as JSON.  One line each. ---
+    from k8stream_spark.streaming.stateful import (
+        anomaly_stats_stateful,
+        histogram_bins_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    n_ev = ev.count()
+    ev_src = f"{work}/evsrc"
+    ev.write.mode("overwrite").json(ev_src)
+    for name, op in (
+        ("anomaly_stats_stateful", anomaly_stats_stateful),
+        ("histogram_bins_stateful", histogram_bins_stateful),
+    ):
+        stream = spark.readStream.schema(ev.schema).json(ev_src)
+        t0 = time.time()
+        q = (
+            op(stream)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt-{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+        elapsed = time.time() - t0
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                f"{name} stream did not finish within 600s - refusing to "
+                "report a throughput number for an incomplete run"
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "stream_stateful_throughput",
+                    "operator": name,
+                    "events_in": n_ev,
+                    "seconds": round(elapsed, 2),
+                    "events_per_sec": round(n_ev / elapsed, 1),
+                    "sf_dir": sf_dir,
+                }
+            )
+        )
     spark.stop()
     if len(sys.argv) <= 2:
         shutil.rmtree(work, ignore_errors=True)

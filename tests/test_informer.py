@@ -278,13 +278,13 @@ def test_timestamp_coercion_normalizes_to_naive_utc(tmp_path):
     from k8stream_spark.sources.informer import _coerce
 
     want = __import__("datetime").datetime(2024, 3, 1, 12, 0, 0)
-    assert _coerce(1709294400, True) == want
-    assert _coerce(1709294400.0, True) == want
-    assert _coerce("2024-03-01T12:00:00", True) == want
-    assert _coerce("2024-03-01T12:00:00Z", True) == want
-    assert _coerce("2024-03-01T14:00:00+02:00", True) == want
-    assert _coerce(None, True) is None
-    assert _coerce("left alone", False) == "left alone"
+    assert _coerce(1709294400, "ts") == want
+    assert _coerce(1709294400.0, "ts") == want
+    assert _coerce("2024-03-01T12:00:00", "ts") == want
+    assert _coerce("2024-03-01T12:00:00Z", "ts") == want
+    assert _coerce("2024-03-01T14:00:00+02:00", "ts") == want
+    assert _coerce(None, "ts") is None
+    assert _coerce("left alone", "str") == "left alone"
 
 
 def test_non_string_values_in_string_fields_coerce_to_json_text(tmp_path):
@@ -296,12 +296,12 @@ def test_non_string_values_in_string_fields_coerce_to_json_text(tmp_path):
     downstream permissive from_json decode still parses)."""
     from k8stream_spark.sources.informer import _coerce
 
-    assert _coerce(5, False) == "5"
-    assert _coerce(2.5, False) == "2.5"
-    assert _coerce(True, False) == "true"
-    assert _coerce({"app": "web"}, False) == '{"app": "web"}'
-    assert _coerce([1, 2], False) == "[1, 2]"
-    assert _coerce(None, False) is None
+    assert _coerce(5, "str") == "5"
+    assert _coerce(2.5, "str") == "2.5"
+    assert _coerce(True, "str") == "true"
+    assert _coerce({"app": "web"}, "str") == '{"app": "web"}'
+    assert _coerce([1, 2], "str") == "[1, 2]"
+    assert _coerce(None, "str") is None
 
     src = str(tmp_path / "spool")
     os.makedirs(src)
@@ -313,3 +313,70 @@ def test_non_string_values_in_string_fields_coerce_to_json_text(tmp_path):
     parts = r.partitions(r.initialOffset(), r.latestOffset())
     rows = _rows(r, parts)  # must not raise ArrowInvalid
     assert [row[0] for row in rows] == ["123", "e2"]
+
+
+def test_repack_splits_large_and_packs_small_ranges(tmp_path):
+    """Task sizing: ranges above the rowsPerPartition target split into
+    chunks (initial-LIST parallelism), tiny per-file ranges pack into
+    one task (worker-startup amortization); the row stream is unchanged
+    and replaying the same offsets yields the same groups."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    # one big file (25 rows) + five tiny files (2 rows each)
+    with open(os.path.join(src, "big.json"), "w") as f:
+        for i in range(25):
+            f.write(json.dumps({"uid": f"b{i}"}) + "\n")
+    for j in range(5):
+        with open(os.path.join(src, f"t{j}.json"), "w") as f:
+            for i in range(2):
+                f.write(json.dumps({"uid": f"t{j}-{i}"}) + "\n")
+
+    r = InformerStreamReader(
+        _schema_for("event"), {"path": src, "rowsPerPartition": "10"}
+    )
+    start, end = r.initialOffset(), r.latestOffset()
+    parts = r.partitions(start, end)
+    sizes = []
+    for p in parts:
+        slices = p.slices if hasattr(p, "slices") else [p]
+        sizes.append(sum(s.end - s.start for s in slices))
+    # 25-row file -> 10+10+5; the 5-row remainder packs with tiny files
+    # up to the 10-row target; every group is <= target
+    assert all(s <= 10 for s in sizes)
+    assert sum(sizes) == 35
+    assert len(parts) < 8  # fewer tasks than the 6 raw files + splits
+
+    rows = sorted(row[0] for row in _rows(r, parts))
+    want = sorted(
+        [f"b{i}" for i in range(25)]
+        + [f"t{j}-{i}" for j in range(5) for i in range(2)]
+    )
+    assert rows == want
+
+    # determinism (checkpoint-replay contract)
+    again = r.partitions(start, end)
+    def shape(ps):
+        out = []
+        for p in ps:
+            slices = p.slices if hasattr(p, "slices") else [p]
+            out.append([(s.path, s.start, s.end) for s in slices])
+        return out
+    assert shape(parts) == shape(again)
+
+    # target 0 disables repacking: one partition per raw file range
+    r0 = InformerStreamReader(
+        _schema_for("event"), {"path": src, "rowsPerPartition": "0"}
+    )
+    parts0 = r0.partitions(r0.initialOffset(), r0.latestOffset())
+    assert all(not hasattr(p, "slices") for p in parts0)
+    assert len(parts0) == 6
+
+
+def test_raw_kind_passes_map_values_untouched():
+    """Map/struct fields (the service schema) must stay native — Spark's
+    row-path converter asserts dicts for map columns, so the string
+    coercion must never apply to them."""
+    from k8stream_spark.sources.informer import _coerce
+
+    assert _coerce({"app": "web"}, "raw") == {"app": "web"}
+    assert _coerce(None, "raw") is None
