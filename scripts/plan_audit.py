@@ -116,10 +116,11 @@ AUDITED = [
     "docs_containment_dedup",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
-# it), emb_semantic_clusters, emb_semantic_clusters_lsh and
-# docs_curation_pipeline are iterative (driver-controlled
-# fixpoint loop); a single executed plan doesn't describe them — see
-# the connected_components docstring instead.
+# it), emb_semantic_clusters, emb_semantic_clusters_lsh,
+# docs_curation_pipeline and docs_containment_roots (r9) are iterative
+# (driver-controlled fixpoint loop); a single executed plan doesn't
+# describe them — see the connected_components / containment_roots
+# docstrings instead.
 
 
 def audit(df) -> dict[str, int]:
