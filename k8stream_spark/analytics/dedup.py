@@ -470,19 +470,21 @@ def containment_roots(
     Output: one row per input doc — (doc_id, kept, root_id) with
     root_id a kept doc always (itself when kept).
     """
+    # One materialization of the whole fingerprint pipeline — labels
+    # and the dropped set both derive from this checkpointed id-sized
+    # frame (two separate checkpoints would run containment_dedup
+    # twice).
     dd = containment_dedup(
         df, text_col, k=k, mod=mod, max_df=max_df,
         threshold_pct=threshold_pct,
-    )
+    ).localCheckpoint()
     labels = dd.select(
         "doc_id",
         "kept",
         F.coalesce(F.col("contained_in"), F.col("doc_id")).alias("root"),
-    ).localCheckpoint()
-    dropped = (
-        dd.where(~F.col("kept"))
-        .select(F.col("doc_id").alias("root"))
-        .localCheckpoint()
+    )
+    dropped = dd.where(~F.col("kept")).select(
+        F.col("doc_id").alias("root")
     )
     for _ in range(max_iter):
         # Converged when no doc's root is itself a dropped doc — an
@@ -729,6 +731,14 @@ def connected_components(
     (doc_a, doc_b).  Returns (doc_id, cluster_id, is_canonical).  See
     ``dedup_clusters`` for the algorithmic notes; every shuffle in here
     carries 16-byte (id, label) rows.
+
+    r9 scale fix: the fixpoint iterates over EDGE-TOUCHED nodes only —
+    singletons can never change label (no edge reaches them), yet the
+    old loop shuffled every node's label every round.  On a 100 TB
+    near-dup graph the duplicate-touched fraction is a few percent of
+    the corpus, so this shrinks every per-round exchange by ~the
+    duplicate rate; singletons attach once at the end with their own
+    label, output unchanged.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -746,9 +756,14 @@ def connected_components(
     # join-of-join lineage otherwise grows geometrically and blows up
     # query planning after a handful of rounds (the standard failure
     # mode of iterative DataFrame algorithms).
-    labels = nodes.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint()
+    # (edges is symmetric, so src alone covers every edge endpoint.)
+    labels = (
+        nodes.join(
+            edges.select(F.col("src").alias("doc_id")), "doc_id", "left_semi"
+        )
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
     # Convergence test: labels only ever decrease under min-propagation,
     # so the label SUM is strictly decreasing until fixpoint — one cheap
     # scalar aggregate per round instead of a change-detection join.
@@ -798,7 +813,13 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     edges.unpersist()
-    return labels.select(
+    # Singletons (no edge touched them) re-attach once, outside the
+    # loop, with their own id as label — exactly what the fixpoint
+    # would have produced for them.
+    singletons = nodes.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("label"))
+    return labels.unionByName(singletons).select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
