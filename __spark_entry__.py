@@ -1588,6 +1588,14 @@ def _q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_recall_report(spark, sf_dir):
+    # recall@10 of the LSH top-k vs the exact baseline, per query —
+    # both sides deterministic, so the recall itself is hash-checked.
+    return similarity.ann_recall_report(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10
+    )
+
+
 def _q_cosine_topk_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10
@@ -2038,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_vector_norms": _q_vector_norms,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_cosine_topk_lsh": _q_cosine_topk_lsh,
+        "emb_ann_recall_report": _q_ann_recall_report,
         "emb_cosine_topk_ivf": _q_cosine_topk_ivf,
         "emb_cosine_near_dup": _q_cosine_near_dup,
         "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
@@ -3191,6 +3200,58 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cosine DESC, neighbor_id) AS rank
               FROM scored)
             WHERE rank <= 10
+        """,
+        # Mirrors similarity.ann_recall_report: the exact top-k and the
+        # LSH top-k replayed in one statement (both deterministic), with
+        # recall = |intersection| / n_exact — the recall NUMBERS are
+        # hash-checked, not just bounded by a pytest.
+        "emb_ann_recall_report": _LSH_CTE
+        + f"""
+            , base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), ecand AS (
+              SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(q.v, b.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM base q CROSS JOIN base b
+              WHERE q.vec_id IN {TOPK_QUERY_IDS} AND b.vec_id != q.vec_id
+            ), etop AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS r
+                FROM ecand) WHERE r <= 10
+            ), lcand AS (
+              SELECT DISTINCT q.vid AS query_id, o.vid AS nid
+              FROM bkey q JOIN bkey o ON q.bkt = o.bkt AND o.vid != q.vid
+              WHERE q.vid IN {TOPK_QUERY_IDS}
+            ), lscored AS (
+              SELECT c.query_id, c.nid,
+                     ROUND(list_dot_product(q.v, b.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM lcand c
+              JOIN base q ON q.vec_id = c.query_id
+              JOIN base b ON b.vec_id = c.nid
+            ), ltop AS (
+              SELECT query_id, nid FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, nid) AS r
+                FROM lscored) WHERE r <= 10
+            ), ne AS (
+              SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM etop GROUP BY query_id
+            ), nh AS (
+              SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+              FROM etop e
+              JOIN ltop l ON l.query_id = e.query_id
+                         AND l.nid = e.neighbor_id
+              GROUP BY e.query_id
+            )
+            SELECT ne.query_id, ne.n_exact,
+                   CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+                   ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+            FROM ne LEFT JOIN nh USING (query_id)
         """,
         # Full replay of the integer-exact IVF pipeline (see
         # _ivf_oracle_sql): quantizer training, assignment, probing and

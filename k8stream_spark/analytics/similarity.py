@@ -656,6 +656,60 @@ def _sample_kmeans(
     return C
 
 
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed top-k against the exact brute-force
+    top-k, per query — the engine's measure-don't-guess contract as a
+    FIRST-CLASS query instead of a pytest-only bound: both sides are
+    fully deterministic (exact ranks tie-break by id; the LSH buckets
+    are integer-exact, ``_plane_weights``), so the recall numbers
+    themselves replay in the DuckDB oracle and hash-check.
+
+    Output: one row per query id present in the corpus —
+    (query_id, n_exact, n_hits, recall), recall = hits/n_exact rounded
+    6 dp (n_exact < k only when the corpus is smaller than k+1).
+
+    Scale: recall measurement at 100 TB IS this shape — a constant-size
+    query panel (broadcast) against the full corpus: the exact side is
+    one scan + per-query top-k heaps (TakeOrdered semantics via the
+    rank window over a broadcast panel), the approximate side is the
+    production LSH path under test; the intersection join carries
+    (query, neighbor-id) pairs, ≤ q·k rows.
+    """
+    exact = cosine_topk(embeddings, query_ids, k, vec_col, id_col)
+    approx = cosine_topk_lsh(embeddings, query_ids, k, vec_col, id_col)
+    e = exact.select("query_id", F.col("neighbor_id").alias("__nid"))
+    a = approx.select("query_id", F.col("neighbor_id").alias("__nid"))
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hits = (
+        e.join(a, ["query_id", "__nid"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        n_exact.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("__hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0))
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_ids: tuple[int, ...],
