@@ -215,3 +215,47 @@ def test_value_quantiles_sketch_nearest_rank_law(spark, vals):
     for q, est in ((0.5, r.p50_est), (0.95, r.p95_est)):
         target = ordered[math.ceil(q * n) - 1]
         assert target - 0.011 <= est <= target + 1e-9
+
+
+@PROP
+@given(
+    # Random corpora built from substrings of one base text: guarantees
+    # containment structure (chains included) without hand-picking it.
+    spans=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(40, 400)),
+        min_size=2,
+        max_size=6,
+    ),
+    seed=st.integers(0, 3),
+)
+def test_containment_roots_invariants(spark, spans, seed):
+    """Laws of containment_roots on randomized substring corpora:
+    (1) one output row per input doc; (2) kept docs are their own root;
+    (3) every root_id refers to a KEPT doc (the operator's whole point:
+    raw contained_in pointers may name dropped docs, roots never do);
+    (4) the kept/dropped partition matches containment_dedup exactly."""
+    import random
+
+    from k8stream_spark.analytics.dedup import (
+        containment_dedup,
+        containment_roots,
+    )
+
+    rng = random.Random(seed)
+    words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    base = " ".join(rng.choice(words) for _ in range(200))
+    rows = [
+        (i, base[s % len(base): (s % len(base)) + ln])
+        for i, (s, ln) in enumerate(spans)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    roots = {r.doc_id: r for r in containment_roots(df).collect()}
+    dd = {r.doc_id: r for r in containment_dedup(df).collect()}
+
+    assert set(roots) == {i for i, _ in rows}                      # (1)
+    kept_ids = {i for i, r in roots.items() if r.kept}
+    for i, r in roots.items():
+        if r.kept:
+            assert r.root_id == i                                  # (2)
+        assert r.root_id in kept_ids                               # (3)
+        assert dd[i].kept == r.kept                                # (4)
