@@ -999,6 +999,8 @@ def incremental_dedup(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    ref_sigs: DataFrame | None = None,
+    ref_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing REFERENCE corpus — the
     production shape of continuous ingestion (every crawl round dedups
@@ -1021,6 +1023,15 @@ def incremental_dedup(
     one md5 equi-join (hash only), one (band_idx, band_hash) equi-join,
     then candidate verification on (id, id) rows + shingle-hash lookup
     joins — text bytes never cross an exchange.
+
+    ``ref_sigs`` / ``ref_hashes`` (r9): the persist-once-per-corpus-
+    version artifacts, precomputed by callers that audit many new
+    batches against one corpus version — the streaming gate
+    (``pipeline.near_dup_gate_sink``) would otherwise re-shingle the
+    whole reference every micro-batch.  Pass the frames returned by
+    ``minhash_signature(ref_docs, ...)`` and the distinct
+    ``md5(text) AS __h`` projection respectively; when supplied they
+    are treated as caller-owned (not unpersisted here).
     """
     r = num_hashes // bands
 
@@ -1042,9 +1053,10 @@ def incremental_dedup(
 
     # Exact check: reference md5 set is (hash)-only — at 100 TB this is
     # the incremental bloom/anti-join everybody runs first.
-    ref_hashes = ref_docs.select(
-        F.md5(F.col(text_col)).alias("__h")
-    ).distinct()
+    if ref_hashes is None:
+        ref_hashes = ref_docs.select(
+            F.md5(F.col(text_col)).alias("__h")
+        ).distinct()
     new_hashed = new_docs.select("doc_id", F.md5(F.col(text_col)).alias("__h"))
     exact = (
         new_hashed.join(
@@ -1061,9 +1073,11 @@ def incremental_dedup(
     new_sigs = minhash_signature(new_docs, text_col, num_hashes, shingle_n)
     new_sigs = new_sigs.persist()
     new_sigs.count()
-    ref_sigs = minhash_signature(ref_docs, text_col, num_hashes, shingle_n)
-    ref_sigs = ref_sigs.persist()
-    ref_sigs.count()
+    caller_owns_ref = ref_sigs is not None
+    if ref_sigs is None:
+        ref_sigs = minhash_signature(ref_docs, text_col, num_hashes, shingle_n)
+        ref_sigs = ref_sigs.persist()
+        ref_sigs.count()
 
     candidates = (
         banded(new_sigs, "new_id")
@@ -1099,7 +1113,7 @@ def incremental_dedup(
             F.max("jaccard").alias("max_jaccard"),
         )
     )
-    return (
+    out = (
         exact.join(
             verified.select(
                 F.col("new_id").alias("doc_id"), "near_dup_of", "max_jaccard"
@@ -1117,6 +1131,16 @@ def incremental_dedup(
             ).alias("kept"),
         )
     )
+    if caller_owns_ref:
+        # Caller-supplied reference artifacts = the per-micro-batch
+        # streaming path: a long-lived session would otherwise
+        # accumulate one new_sigs cache entry per trigger.  Finalize
+        # (eager, doc-count-sized output) and release our own persist;
+        # the caller's reference frames are left untouched.
+        from k8stream_spark.analytics._cache import finalize
+
+        out = finalize(out, new_sigs)
+    return out
 
 
 def incremental_exact_filter(

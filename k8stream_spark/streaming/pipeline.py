@@ -268,6 +268,70 @@ def sink_foreach_batch(
     return fn
 
 
+def near_dup_gate_sink(
+    ref_docs: DataFrame,
+    sink_fn,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+):
+    """Continuous-ingestion NEAR-dup gate — the foreachBatch binding the
+    ``incremental_exact_filter`` docstring defers to: each micro-batch
+    is one crawl round audited by the batch operator
+    ``analytics.dedup.incremental_dedup`` (new-batch × reference-corpus
+    banded LSH join; within-stream dedup remains the separate
+    ``dedup_streaming`` stage, as in the exact document gate).
+
+    The reference corpus artifacts — the minhash signature frame and
+    the md5 set — are computed ONCE here and reused by every trigger
+    (the persist-once-per-corpus-version contract from the
+    ``incremental_dedup`` docstring): at 100 TB re-shingling the corpus
+    per micro-batch would dwarf the batch itself.  Per-doc audit rows
+    are independent across new docs (each is judged against the
+    reference only), so the union of per-trigger audits equals the
+    one-shot batch audit regardless of how the stream is micro-batched
+    — the batch/stream symmetry contract, pinned by pytest.
+
+    ``sink_fn(audit_df, batch_id)`` receives the full audit frame
+    (doc_id, is_exact_dup, near_dup_of, max_jaccard, kept); filter on
+    ``kept`` for the survivor stream.  Returns the foreachBatch fn.
+    """
+    from k8stream_spark.analytics.dedup import (
+        incremental_dedup,
+        minhash_signature,
+    )
+    from pyspark.sql import functions as F
+
+    ref_sigs = minhash_signature(
+        ref_docs, text_col, num_hashes, shingle_n
+    ).persist()
+    ref_sigs.count()
+    ref_hashes = (
+        ref_docs.select(F.md5(F.col(text_col)).alias("__h"))
+        .distinct()
+        .persist()
+    )
+    ref_hashes.count()
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        audited = incremental_dedup(
+            batch_df,
+            ref_docs,
+            text_col=text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            ref_sigs=ref_sigs,
+            ref_hashes=ref_hashes,
+        )
+        sink_fn(audited, batch_id)
+
+    return fn
+
+
 def distributed_json_sink(base_path: str, compress_gzip: bool = True):
     """The scale sink: every partition writes in parallel through the JVM
     JSON writer; one directory per micro-batch."""

@@ -39,6 +39,23 @@ def main() -> None:
 
     import k8stream_spark.sources.informer as informer_mod
 
+    # One UNTIMED warm run first: the first streaming pipeline in a
+    # session pays state-store init, codegen and page-cache costs that
+    # dwarf any task-sizing effect (the r9 first sweep ran targets in
+    # ascending order and mistook this warmup for a 3x packing win —
+    # interleaved reruns showed warm runs at ~1.4-1.5 s for target 0
+    # AND 16384 alike).  Measure warm, interleave targets.
+    warm = run_pipeline(
+        spark, src, objects, nodes,
+        sink_fn=distributed_json_sink(f"{work}/out-warm", compress_gzip=True),
+        checkpoint_dir=f"{work}/ckpt-warm",
+        available_now=True, namespaces=(), reasons=(),
+        source_format="informer",
+    )
+    if not warm.awaitTermination(600):
+        warm.stop()
+        raise RuntimeError("warmup run did not finish")
+
     for target in targets:
         # The pipeline builds the stream itself; steer the source
         # default for this run.

@@ -146,6 +146,47 @@ def main() -> None:
             }
         )
     )
+    # --- continuous-ingestion NEAR-dup gate (r9): per micro-batch,
+    # the new docs audit against the reference corpus through the
+    # banded LSH join (pipeline.near_dup_gate_sink).  The reference
+    # artifacts (signature frame + md5 set) are a once-per-corpus-
+    # version cost, reported separately from the per-doc rate. ---
+    from k8stream_spark.streaming.pipeline import near_dup_gate_sink
+
+    t0 = time.time()
+    gate_fn = near_dup_gate_sink(
+        ref, lambda df, _b: df.write.format("noop").mode("overwrite").save()
+    )
+    prep_s = time.time() - t0
+    stream2 = spark.readStream.schema(new.schema).json(doc_src)
+    t0 = time.time()
+    q = (
+        stream2.writeStream.outputMode("append")
+        .foreachBatch(gate_fn)
+        .option("checkpointLocation", f"{work}/ckpt-neardup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    elapsed = time.time() - t0
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "near-dup gate stream did not finish within 600s - refusing "
+            "to report a throughput number for an incomplete run"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "stream_near_dup_gate_throughput",
+                "docs_in": n_docs,
+                "seconds": round(elapsed, 2),
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                "ref_artifact_prep_sec": round(prep_s, 2),
+                "sf_dir": sf_dir,
+            }
+        )
+    )
     # --- keyed-state analytics twins (r8): per-group moment state for
     # z-score anomaly scoring and the equi-width histogram-bin state,
     # both applyInPandasWithState on the RocksDB provider — measured

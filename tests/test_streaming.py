@@ -544,6 +544,72 @@ def test_incremental_exact_filter_stream_static(spark, tmp_path):
     assert sorted(got) == [11, 13]
 
 
+def test_near_dup_gate_streaming_matches_batch_audit(spark, tmp_path):
+    """The LSH near-dup gate under foreachBatch: micro-batches audited
+    against a fixed reference corpus produce, in union, exactly the
+    one-shot batch incremental_dedup audit — per-doc rows are
+    independent across new docs, so micro-batching cannot change them.
+    Two spool files + maxFilesPerTrigger=1 force >=2 micro-batches so
+    the per-trigger reuse of the reference artifacts is actually
+    exercised."""
+    import json as _json
+
+    from k8stream_spark.analytics.dedup import incremental_dedup
+    from k8stream_spark.streaming.pipeline import near_dup_gate_sink
+
+    base = [f"w{i}" for i in range(30)]
+    ref = spark.createDataFrame(
+        [
+            (0, " ".join(base)),
+            (2, " ".join(f"r{i}" for i in range(30))),
+        ],
+        "doc_id bigint, text string",
+    )
+    new_rows = [
+        (11, " ".join(base)),                        # exact dup of ref 0
+        (13, " ".join(base + ["tail", "bits"])),     # near-dup of ref 0
+        (15, " ".join(f"q{i}" for i in range(30))),  # unique
+        (17, " ".join(f"z{i}" for i in range(25))),  # unique, 2nd batch
+    ]
+    src = str(tmp_path / "gate_src")
+    os.makedirs(src, exist_ok=True)
+    for fname, rows in (("a.json", new_rows[:2]), ("b.json", new_rows[2:])):
+        with open(os.path.join(src, fname), "w") as f:
+            for i, t in rows:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    audits: list[tuple] = []
+    batch_ids: set[int] = set()
+
+    def collect(audit_df, bid):
+        batch_ids.add(bid)
+        audits.extend(
+            (r.doc_id, r.is_exact_dup, r.near_dup_of, r.max_jaccard, r.kept)
+            for r in audit_df.collect()
+        )
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(near_dup_gate_sink(ref, collect))
+        .option("checkpointLocation", str(tmp_path / "ckpt-gate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert len(batch_ids) >= 2  # the reuse path ran more than once
+
+    new = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+    want = {
+        (r.doc_id, r.is_exact_dup, r.near_dup_of, r.max_jaccard, r.kept)
+        for r in incremental_dedup(new, ref).collect()
+    }
+    assert set(audits) == want
+    assert len(audits) == len(new_rows)
+
+
 def test_session_window_agg_streaming_with_watermark(spark, tmp_path):
     """The native session_window operator runs in STREAMING with a
     watermark — the batch/stream symmetry claim for the sessionization
