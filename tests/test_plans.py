@@ -48,7 +48,27 @@ ALLOW: dict[str, tuple[int, int]] = {
     "docs_bm25_topk": (0, 1),           # corpus stats single row
     "docs_hybrid_rrf": (0, 1),          # corpus stats single row
     "events_window_range_counts": (2, 0),  # two bounded bin rollups
+    # heavy tier2 entries (not headline, audited here anyway):
+    "a1_service_pod_map": (0, 1),       # contains J4's pinned empty-case
+    "j5_pod_service_reverse_index": (0, 1),  # same J4 composition
+    "emb_ann_recall_report": (0, 2),    # exact baseline's broadcast panel
+    "docs_semantic_dedup_invariants": (1, 1),  # scalar invariant compares
 }
+
+#: The heaviest non-iterative tier2 queries ride the same gate — their
+#: only other plan audit is a human reading PLANS.md.
+HEAVY_TIER2 = (
+    "a1_service_pod_map",
+    "j5_pod_service_reverse_index",
+    "docs_containment_dedup",
+    "text_ngram_novelty",
+    "docs_dedup_ngram_jaccard",
+    "docs_eval_contamination",
+    "docs_dedup_simhash",
+    "emb_cosine_topk_lsh",
+    "emb_ann_recall_report",
+    "docs_semantic_dedup_invariants",
+)
 
 
 def _headline_names():
@@ -60,7 +80,9 @@ def _headline_names():
         "emb_semantic_clusters_lsh",
         "docs_semantic_dedup",
     }
-    return [n for n in bench.BENCH_QUERIES if n not in skip]
+    return [n for n in bench.BENCH_QUERIES if n not in skip] + [
+        n for n in HEAVY_TIER2 if n not in bench.BENCH_QUERIES
+    ]
 
 
 @pytest.fixture(scope="module")
