@@ -307,6 +307,16 @@ def service_pod_map(
     """A1 — per-service pod map: podName → miniPodInfo-JSON
     (reference event_service.go:88-96).  ``map_from_entries(collect_list)``
     is a single shuffle on service_uid with partial aggregation map-side.
+
+    Cost is OUTPUT-bound, not plan-bound (r9 measurement): the shuffle
+    carries one JSON string per (service, pod) pair because the map
+    values ARE those strings — on the fixture, empty-selector services
+    match all pods (150k-entry maps, ~3M pairs total), and the 2.5 s
+    this adds over the bare J4 pairs at sf0.1 is the price of
+    materializing that output.  Real clusters bound map size by actual
+    pods-per-service; a corpus where one group's map cannot fit a row
+    needs a different CONTRACT (e.g. the (service, pod) pair stream J4
+    already returns), not a different plan.
     """
     pod_info = pods.select(
         F.col(pod_key).alias("pod_uid"),
