@@ -23,8 +23,11 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from k8stream_spark.analytics import _cache
     if lazy:
+        # Imported lazily so the harness also runs inside a git worktree
+        # of a pre-_cache round (the cross-round bisect workflow).
+        from k8stream_spark.analytics import _cache
+
         _cache.EAGER = False
     import __spark_entry__ as entrymod
     from k8stream_spark.session import get_spark
