@@ -465,6 +465,62 @@ WHERE rank <= {k}"""
     return _ivf_training_sql(iters, dim).replace("__TAIL__", tail)
 
 
+# Recall@k of the IVF path vs exact, replayed end to end: the training
+# chain gives every vector's cell (asgf) and per-query probe ranking
+# (ranked); both top-k sides and their intersection counts are
+# deterministic, so the recall NUMBERS hash-check like the LSH twin.
+def _ivf_recall_oracle_sql(
+    iters: int = 4, nprobe: int = 8, k: int = 10, dim: int = 64
+) -> str:
+    qids = "(" + ",".join(str(i) for i in (0, 1, 2, 3, 4)) + ")"
+    tail = f""", probes AS (
+  SELECT pid AS query_id, cell FROM ranked
+  WHERE pid IN {qids} AND rn <= {nprobe}
+), cand AS (
+  SELECT p.query_id, m.pid AS neighbor_id
+  FROM probes p JOIN asgf m ON m.cell = p.cell
+  WHERE m.pid != p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(bq.x, bn.x)
+               / (sqrt(list_dot_product(bq.x, bq.x))
+                  * sqrt(list_dot_product(bn.x, bn.x))), 6) AS cosine
+  FROM cand c
+  JOIN base bq ON bq.id = c.query_id
+  JOIN base bn ON bn.id = c.neighbor_id
+), ltop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= {k}
+), ecand AS (
+  SELECT q.id AS query_id, b.id AS neighbor_id,
+         ROUND(list_dot_product(q.x, b.x)
+               / (sqrt(list_dot_product(q.x, q.x))
+                  * sqrt(list_dot_product(b.x, b.x))), 6) AS cosine
+  FROM base q CROSS JOIN base b
+  WHERE q.id IN {qids} AND b.id != q.id
+), etop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS r
+    FROM ecand) WHERE r <= {k}
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM etop GROUP BY query_id
+), nh AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM etop e JOIN ltop l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+FROM ne LEFT JOIN nh USING (query_id)"""
+    return _ivf_training_sql(iters, dim).replace("__TAIL__", tail)
+
+
 # Oracle for docs_semantic_dedup (similarity.semantic_dedup_replayable):
 # the IVF training replay provides every vector's final cell (asgf);
 # within a cell, each pair (a < b) is scored with the raw-double cosine
@@ -1596,6 +1652,16 @@ def _q_ann_recall_report(spark, sf_dir):
     )
 
 
+def _q_ivf_recall_report(spark, sf_dir):
+    # the IVF sibling: recall@10 of the replayable-quantizer IVF path.
+    return similarity.ann_recall_report(
+        load_table(spark, sf_dir, "embeddings"),
+        TOPK_QUERY_IDS,
+        k=10,
+        method="ivf",
+    )
+
+
 def _q_cosine_topk_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10
@@ -2047,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_cosine_topk,
         "emb_cosine_topk_lsh": _q_cosine_topk_lsh,
         "emb_ann_recall_report": _q_ann_recall_report,
+        "emb_ivf_recall_report": _q_ivf_recall_report,
         "emb_cosine_topk_ivf": _q_cosine_topk_ivf,
         "emb_cosine_near_dup": _q_cosine_near_dup,
         "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
@@ -3258,6 +3325,7 @@ def oracle_sql() -> dict[str, str]:
         # rerank are all reproduced bit-for-bit, so the APPROXIMATE
         # result itself is hash-checked, not just a recall bound.
         "emb_cosine_topk_ivf": _ivf_oracle_sql(),
+        "emb_ivf_recall_report": _ivf_recall_oracle_sql(),
         "docs_semantic_dedup": _semantic_dedup_oracle_sql(threshold=0.45),
         "events_approx_user_counts": _hll_oracle_sql(),
         "emb_pq_encode": _pq_oracle_sql(),

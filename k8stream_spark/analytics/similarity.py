@@ -662,13 +662,17 @@ def ann_recall_report(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "lsh",
 ) -> DataFrame:
-    """Recall@k of the LSH-bucketed top-k against the exact brute-force
-    top-k, per query — the engine's measure-don't-guess contract as a
-    FIRST-CLASS query instead of a pytest-only bound: both sides are
-    fully deterministic (exact ranks tie-break by id; the LSH buckets
-    are integer-exact, ``_plane_weights``), so the recall numbers
-    themselves replay in the DuckDB oracle and hash-check.
+    """Recall@k of an approximate top-k path against the exact
+    brute-force top-k, per query — the engine's measure-don't-guess
+    contract as a FIRST-CLASS query instead of a pytest-only bound:
+    both sides are fully deterministic (exact ranks tie-break by id;
+    the LSH buckets are integer-exact via ``_plane_weights``, the IVF
+    quantizer is the integer-exact replayable one), so the recall
+    numbers themselves replay in the DuckDB oracle and hash-check.
+    ``method``: ``"lsh"`` (default) or ``"ivf"`` — the two production
+    ANN paths under test.
 
     Output: one row per query id present in the corpus —
     (query_id, n_exact, n_hits, recall), recall = hits/n_exact rounded
@@ -682,7 +686,12 @@ def ann_recall_report(
     (query, neighbor-id) pairs, ≤ q·k rows.
     """
     exact = cosine_topk(embeddings, query_ids, k, vec_col, id_col)
-    approx = cosine_topk_lsh(embeddings, query_ids, k, vec_col, id_col)
+    if method == "ivf":
+        approx = cosine_topk_ivf(embeddings, query_ids, k, vec_col, id_col)
+    elif method == "lsh":
+        approx = cosine_topk_lsh(embeddings, query_ids, k, vec_col, id_col)
+    else:
+        raise ValueError(f"unknown ANN method {method!r}")
     e = exact.select("query_id", F.col("neighbor_id").alias("__nid"))
     a = approx.select("query_id", F.col("neighbor_id").alias("__nid"))
     n_exact = exact.groupBy("query_id").agg(
