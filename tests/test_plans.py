@@ -52,6 +52,7 @@ ALLOW: dict[str, tuple[int, int]] = {
     "a1_service_pod_map": (0, 1),       # contains J4's pinned empty-case
     "j5_pod_service_reverse_index": (0, 1),  # same J4 composition
     "emb_ann_recall_report": (0, 2),    # exact baseline's broadcast panel
+    "emb_ivf_recall_report": (0, 1),    # same panel; IVF side equi-joins
     "docs_semantic_dedup_invariants": (1, 1),  # scalar invariant compares
 }
 
@@ -67,6 +68,7 @@ HEAVY_TIER2 = (
     "docs_dedup_simhash",
     "emb_cosine_topk_lsh",
     "emb_ann_recall_report",
+    "emb_ivf_recall_report",
     "docs_semantic_dedup_invariants",
 )
 
