@@ -30,6 +30,13 @@ converge tightly while single-shot timings at sf0.1 swing +-30% on
 JIT/footer-cache luck.  The cache is cleared between repeats so
 persisted intermediates (LSH signatures, IVF centroids) are re-earned
 every run, never carried into the min.
+
+Drift control (r9 verdict item 1): a fixed CPU-bound calibration
+canary (codegen hash+xor over ``spark.range``, min-of-3 at session
+start AND end) ships in every BENCH json; the tier-2 regression flag
+divides out canary_now/canary_prev so a slower/faster BOX no longer
+masquerades as a code regression — r6/r8/r9 each burned a round of
+adjudication proving exactly that with worktree side-by-side reruns.
 """
 
 from __future__ import annotations
@@ -38,6 +45,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -138,31 +146,79 @@ BENCH_QUERIES = (
 )
 
 
-def _newest_committed_times() -> dict[str, float]:
-    """Per-query timings serving as the tier-2 regression reference.
+#: Fixed CPU-bound calibration canary: whole-stage-codegen hash+xor
+#: over a synthetic range — no files, no cache, no shuffle beyond the
+#: single-row final agg — so its runtime tracks the box's effective
+#: CPU throughput (frequency, steal, contention) and nothing about the
+#: repo's own code.  bit_xor never overflows under ANSI mode.
+CANARY_ROWS = 2_000_000_000
 
-    Primary source: the committed ``BENCH_FULL_latest.json`` (previous
-    round's full per-query detail — tier2 entries compare
-    like-for-like against past tier2 timings).  The old path read the
-    stdout ``queries`` map out of BENCH_r*.json, which (a) holds
-    headline timings only, so tier-2 flagging silently compared
-    against nothing, and (b) broke entirely once the stdout line was
-    compacted (the r8 truncation incident).  BENCH_r*.json remains a
-    fallback for a fresh clone missing the full file."""
+
+def _canary(spark) -> float:
+    """min-of-3 canary seconds after one untimed codegen-warm run."""
+
+    def once() -> float:
+        t0 = time.time()
+        spark.range(0, CANARY_ROWS, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id, 42)) as s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    once()  # untimed: codegen compile dominates the first run (~3 s)
+    return round(min(once() for _ in range(3)), 3)
+
+
+def _newest_committed_times() -> tuple[dict[str, float], float]:
+    """Per-query timings + canary serving as the regression reference.
+
+    Primary source: the COMMITTED ``BENCH_FULL_latest.json`` via
+    ``git show HEAD:`` — bench.py overwrites the working-tree copy at
+    the end of every run, so a second run in the same round would
+    otherwise compare against the immediately-preceding run of the
+    same code instead of the previous committed round (r9 advice).
+    Falls back to the on-disk file (fresh clone / no git), then to the
+    newest BENCH_r*.json stdout map (headline-only, pre-r8 rounds).
+
+    Returns ``(times, canary_sec)``; canary_sec is 0.0 when the
+    reference predates the canary (flag logic then skips
+    normalization)."""
     here = os.path.dirname(os.path.abspath(__file__))
+    full = None
     try:
-        with open(
-            os.path.join(here, "BENCH_FULL_latest.json"), encoding="utf-8"
-        ) as fh:
-            full = json.load(fh)
-        ref: dict[str, float] = {}
-        for tier in ("tier2", "headline", "baseline"):
-            for k, v in (full.get(tier) or {}).items():
-                ref[k] = float(v)
-        if ref:
-            return ref
-    except (OSError, ValueError, TypeError):
+        blob = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL_latest.json"],
+            cwd=here,
+            capture_output=True,
+            timeout=30,
+        )
+        if blob.returncode == 0:
+            full = json.loads(blob.stdout.decode("utf-8"))
+    except (OSError, ValueError, subprocess.SubprocessError):
         pass
+    if full is None:
+        try:
+            with open(
+                os.path.join(here, "BENCH_FULL_latest.json"),
+                encoding="utf-8",
+            ) as fh:
+                full = json.load(fh)
+        except (OSError, ValueError):
+            full = None
+    if isinstance(full, dict):
+        ref: dict[str, float] = {}
+        try:
+            for tier in ("tier2", "headline", "baseline"):
+                for k, v in (full.get(tier) or {}).items():
+                    ref[k] = float(v)
+        except (ValueError, TypeError):
+            ref = {}
+        if ref:
+            canary = 0.0
+            try:
+                canary = float(full.get("canary_sec") or 0.0)
+            except (ValueError, TypeError):
+                pass
+            return ref, canary
     best: tuple[int, dict[str, float]] = (0, {})
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -184,7 +240,7 @@ def _newest_committed_times() -> dict[str, float]:
             continue
         if rnd > best[0] and isinstance(queries, dict) and queries:
             best = (rnd, {k: float(v) for k, v in queries.items()})
-    return best[1]
+    return best[1], 0.0
 
 
 def main() -> None:
@@ -201,6 +257,7 @@ def main() -> None:
     qs["f5_epoch_seconds"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    canary_start = _canary(spark)
 
     def run_once(name: str) -> float:
         t0 = time.time()
@@ -269,13 +326,28 @@ def main() -> None:
         tier2_names, 1, heavy_extra_rep=True
     )
 
-    # Tier-2 regressions vs the newest committed round: >2x flags a
-    # query whose only performance record would otherwise silently rot.
-    prev = _newest_committed_times()
+    canary_end = _canary(spark)
+    canary = round((canary_start + canary_end) / 2.0, 3)
+
+    # Tier-2 regressions vs the newest committed round, NORMALIZED by
+    # the calibration-canary ratio: three straight rounds (r6 wobble,
+    # r8 "+24%", r9's five phantom ~2x flags) the raw comparison fired
+    # on environmental drift — a worktree checkout of old code
+    # reproduced the "regressed" times — and a human had to adjudicate
+    # with side-by-side reruns.  The canary measures THIS box's CPU
+    # throughput at run time; dividing out canary_now/canary_prev
+    # makes the 2x threshold compare code against code, not box
+    # against box.  Ratio clamped to [1/3, 3] so a broken canary
+    # (e.g. a one-off scheduler stall during both canary runs) can
+    # shift the threshold but never disable the flag outright.
+    prev, prev_canary = _newest_committed_times()
+    ratio = 1.0
+    if prev_canary > 0.0 and canary > 0.0:
+        ratio = max(1.0 / 3.0, min(3.0, canary / prev_canary))
     flagged = sorted(
         n
         for n, t in t2_timings.items()
-        if n in prev and prev[n] > 0.2 and t > 2.0 * prev[n]
+        if n in prev and prev[n] > 0.2 and t > 2.0 * prev[n] * ratio
     )
 
     full = {
@@ -284,6 +356,11 @@ def main() -> None:
         "reps": reps,
         "agg": "min (tier2: min-of-2 over 2s, else single shot)",
         "loadavg": list(os.getloadavg()),
+        "canary_sec": canary,
+        "canary_start_sec": canary_start,
+        "canary_end_sec": canary_end,
+        "canary_rows": CANARY_ROWS,
+        "canary_ratio_vs_prev": round(ratio, 4),
         "headline": timings,
         "headline_median": medians,
         "headline_max": maxes,
@@ -310,27 +387,37 @@ def main() -> None:
     # per-query maps for every tier live in BENCH_FULL_latest.json
     # (committed each round) and on stderr.
     print(json.dumps(full), file=sys.stderr)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:12]
-    )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,
-            "queries_note": "12 slowest of %d; full maps in BENCH_FULL_latest.json" % len(timings),
-            "sf": sf,
-            "reps": reps,
-            "agg": "min",
-            "headline_n": len(timings),
-            "baseline_total": b_total,
-            "tier2_total": t2_total,
-            "tier2_n": len(tier2_names),
-            "tier2_flagged_vs_prev": flagged[:8],
-        }
-    )
-    assert len(line) < 1500, "stdout line must fit the driver's tail"
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+        ),
+        "queries_note": "12 slowest of %d; full maps in BENCH_FULL_latest.json" % len(timings),
+        "sf": sf,
+        "reps": reps,
+        "agg": "min",
+        "canary_sec": canary,
+        "headline_n": len(timings),
+        "baseline_total": b_total,
+        "tier2_total": t2_total,
+        "tier2_n": len(tier2_names),
+        "tier2_flagged_vs_prev": flagged[:8],
+    }
+    # Shrink to fit the driver's ~2000-char stdout tail instead of
+    # asserting after the whole run (r9 advice: an assert here loses
+    # the round's number over a long query name, and -O strips it).
+    # Drop order: flagged list first, then the slowest-queries map.
+    line = json.dumps(payload)
+    while len(line) >= 1500 and payload["tier2_flagged_vs_prev"]:
+        payload["tier2_flagged_vs_prev"] = payload[
+            "tier2_flagged_vs_prev"
+        ][:-1]
+        line = json.dumps(payload)
+    while len(line) >= 1500 and payload["queries"]:
+        payload["queries"].pop(next(reversed(payload["queries"])))
+        line = json.dumps(payload)
     print(line)
     spark.stop()
 

@@ -54,14 +54,28 @@ def _schema_for(kind: str) -> StructType:
     return K8S_EVENT_SCHEMA
 
 
+#: Byte-offset checkpoint stride (rows): the driver-side count pass
+#: already reads every line, so it records the byte offset of every
+#: OFFSET_STRIDE-th non-blank row for free; executor slices then seek
+#: to the nearest checkpoint <= their start instead of skip-scanning
+#: from line 0 (which multiplied total I/O by O(N/2) per slice on the
+#: split single-huge-file initial-LIST case — r9 advice).
+OFFSET_STRIDE = 1024
+
+
 class _RangePartition(InputPartition):
-    """One (file, row-range) slice; ``relist`` marks resync re-delivery."""
+    """One (file, row-range) slice; ``relist`` marks resync re-delivery.
+    ``seek_row``/``seek_byte`` (annotated by ``_repack`` from the
+    driver's offset index) let the executor seek near ``start`` and
+    skip-scan at most OFFSET_STRIDE-1 lines."""
 
     def __init__(self, path: str, start: int, end: int, relist: bool):
         self.path = path
         self.start = start
         self.end = end
         self.relist = relist
+        self.seek_row = 0
+        self.seek_byte = 0
 
 
 class _SpoolSlices(InputPartition):
@@ -94,10 +108,14 @@ class InformerStreamReader(DataSourceStreamReader):
                 "rowsperpartition", options.get("rowsPerPartition", 16384)
             )
         )
-        # (path → (size, mtime_ns, count, sig)) so unchanged files are
-        # not re-read on every trigger (driver-side; offsets stay pure
-        # data).
-        self._count_cache: dict[str, tuple[int, int, int, str]] = {}
+        # (path → (size, mtime_ns, count, sig, byte_offsets)) so
+        # unchanged files are not re-read on every trigger
+        # (driver-side; checkpointed offsets stay pure [count, sig] —
+        # the byte index is a cache, rebuilt for free on restart by
+        # the next count pass, never serialized into the offset JSON).
+        self._count_cache: dict[
+            str, tuple[int, int, int, str, list[int]]
+        ] = {}
         from pyspark.sql.types import StringType
 
         # Per-field coercion kind: "ts" normalizes to naive-UTC
@@ -158,12 +176,17 @@ class InformerStreamReader(DataSourceStreamReader):
                     continue
                 n = 0
                 first = b""
+                pos = 0
+                offs: list[int] = []
                 with open(full, "rb") as fh:
                     for line in fh:
                         if line.strip():
                             if n == 0:
                                 first = line
+                            if n % OFFSET_STRIDE == 0:
+                                offs.append(pos)
                             n += 1
+                        pos += len(line)
                 # File identity = inode + first-line hash.  A rotation
                 # (rename-over / recreate) changes the inode; an in-place
                 # truncate+rewrite usually changes the first line.  A
@@ -175,7 +198,9 @@ class InformerStreamReader(DataSourceStreamReader):
                     st.st_ino,
                     hashlib.md5(first).hexdigest()[:12] if first else "empty",
                 )
-                self._count_cache[full] = (st.st_size, st.st_mtime_ns, n, sig)
+                self._count_cache[full] = (
+                    st.st_size, st.st_mtime_ns, n, sig, offs
+                )
                 counts[full] = [n, sig]
         return {"files": counts, "resync_gen": self._gen()}
 
@@ -243,16 +268,20 @@ class InformerStreamReader(DataSourceStreamReader):
         Single-range groups stay plain ``_RangePartition``."""
         target = self._rows_per_part
         if target <= 0:
-            return list(parts)
+            return [self._annotate_seek(p) for p in parts]
         split: list[_RangePartition] = []
         for p in parts:
             if p.end - p.start <= target:
-                split.append(p)
+                split.append(self._annotate_seek(p))
             else:
                 s = p.start
                 while s < p.end:
                     e = min(s + target, p.end)
-                    split.append(_RangePartition(p.path, s, e, p.relist))
+                    split.append(
+                        self._annotate_seek(
+                            _RangePartition(p.path, s, e, p.relist)
+                        )
+                    )
                     s = e
         packed: list[InputPartition] = []
         cur: list[_RangePartition] = []
@@ -267,6 +296,23 @@ class InformerStreamReader(DataSourceStreamReader):
         if cur:
             packed.append(cur[0] if len(cur) == 1 else _SpoolSlices(cur))
         return packed
+
+    def _annotate_seek(self, p: _RangePartition) -> _RangePartition:
+        """Attach the nearest byte-offset checkpoint <= ``p.start`` from
+        the driver's count-pass index.  Safe for the append-only spool
+        contract: earlier rows' byte offsets never move on append, and
+        the rotation/rewrite cases are already delivered from row 0
+        (seek_row stays 0).  A missing index (reader restart before the
+        next count pass) degrades to the old skip-scan, never to wrong
+        rows."""
+        if p.start > 0:
+            cached = self._count_cache.get(p.path)
+            offs = cached[4] if cached and len(cached) > 4 else None
+            if offs:
+                k = min(p.start // OFFSET_STRIDE, len(offs) - 1)
+                p.seek_row = k * OFFSET_STRIDE
+                p.seek_byte = offs[k]
+        return p
 
     def commit(self, end: dict) -> None:
         pass
@@ -349,8 +395,15 @@ class InformerStreamReader(DataSourceStreamReader):
 
     def _read_rows(self, partition: _RangePartition) -> Iterator[tuple]:
         permissive = self._mode != "failfast"
-        with open(partition.path) as fh:
-            idx = 0
+        # Binary mode so the seek target (a byte offset recorded by the
+        # driver's binary count pass) is exact; json.loads accepts
+        # UTF-8 bytes directly.  seek_row/seek_byte default to 0 —
+        # checkpoints recorded at most OFFSET_STRIDE rows before
+        # ``start``, so the skip-scan below is bounded, not O(file).
+        with open(partition.path, "rb") as fh:
+            idx = getattr(partition, "seek_row", 0)
+            if idx:
+                fh.seek(getattr(partition, "seek_byte", 0))
             for line in fh:
                 if not line.strip():
                     continue
