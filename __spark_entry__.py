@@ -4589,11 +4589,14 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
         # flag nothing.
         "events_anomaly_zscore": """
             WITH st AS (
+              -- COUNT(value), not COUNT(*): n is non-null values only
+              -- (the streaming moment-state denominator; see
+              -- events.anomaly_zscore denominator contract).
               SELECT event_type,
                      ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12)))
-                                AS DOUBLE) / COUNT(*), 6) AS m,
+                                AS DOUBLE) / COUNT(value), 6) AS m,
                      ROUND(CAST(SUM(CAST(value * value AS DECIMAL(28,12)))
-                                AS DOUBLE) / COUNT(*), 6) AS m2
+                                AS DOUBLE) / COUNT(value), 6) AS m2
               FROM events GROUP BY event_type
             )
             -- Guard on the VARIANCE (m2 - m*m) > 0, not sqrt's result:

@@ -1131,16 +1131,17 @@ def incremental_dedup(
             ).alias("kept"),
         )
     )
-    if caller_owns_ref:
-        # Caller-supplied reference artifacts = the per-micro-batch
-        # streaming path: a long-lived session would otherwise
-        # accumulate one new_sigs cache entry per trigger.  Finalize
-        # (eager, doc-count-sized output) and release our own persist;
-        # the caller's reference frames are left untouched.
-        from k8stream_spark.analytics._cache import finalize
+    # new_sigs is never caller-owned, so always finalize it — a
+    # long-lived session (streaming gate, notebook, bench loop) would
+    # otherwise accumulate one cache entry per call.  The reference
+    # signature frame is released only when built HERE: a caller that
+    # supplied ref_sigs owns its lifecycle, but one that supplied just
+    # ref_hashes (or nothing) must not leak the internally-built
+    # ref_sigs persist either.
+    from k8stream_spark.analytics._cache import finalize
 
-        out = finalize(out, new_sigs)
-    return out
+    own_caches = [new_sigs] if caller_owns_ref else [new_sigs, ref_sigs]
+    return finalize(out, *own_caches)
 
 
 def incremental_exact_filter(

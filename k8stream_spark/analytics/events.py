@@ -616,17 +616,29 @@ def anomaly_zscore(
     Scale: one shuffle keyed by the (low-cardinality) group for the
     stats, broadcast join back, zero data-sized exchanges — the stats
     frame is |groups| rows.
+
+    Denominator contract (pinned by
+    ``tests/test_stateful.py::test_anomaly_batch_stream_null_symmetry``):
+    n counts NON-NULL values — ``F.count(x)``, matching the null
+    dropping in ``streaming.stateful.anomaly_stats_stateful`` — so the
+    batch fold over any stream prefix equals the streaming state
+    bit-for-bit even when the value column carries nulls.  (Before r10
+    this was count(1)-over-rows with a null-skipping sum, a mean biased
+    low by the null count; the streaming form is the statistically
+    coherent one, so batch moved.)  Null-valued rows still emit an
+    output row with NULL z_micro / is_anomaly — unscoreable, not
+    silently dropped.
     """
     x = F.col(value_col).cast("double")
     stats = df.groupBy(by).agg(
         F.round(
             F.sum(x.cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
+            / F.count(x),
             6,
         ).alias("__m"),
         F.round(
             F.sum((x * x).cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
+            / F.count(x),
             6,
         ).alias("__m2"),
     )

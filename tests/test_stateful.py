@@ -242,6 +242,43 @@ def test_anomaly_stats_stateful_matches_batch_fold(spark, tmp_path):
     assert latest == want
 
 
+def test_anomaly_batch_stream_null_symmetry(spark):
+    """Pins the denominator contract on null-bearing data: batch
+    ``anomaly_zscore``'s per-group mean/variance must use n = non-null
+    VALUES (what the streaming moment state counts after its null
+    drop), not count(1)-over-rows.  Before r10 the batch operator used
+    count(1) — a mean biased low by the null count — and the
+    divergence was only documented in a comment; this test fails if a
+    future symmetry refactor flips either side."""
+    from k8stream_spark.analytics.events import anomaly_zscore
+
+    rows = [
+        (1, "a", 1.0),
+        (2, "a", 3.0),
+        (3, "a", None),  # must not dilute the mean: m = 2.0, not 4/3
+        (4, "a", 2.0),
+        (5, "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, event_type string, value double"
+    )
+    out = {r.event_id: r for r in anomaly_zscore(df).collect()}
+    # Group a over non-null values {1,3,2}: m=2, m2=14/3 (rounded 6dp
+    # as 4.666667), var=0.666667, s=sqrt(var).  z(event 1) =
+    # (1-2)/s — with the old count(1)=4 denominator m would be 1.5 and
+    # z would differ in the first decimal, so this pins the contract.
+    import math
+
+    s = math.sqrt(4.666667 - 4.0)
+    assert out[1].z_micro == round(1000000.0 * (1.0 - 2.0) / s)
+    assert out[2].z_micro == round(1000000.0 * (3.0 - 2.0) / s)
+    # Null-valued rows still emit (unscoreable, not dropped) with NULL
+    # score fields.
+    assert out[3].z_micro is None and out[3].is_anomaly is None
+    # Single-row group b: zero variance → z pins to 0, no flag.
+    assert out[5].z_micro == 0 and out[5].is_anomaly is False
+
+
 def test_histogram_bins_stateful_matches_batch_bins(spark, tmp_path):
     """Streaming histogram state after draining a value stream equals
     the batch sketch's bin counts over the same values (identical IEEE
