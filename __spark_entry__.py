@@ -1999,6 +1999,86 @@ def _q_bpe_merge_pairs(spark, sf_dir):
     return textan.bpe_merge_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _q_bpe_apply(spark, sf_dir):
+    return textan.bpe_apply(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_apply_oracle(n_merges: int = 8) -> str:
+    """DuckDB replay of ``text.bpe_apply``: the N training rounds
+    unrolled as CTE pairs (p{r} = weighted pair counts over the
+    current vocab symbol strings, m{r} = the (count desc, pair asc)
+    argmax, v{r} = one left-to-right ``replace``).  Every v/p CTE is
+    AS MATERIALIZED — DuckDB inlines plain CTEs, and v{r} is
+    referenced by both p{r+1} and v{r+1}, so inlining would recompute
+    the whole chain 2^N times (the recursive-CTE materialization
+    lesson).  A round whose vocab has no pairs left yields an empty
+    m{r}; the coalesce makes that round's replace a no-op on an
+    impossible chr(1) pattern, matching the Spark loop's early
+    break."""
+    parts = [
+        """
+            WITH w AS MATERIALIZED (
+              SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL)
+              GROUP BY tok
+            ), v0 AS MATERIALIZED (
+              SELECT word, wf,
+                     array_to_string(
+                       [substr(word, i, 1)
+                        for i in range(1, len(word) + 1)],
+                       chr(31)) AS s
+              FROM w
+            )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+              SELECT pr, CAST(SUM(wf) AS BIGINT) AS c FROM (
+                SELECT wf, unnest(
+                  CASE WHEN len(l) >= 2
+                       THEN [l[i] || chr(31) || l[i+1]
+                             for i in range(1, len(l))]
+                       ELSE CAST([] AS VARCHAR[]) END) AS pr
+                FROM (SELECT wf, string_split(s, chr(31)) AS l
+                      FROM v{r - 1}))
+              GROUP BY pr
+            ), m{r} AS (
+              SELECT pr FROM p{r} ORDER BY c DESC, pr ASC LIMIT 1
+            ), v{r} AS MATERIALIZED (
+              SELECT word, wf,
+                     replace(s,
+                       coalesce((SELECT pr FROM m{r}), chr(1)),
+                       coalesce(replace((SELECT pr FROM m{r}),
+                                        chr(31), ''), '')) AS s
+              FROM v{r - 1}
+            )"""
+        )
+    parts.append(
+        f""", ns AS (
+              SELECT word,
+                     CAST(len(string_split(s, chr(31))) AS BIGINT)
+                       AS n_sym
+              FROM v{n_merges}
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL
+            ), cnt AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+                     CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+              FROM tok JOIN ns USING (word) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(cnt.n_ws_tokens, 0) AS BIGINT)
+                     AS n_ws_tokens,
+                   CAST(coalesce(cnt.n_bpe_tokens, 0) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents d LEFT JOIN cnt USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
 def _q_bigram_lm_score(spark, sf_dir):
     return textan.bigram_lm_score(load_table(spark, sf_dir, "documents"))
 
@@ -2048,6 +2128,12 @@ def _q_remove_duplicate_spans(spark, sf_dir):
 
 def _q_quality_yield_curve(spark, sf_dir):
     return textan.quality_yield_curve(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_yield_curve_approx(spark, sf_dir):
+    return textan.quality_yield_curve_approx(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 def _q_vocab_coverage(spark, sf_dir):
@@ -2156,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_distinct_counts": _q_salted_distinct_counts,
         "docs_cluster_size_histogram": _q_cluster_size_histogram,
         "text_bpe_merge_pairs": _q_bpe_merge_pairs,
+        "text_bpe_apply": _q_bpe_apply,
         "text_bigram_lm_score": _q_bigram_lm_score,
         "emb_random_projection": _q_random_projection,
         "emb_knn_graph_mutual": _q_knn_graph_mutual,
@@ -2165,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_token_counts": _q_cms_token_counts,
         "docs_remove_duplicate_spans": _q_remove_duplicate_spans,
         "docs_quality_yield_curve": _q_quality_yield_curve,
+        "docs_quality_yield_curve_approx": _q_quality_yield_curve_approx,
         "text_vocab_coverage": _q_vocab_coverage,
         "emb_mean_center": _q_mean_center,
         "docs_curation_pipeline": _q_curation_pipeline,
@@ -3651,6 +3739,9 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY pair
             ORDER BY pair_count DESC, pair ASC LIMIT 20
         """,
+        # Mirrors text.bpe_apply: 8 unrolled training rounds + greedy
+        # merge application via string replace — see _bpe_apply_oracle.
+        "text_bpe_apply": _bpe_apply_oracle(),
         # Mirrors text.bigram_lm_score: corpus bigram counts, context
         # totals derived from the bigram table, per-bigram micro prob =
         # ROUND(1e6·c2/c1) (one correctly-rounded double op on exact
@@ -4666,6 +4757,50 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
                      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                      MIN(score) AS score_floor
               FROM b GROUP BY bucket)
+            SELECT bucket, n_docs, n_tokens, score_floor,
+                   CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+            FROM pb
+            WINDOW w AS (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        """,
+        # Mirrors text.quality_yield_curve_approx: same score, 20000-
+        # wide histogram bins, bucket(bin) = (10*cum_before) div total
+        # + 1 in bin-desc order — every boundary an int64 compare, so
+        # the approx curve replays exactly.
+        "docs_quality_yield_curve_approx": """
+            WITH d AS (
+              SELECT doc_id, string_split(coalesce(text,''), ' ') AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(list_sum(list_transform(t, w ->
+                          CAST('0x' || substr(md5('qc-v1:' || w), 1, 8)
+                               AS BIGINT) % 100000 - 50000))
+                          AS BIGINT) AS score
+              FROM d),
+            bn AS (
+              SELECT CAST(FLOOR(CAST(score AS DOUBLE) / 20000.0)
+                          AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(n_tokens) AS BIGINT) AS t,
+                     MIN(score) AS fl
+              FROM s GROUP BY 1),
+            a AS (
+              SELECT *,
+                     CAST(coalesce(SUM(n) OVER (ORDER BY bin DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+                     CAST(SUM(n) OVER () AS BIGINT) AS nt
+              FROM bn),
+            pb AS (
+              SELECT CAST((10 * cb) // nt + 1 AS BIGINT) AS bucket,
+                     CAST(SUM(n) AS BIGINT) AS n_docs,
+                     CAST(SUM(t) AS BIGINT) AS n_tokens,
+                     MIN(fl) AS score_floor
+              FROM a GROUP BY 1)
             SELECT bucket, n_docs, n_tokens, score_floor,
                    CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
                    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens

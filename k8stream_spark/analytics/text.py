@@ -898,6 +898,144 @@ def bpe_merge_pairs(
     )
 
 
+#: Symbol separator inside a BPE word-state string: U+001F (unit
+#: separator), chosen because it cannot appear inside a whitespace
+#: token of the documents corpus.  String form keeps the per-round
+#: merge a single codegen ``replace`` whose left-to-right
+#: non-overlapping semantics (identical in Spark and DuckDB) ARE the
+#: greedy BPE scan — no array fold, no UDF.
+_BPE_SEP = "\x1f"
+
+
+def bpe_apply(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules and APPLY them — the full
+    tokenizer round-trip (Sennrich et al. 2016) whose counting step is
+    ``bpe_merge_pairs``.  Training and application coincide on the
+    corpus: after N rounds of merging the currently-most-frequent
+    adjacent symbol pair into the vocab's symbol sequences, each
+    word's final sequence IS its BPE tokenization under the learned
+    rules, and the per-document token count is a vocab join away.
+    This is the operator a training-data pipeline runs on every
+    document (token budgeting / packing under a real tokenizer, not
+    the whitespace approximation of ``token_count``).
+
+    Per-document output: ``n_ws_tokens`` (whitespace tokens, the
+    pre-BPE count) and ``n_bpe_tokens`` (symbols after the learned
+    merges — between n_chars and n_ws_tokens, monotonically falling as
+    n_merges grows).  Exact integers end to end.
+
+    Scale posture — the BPE trick, now for the whole loop: the corpus
+    collapses to the word-frequency table ONCE (the only corpus-sized
+    shuffle besides the final count join), then every training round
+    is vocab-sized: explode adjacent symbol pairs (weighted by word
+    frequency), pick the argmax with a deterministic (count desc,
+    pair asc) tiebreak via TakeOrderedAndProject, and apply the merge
+    as one codegen ``replace`` over the vocab's symbol strings.  State
+    per round is the vocab frame (localCheckpoint-truncated lineage,
+    the connected-components discipline); the driver sees ONE
+    (pair, count) row per round, never data.  At 100 TB the vocab is
+    ~10⁶ rows however big the corpus — rounds cost seconds, and the
+    final (word → n_sym) join is broadcastable.
+
+    Deterministic and oracle-replayable: pair counts are exact
+    integers, the tiebreak is a bytewise string compare, and the
+    greedy left-to-right merge is ``replace``'s documented semantics
+    in both engines — the DuckDB oracle replays the same N rounds
+    unrolled.  A round with no remaining pairs (every word a single
+    symbol) stops training early; the oracle's corresponding rounds
+    no-op on an impossible pattern, so both engines agree at any
+    n_merges.
+
+    Iterative (driver-side training loop): excluded from the plan
+    gate like the CC fixpoints; the returned frame's plan is the
+    final count join.
+    """
+    from k8stream_spark.analytics._cache import finalize
+
+    chars = lambda c: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.substring(c, i, 1),
+    )
+    word_freq = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wf"))
+    )
+    vocab = word_freq.select(
+        "__w",
+        "__wf",
+        F.when(
+            F.length("__w") > 0, F.concat_ws(_BPE_SEP, chars(F.col("__w")))
+        )
+        .otherwise(F.lit(""))
+        .alias("__s"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[str] = []
+    for _ in range(n_merges):
+        arr = F.split(F.col("__s"), _BPE_SEP)
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat(
+                F.element_at(arr, i),
+                F.lit(_BPE_SEP),
+                F.element_at(arr, i + F.lit(1)),
+            ),
+        )
+        pairs = F.when(F.size(arr) >= 2, pair_arr).otherwise(
+            F.array().cast("array<string>")
+        )
+        top = (
+            vocab.select(F.explode(pairs).alias("__p"), "__wf")
+            .groupBy("__p")
+            .agg(F.sum("__wf").alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merged_pair = top[0]["__p"]
+        merges.append(merged_pair)
+        nxt = vocab.select(
+            "__w",
+            "__wf",
+            F.replace(
+                F.col("__s"),
+                F.lit(merged_pair),
+                F.lit(merged_pair.replace(_BPE_SEP, "")),
+            ).alias("__s"),
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+
+    n_sym = vocab.select(
+        F.col("__w").alias("__word"),
+        F.size(F.split(F.col("__s"), _BPE_SEP)).cast("bigint").alias(
+            "__n_sym"
+        ),
+    )
+    per_doc = (
+        df.where(F.col(text_col).isNotNull())
+        .select("doc_id", F.explode(tokens(text_col)).alias("__word"))
+        .join(n_sym, "__word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("__n_sym").alias("n_bpe_tokens"),
+        )
+    )
+    out = (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .na.fill({"n_ws_tokens": 0, "n_bpe_tokens": 0})
+    )
+    return finalize(out, vocab)
+
+
 def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-trained bigram language-model quality score (the CCNet
     recipe, Wenzek et al. 2020: score each document with an LM trained on
@@ -1087,9 +1225,10 @@ def quality_yield_curve(
     Scale: scoring is the zero-shuffle hashed-linear projection; the
     ntile window is ONE total-order sort of (score, id, n_tokens)
     rows — the honest global-sort cost every exact quantile split pays
-    (at 100 TB swap in approx percentile boundaries + a range filter;
-    the curve semantics are unchanged).  The cumulative pass runs over
-    ``n_buckets`` rows — constant.
+    (at 100 TB swap in ``quality_yield_curve_approx``, the histogram
+    -bin twin whose boundaries resolve on a bin table instead of a
+    global sort).  The cumulative pass runs over ``n_buckets`` rows —
+    constant.
     """
     scored = quality_classifier_score(df, text_col)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -1103,6 +1242,96 @@ def quality_yield_curve(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         F.min("score").alias("score_floor"),
+    )
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "score_floor",
+        F.sum("n_docs").over(cum).alias("cum_docs"),
+        F.sum("n_tokens").over(cum).alias("cum_tokens"),
+    )
+
+
+def quality_yield_curve_approx(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10,
+    bin_width: int = 20000,
+) -> DataFrame:
+    """The 100 TB twin of ``quality_yield_curve``: the exact curve's
+    ntile is ONE total-order sort of every (score, id, n_tokens) row —
+    an honest cost, but a data-sized SinglePartition no 1000-executor
+    plan should carry.  This variant replaces it with the
+    ``value_quantiles_sketch`` discipline: scores histogram into
+    fixed-width bins, decile boundaries resolve on the BIN TABLE, and
+    nothing data-sized ever crosses a single-partition exchange.
+
+    Plan shape: scoring is the zero-shuffle hashed-linear projection
+    (``quality_classifier_score``); ONE (bin)-keyed shuffle with
+    map-side combine carries (count, Σtokens, min score) triples —
+    state is score-range / bin_width counters (~10²–10³ bins), fixed
+    however big the corpus; every window/aggregate after that runs
+    over the bin table.  No join back to the corpus at all: per-bin
+    aggregates roll up to buckets directly, so the approx curve costs
+    ONE corpus pass + bin-table work.
+
+    Approximation contract (deterministic, oracle-replayable — every
+    boundary decision is an int64 compare, no t-digest): an entire bin
+    lands in the bucket of its HIGHEST-scoring document, i.e.
+    bucket(bin) = (n_buckets · cum_before) div n_total + 1 with
+    cum_before = docs in higher-score bins.  Bucket populations
+    therefore deviate from n/10 by at most one bin's count, and a
+    bucket can be empty only when one bin exceeds n/10 docs — the
+    standard histogram-quantile error bound: boundaries are correct to
+    within one ``bin_width`` of score.  ``score_floor`` is the EXACT
+    min score of the bucket's members (bin mins roll up), not a bin
+    edge.  Output schema matches the exact curve; empty buckets are
+    absent rather than zero-filled.
+    """
+    scored = quality_classifier_score(df, text_col)
+    # floor(score / width) via IEEE double divide: exact for |score|
+    # < 2^53 because non-multiples of width sit >= 1/width from the
+    # nearest integer quotient — far outside double rounding error —
+    # and exact multiples divide exactly.  Both engines repeat it
+    # bit-for-bit (the value_quantiles_sketch argument).
+    b = F.floor(
+        F.col("score").cast("double") / F.lit(float(bin_width))
+    ).cast("bigint")
+    bins = scored.groupBy(b.alias("__bin")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_tokens").alias("__t"),
+        F.min("score").alias("__floor"),
+    )
+    # Bin-table-sized windows (~10³ rows): cum_before in score-desc
+    # order and the grand total.  The SinglePartition here is over
+    # BINS, never documents — the allowlisted constant-size shape.
+    w_before = Window.orderBy(F.col("__bin").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.col("__bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    assigned = bins.select(
+        "__bin",
+        "__n",
+        "__t",
+        "__floor",
+        F.coalesce(F.sum("__n").over(w_before), F.lit(0)).alias("__cb"),
+        F.sum("__n").over(w_all).alias("__nt"),
+    ).withColumn(
+        "bucket",
+        (
+            F.expr(f"({n_buckets} * __cb) div __nt") + F.lit(1)
+        ).cast("bigint"),
+    )
+    per_bucket = assigned.groupBy("bucket").agg(
+        F.sum("__n").alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+        F.min("__floor").alias("score_floor"),
     )
     cum = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -114,10 +114,13 @@ AUDITED = [
     "events_value_quantiles_sketch",
     "docs_containment_pairs",
     "docs_containment_dedup",
+    # r10 surface
+    "docs_quality_yield_curve_approx",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh,
-# docs_curation_pipeline and docs_containment_roots (r9) are iterative
+# docs_curation_pipeline, docs_containment_roots (r9) and
+# text_bpe_apply (r10, driver-side merge-training loop) are iterative
 # (driver-controlled fixpoint loop); a single executed plan doesn't
 # describe them — see the connected_components / containment_roots
 # docstrings instead.

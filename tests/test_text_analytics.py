@@ -410,6 +410,87 @@ def test_bpe_merge_pairs_replica(spark):
     assert got[0][0] == "lo" and got[0][1] == 4
 
 
+def test_bpe_apply_replica(spark):
+    """BPE train+apply matches a from-scratch python replica of the
+    same contract (greedy left-to-right merge, (count desc, pair asc)
+    tiebreak), pinning the three behaviors the oracle relies on:
+    greedy non-overlap on runs ('aaa' -> [aa, a]), merge priority by
+    weighted count, and the early break when no pairs remain."""
+    from collections import Counter
+
+    from k8stream_spark.analytics import text as textan
+
+    docs = [
+        (0, "low low lower aaa"),
+        (1, "newest widest low"),
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def replica(n_merges):
+        wf = Counter()
+        for _, t in docs:
+            if t is None:
+                continue
+            for w in t.split(" "):
+                wf[w] += 1
+        vocab = {w: [c for c in w] for w in wf}
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wf[w]
+            if not pc:
+                break
+            (a, b), _n = sorted(
+                pc.items(),
+                key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1]),
+            )[0]
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        want = {}
+        for d, t in docs:
+            if t is None:
+                want[d] = (0, 0)
+            else:
+                ws = t.split(" ")
+                # the empty token ('' from splitting empty text) is 1
+                # symbol in both engines: split('', SEP) == [''] —
+                # the same artifact token_count carries
+                want[d] = (
+                    len(ws),
+                    sum(len(vocab[w]) or 1 for w in ws),
+                )
+        return want
+
+    for n_merges in (1, 3, 20):
+        got = {
+            r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+            for r in textan.bpe_apply(df, n_merges=n_merges).collect()
+        }
+        assert got == replica(n_merges), f"n_merges={n_merges}"
+    # sanity: with enough merges the greedy-run word 'aaa' compresses
+    # to 2 symbols ([aa, a]), never 1 in a single round over pair a|a
+    one = {
+        r.doc_id: r.n_bpe_tokens
+        for r in textan.bpe_apply(df, n_merges=20).collect()
+    }
+    assert one[0] <= 6  # 'low low lower aaa' well below its 13 chars
+
+
 def test_bigram_lm_score_replica(spark):
     """Per-doc mean bigram probability matches an integer-math python
     replica, including the short-doc zero rows."""
