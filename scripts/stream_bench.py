@@ -7,14 +7,28 @@ The reference's only published throughput anchor is its channel/batch
 sizing (~333 events/s design point, BASELINE.md); this measures the
 same single-node contract on BOTH source bindings — the built-in file
 stream source and the custom ``k8s_informer`` DataSourceStreamReader
-(LIST/WATCH offsets, sources/informer.py) — one JSON line each.
+(LIST/WATCH offsets, sources/informer.py).
 
-Also measures the continuous-ingestion DOCUMENT gate (r8): a streamed
-new-document batch runs the stream-static exact incremental dedup
-(``incremental_exact_filter`` anti-join against the reference corpus)
-plus the watermarked within-stream content dedup (``dedup_streaming``
-on the md5 hash — RocksDB state store, the session default from
-SCALE.md), reporting docs/s.  One more JSON line.
+Every leg reports TWO lines (r9 verdict items 5/7): the one-shot
+``warm: false`` number (includes state-store init, codegen, Python
+worker spin-up — the conservative includes-setup figure) and a
+``warm: true`` rerun against a fresh checkpoint in the same session
+(the marginal steady-state rate a 100 TB capacity claim can actually
+use; the first streaming run in a session is ~7× slower than warm,
+per the informer_sweep warmup-confound correction).  Pipeline warm
+legs interleave the two source bindings (F I F I) and report the
+per-binding min-of-2, the informer_sweep protocol.
+
+Also measures the continuous-ingestion DOCUMENT gates: the
+stream-static exact incremental dedup (``incremental_exact_filter``
+anti-join + watermarked within-stream content dedup) and the LSH
+near-dup gate (``near_dup_gate_sink``) — warm reruns reuse the
+once-per-corpus-version reference artifacts, so their warm line is the
+per-micro-batch marginal cost, with the artifact prep reported
+separately.
+
+All lines are also written to ``STREAM_BENCH_latest.json`` at the repo
+root (committed per round — the SCALE.md citation target).
 
 Usage: python scripts/stream_bench.py [sf_dir] [out_dir]
 """
@@ -22,6 +36,7 @@ Usage: python scripts/stream_bench.py [sf_dir] [out_dir]
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -35,6 +50,27 @@ from k8stream_spark.streaming.pipeline import (  # noqa: E402
     distributed_json_sink,
     run_pipeline,
 )
+
+LINES: list[dict] = []
+
+
+def emit(line: dict) -> None:
+    LINES.append(line)
+    print(json.dumps(line), flush=True)
+
+
+def timed_query(start_fn, what: str, timeout: int = 600) -> float:
+    t0 = time.time()
+    q = start_fn()
+    finished = q.awaitTermination(timeout)
+    elapsed = time.time() - t0
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            f"{what} did not finish within {timeout}s - refusing to "
+            "report a throughput number for an incomplete run"
+        )
+    return elapsed
 
 
 def main() -> None:
@@ -53,43 +89,64 @@ def main() -> None:
     objects = entrymod._objects(spark, sf_dir)
     nodes = entrymod._nodes(spark, sf_dir)
 
-    for source_format in ("files", "informer"):
-        t0 = time.time()
-        q = run_pipeline(
-            spark,
-            src,
-            objects,
-            nodes,
-            sink_fn=distributed_json_sink(
-                f"{work}/out-{source_format}", compress_gzip=True
+    def run_leg(source_format: str, tag: str) -> float:
+        return timed_query(
+            lambda: run_pipeline(
+                spark,
+                src,
+                objects,
+                nodes,
+                sink_fn=distributed_json_sink(
+                    f"{work}/out-{tag}", compress_gzip=True
+                ),
+                checkpoint_dir=f"{work}/ckpt-{tag}",
+                available_now=True,
+                namespaces=(),
+                reasons=(),
+                source_format=source_format,
             ),
-            checkpoint_dir=f"{work}/ckpt-{source_format}",
-            available_now=True,
-            namespaces=(),
-            reasons=(),
-            source_format=source_format,
+            f"pipeline[{tag}]",
         )
-        finished = q.awaitTermination(600)
-        elapsed = time.time() - t0
-        if not finished:
-            q.stop()
-            raise RuntimeError(
-                "pipeline did not finish within 600s - refusing to report "
-                "a throughput number for an incomplete run"
-            )
 
-        print(
-            json.dumps(
-                {
-                    "metric": "stream_pipeline_throughput",
-                    "source": source_format,
-                    "events_in": n,
-                    "seconds": round(elapsed, 2),
-                    "events_per_sec": round(n / elapsed, 1),
-                    "sf_dir": sf_dir,
-                }
-            )
+    # One-shot legs (includes-setup, the pre-r10 numbers).
+    for source_format in ("files", "informer"):
+        elapsed = run_leg(source_format, source_format)
+        emit(
+            {
+                "metric": "stream_pipeline_throughput",
+                "source": source_format,
+                "warm": False,
+                "events_in": n,
+                "seconds": round(elapsed, 2),
+                "events_per_sec": round(n / elapsed, 1),
+                "sf_dir": sf_dir,
+            }
         )
+    # Warm legs: both bindings are session-warm now; interleave
+    # (F I F I) and take the per-binding min-of-2 so a stray GC pause
+    # in one slot doesn't misrank the bindings (informer_sweep
+    # protocol).
+    warm_times: dict[str, float] = {}
+    for rep in (1, 2):
+        for source_format in ("files", "informer"):
+            elapsed = run_leg(source_format, f"{source_format}-w{rep}")
+            warm_times[source_format] = min(
+                warm_times.get(source_format, float("inf")), elapsed
+            )
+    for source_format, elapsed in warm_times.items():
+        emit(
+            {
+                "metric": "stream_pipeline_throughput",
+                "source": source_format,
+                "warm": True,
+                "agg": "min-of-2 interleaved",
+                "events_in": n,
+                "seconds": round(elapsed, 2),
+                "events_per_sec": round(n / elapsed, 1),
+                "sf_dir": sf_dir,
+            }
+        )
+
     # --- continuous-ingestion document gate (stream-static incremental
     # dedup + watermarked within-stream dedup, RocksDB-backed state) ---
     from pyspark.sql import functions as F
@@ -112,45 +169,44 @@ def main() -> None:
     n_docs = new.count()
     doc_src = f"{work}/docsrc"
     new.write.mode("overwrite").json(doc_src)
-    stream = spark.readStream.schema(new.schema).json(doc_src)
-    t0 = time.time()
-    gated = dedup_streaming(
-        incremental_exact_filter(stream, ref).withColumn(
-            "__h", F.md5(F.col("text"))
-        ),
-        key="__h",
-        ts_col="ts",
-    )
-    q = (
-        gated.writeStream.format("noop")
-        .option("checkpointLocation", f"{work}/ckpt-docgate")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(600)
-    elapsed = time.time() - t0
-    if not finished:
-        q.stop()
-        raise RuntimeError(
-            "doc-gate stream did not finish within 600s - refusing to "
-            "report a throughput number for an incomplete run"
+
+    def run_exact_gate(tag: str) -> float:
+        stream = spark.readStream.schema(new.schema).json(doc_src)
+        gated = dedup_streaming(
+            incremental_exact_filter(stream, ref).withColumn(
+                "__h", F.md5(F.col("text"))
+            ),
+            key="__h",
+            ts_col="ts",
         )
-    print(
-        json.dumps(
+        return timed_query(
+            lambda: gated.writeStream.format("noop")
+            .option("checkpointLocation", f"{work}/ckpt-docgate-{tag}")
+            .trigger(availableNow=True)
+            .start(),
+            f"doc-gate[{tag}]",
+        )
+
+    for warm, tag in ((False, "cold"), (True, "warm")):
+        elapsed = run_exact_gate(tag)
+        emit(
             {
                 "metric": "stream_doc_gate_throughput",
+                "warm": warm,
                 "docs_in": n_docs,
                 "seconds": round(elapsed, 2),
                 "docs_per_sec": round(n_docs / elapsed, 1),
                 "sf_dir": sf_dir,
             }
         )
-    )
+
     # --- continuous-ingestion NEAR-dup gate (r9): per micro-batch,
     # the new docs audit against the reference corpus through the
     # banded LSH join (pipeline.near_dup_gate_sink).  The reference
     # artifacts (signature frame + md5 set) are a once-per-corpus-
-    # version cost, reported separately from the per-doc rate. ---
+    # version cost, reported separately from the per-doc rate; the
+    # warm leg REUSES them, so its docs/s is the marginal
+    # per-micro-batch rate of a long-running gate. ---
     from k8stream_spark.streaming.pipeline import near_dup_gate_sink
 
     t0 = time.time()
@@ -158,27 +214,24 @@ def main() -> None:
         ref, lambda df, _b: df.write.format("noop").mode("overwrite").save()
     )
     prep_s = time.time() - t0
-    stream2 = spark.readStream.schema(new.schema).json(doc_src)
-    t0 = time.time()
-    q = (
-        stream2.writeStream.outputMode("append")
-        .foreachBatch(gate_fn)
-        .option("checkpointLocation", f"{work}/ckpt-neardup")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(600)
-    elapsed = time.time() - t0
-    if not finished:
-        q.stop()
-        raise RuntimeError(
-            "near-dup gate stream did not finish within 600s - refusing "
-            "to report a throughput number for an incomplete run"
+
+    def run_near_dup(tag: str) -> float:
+        stream2 = spark.readStream.schema(new.schema).json(doc_src)
+        return timed_query(
+            lambda: stream2.writeStream.outputMode("append")
+            .foreachBatch(gate_fn)
+            .option("checkpointLocation", f"{work}/ckpt-neardup-{tag}")
+            .trigger(availableNow=True)
+            .start(),
+            f"near-dup-gate[{tag}]",
         )
-    print(
-        json.dumps(
+
+    for warm, tag in ((False, "cold"), (True, "warm")):
+        elapsed = run_near_dup(tag)
+        emit(
             {
                 "metric": "stream_near_dup_gate_throughput",
+                "warm": warm,
                 "docs_in": n_docs,
                 "seconds": round(elapsed, 2),
                 "docs_per_sec": round(n_docs / elapsed, 1),
@@ -186,11 +239,11 @@ def main() -> None:
                 "sf_dir": sf_dir,
             }
         )
-    )
+
     # --- keyed-state analytics twins (r8): per-group moment state for
     # z-score anomaly scoring and the equi-width histogram-bin state,
     # both applyInPandasWithState on the RocksDB provider — measured
-    # over the sf events table streamed as JSON.  One line each. ---
+    # over the sf events table streamed as JSON. ---
     from k8stream_spark.streaming.stateful import (
         anomaly_stats_stateful,
         histogram_bins_stateful,
@@ -204,37 +257,34 @@ def main() -> None:
         ("anomaly_stats_stateful", anomaly_stats_stateful),
         ("histogram_bins_stateful", histogram_bins_stateful),
     ):
-        stream = spark.readStream.schema(ev.schema).json(ev_src)
-        t0 = time.time()
-        q = (
-            op(stream)
-            .writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt-{name}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(600)
-        elapsed = time.time() - t0
-        if not finished:
-            q.stop()
-            raise RuntimeError(
-                f"{name} stream did not finish within 600s - refusing to "
-                "report a throughput number for an incomplete run"
+        for warm, tag in ((False, "cold"), (True, "warm")):
+            stream = spark.readStream.schema(ev.schema).json(ev_src)
+            elapsed = timed_query(
+                lambda: op(stream)
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ckpt-{name}-{tag}")
+                .trigger(availableNow=True)
+                .start(),
+                f"{name}[{tag}]",
             )
-        print(
-            json.dumps(
+            emit(
                 {
                     "metric": "stream_stateful_throughput",
                     "operator": name,
+                    "warm": warm,
                     "events_in": n_ev,
                     "seconds": round(elapsed, 2),
                     "events_per_sec": round(n_ev / elapsed, 1),
                     "sf_dir": sf_dir,
                 }
             )
-        )
     spark.stop()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(
+        os.path.join(here, "STREAM_BENCH_latest.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"sf_dir": sf_dir, "lines": LINES}, fh, indent=1)
     if len(sys.argv) <= 2:
         shutil.rmtree(work, ignore_errors=True)
 
