@@ -984,6 +984,78 @@ WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
 )
 
 
+def _minhash_recall_oracle_sql(
+    bands: int = 16, rows_per_band: int = 4
+) -> str:
+    """Replay of dedup.minhash_recall_report: the integer-exact minhash
+    twin (md5-prefix shingle hash mod 2^31-1, Carter-Wegman minima with
+    the SAME sha256-derived coefficients) plus the exact inverted-index
+    Jaccard ground truth, down to the identical one-row counters."""
+    p = docdedup._MH_P31
+    coeffs = docdedup._mh_cw_coeffs(bands * rows_per_band)
+    mins = ",\n       ".join(
+        f"MIN((h*{a}+{b})%{p}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    arms = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {idx} AS band_idx, {key} AS band_key FROM sig".format(
+            idx=b,
+            key="||'_'||".join(
+                f"CAST(s{b * rows_per_band + j} AS VARCHAR)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        SHINGLES_CTE
+        + f"""
+, ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {p} AS h
+  FROM ex
+),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM hh GROUP BY doc_id
+),
+band AS (
+{arms}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a
+  JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+shr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT shr.doc_a, shr.doc_b
+  FROM shr
+  JOIN sz sa ON sa.doc_id = shr.doc_a
+  JOIN sz sb ON sb.doc_id = shr.doc_b
+  WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
+        >= 0.8
+),
+caught AS (
+  SELECT exact.doc_a FROM exact
+  JOIN cand ON exact.doc_a = cand.doc_a AND exact.doc_b = cand.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_band_candidates,
+       CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+       ROUND(CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+             / (SELECT COUNT(*) FROM exact), 6) AS recall
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship E2E pipeline (smoke check, sf0.001)
 # ---------------------------------------------------------------------------
@@ -1480,6 +1552,16 @@ def _q_dedup_canonical(spark, sf_dir):
 
 def _q_minhash_lsh(spark, sf_dir):
     return docdedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _q_minhash_recall(spark, sf_dir):
+    # Measured S-curve recall of MinHash banding vs the exact Jaccard
+    # ground truth (the dedup twin of r9's ann_recall_report): the
+    # integer-exact Carter-Wegman/md5 signature family replays in the
+    # oracle bit-for-bit, so the recall number itself hash-checks.
+    return docdedup.minhash_recall_report(
         load_table(spark, sf_dir, "documents"), threshold=0.8
     )
 
@@ -2332,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_exact": _q_dedup_exact,
         "docs_dedup_canonical": _q_dedup_canonical,
         "docs_dedup_minhash_lsh": _q_minhash_lsh,
+        "docs_minhash_recall_report": _q_minhash_recall,
         "docs_containment_pairs": _q_containment_pairs,
         "docs_containment_dedup": _q_containment_dedup,
         "docs_containment_roots": _q_containment_roots,
@@ -3119,6 +3202,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "docs_dedup_minhash_lsh": NEAR_DUP_SQL,
+        "docs_minhash_recall_report": _minhash_recall_oracle_sql(),
         "docs_dedup_ngram_jaccard": NEAR_DUP_SQL,
         # Mirrors dedup.containment_pairs: mod-4 sampled 8-char-gram md5
         # fingerprints, df<=50 prune, inverted-index pair join, integer

@@ -240,6 +240,153 @@ def minhash_lsh_pairs(
     return verified
 
 
+#: Mersenne prime 2^31-1 — the Carter-Wegman modulus for the replayable
+#: minhash twin.  Kept at 31 bits so (a*h + b) stays under 2^62 and the
+#: arithmetic is exact in BOTH engines' signed 64-bit integers (DuckDB
+#: BIGINT multiplication errors on overflow instead of wrapping, so the
+#: production path's uint64 multiply-shift family cannot be replayed).
+_MH_P31 = 2147483647
+
+
+def _mh_cw_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic Carter-Wegman coefficients (a in [1, p-1], b in
+    [0, p-1]) mod 2^31-1, sha256-derived like minhash_signature's — no
+    RNG state, and oracle_sql() derives the identical constants."""
+    out = []
+    for i in range(num_hashes):
+        ha = hashlib.sha256(f"mh-recall-a:{i}".encode()).digest()
+        hb = hashlib.sha256(f"mh-recall-b:{i}".encode()).digest()
+        a = int.from_bytes(ha[:8], "big") % (_MH_P31 - 1) + 1
+        b = int.from_bytes(hb[:8], "big") % _MH_P31
+        out.append((a, b))
+    return out
+
+
+def minhash_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Measured recall of MinHash banding against the exact Jaccard
+    ground truth — the dedup path's S-curve promise as a FIRST-CLASS
+    hash-checked query, the same measure-don't-guess discipline the ANN
+    paths got in r9 (``ann_recall_report``).
+
+    The production path (``minhash_lsh_pairs``) hashes shingles with
+    JVM xxhash64 and takes minima with a uint64 multiply-shift family —
+    neither replayable in DuckDB.  This report therefore measures an
+    INTEGER-EXACT twin of the same banding geometry: shingle hash =
+    md5-prefix parsed to a 60-bit integer reduced mod 2^31-1, minima
+    under a Carter-Wegman family ((a·h + b) mod 2^31-1).  Both are
+    approximately-uniform universal families over the same shingle
+    sets, so the measured S-curve is the property of the (bands, r)
+    geometry being audited, not of which family feeds the minima; every
+    intermediate value is exact signed-64-bit integer arithmetic, so
+    the DuckDB oracle replays signatures, band keys, candidates and the
+    final recall bit-for-bit.
+
+    Output: ONE row — (n_exact_pairs, n_band_candidates, n_caught,
+    recall) where recall = caught/exact over the verified J>=threshold
+    ground-truth pairs and candidates are the RAW banding output
+    (pre-verification; verification only removes false positives, so
+    this is the recall of the whole pipeline).
+
+    Scale: ground truth via the shingle inverted index is oracle-scale
+    only (same tiering as ``ngram_jaccard_pairs``); the banding side is
+    the production 100 TB shape — sig groupBy + band self-join.  At
+    cluster scale this report runs on a SAMPLE of the corpus, which is
+    exactly how recall is audited in production; the aggregate output
+    is three counters, so nothing data-sized converges to the driver.
+    """
+    num_hashes = bands * rows_per_band
+    coeffs = _mh_cw_coeffs(num_hashes)
+
+    # Shingle frame feeds the exact inverted index (3 branches inside
+    # ngram_jaccard_pairs' own persist) AND the twin-signature pipeline;
+    # compute the shingles once here and let each side reuse it.
+    sh = df.select(
+        "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    # 15 hex chars = 60 bits: exact in a signed long in both engines
+    # (Spark conv(…,16,10) + cast; DuckDB CAST('0x'||… AS BIGINT)).
+    hashed = ex.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+            % _MH_P31
+        ).alias("h"),
+    )
+    # One shuffle on doc_id; the 64 minima are codegen expressions with
+    # map-side partial aggregation — no Python in this path at all.
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % _MH_P31).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"s{b * rows_per_band + j}").cast(
+                                "string"
+                            )
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, threshold, shingle_n).select(
+        "doc_a", "doc_b"
+    )
+    caught = exact.join(candidates, ["doc_a", "doc_b"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_cand = candidates.agg(
+        F.count(F.lit(1)).alias("n_band_candidates")
+    )
+    n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(n_caught)
+        .select(
+            "n_exact_pairs",
+            "n_band_candidates",
+            "n_caught",
+            F.round(
+                F.col("n_caught") / F.col("n_exact_pairs"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -65,6 +65,9 @@ ALLOW: dict[str, tuple[int, int]] = {
     "docs_quality_yield_curve_approx": (1, 0),  # bin-table windows only
     #                                      (~10³ rows, never corpus)
     "docs_dsir_importance": (0, 1),     # corpus-total single row
+    "docs_minhash_recall_report": (3, 2),  # three scalar counters
+    #                                      (exact/candidates/caught) and
+    #                                      their single-row combine joins
     "docs_bm25_topk": (0, 1),           # corpus stats single row
     "docs_hybrid_rrf": (0, 1),          # corpus stats single row
     "docs_semantic_dedup_invariants": (1, 1),  # scalar invariant compares

@@ -66,6 +66,18 @@ def test_ngram_jaccard_matches_minhash_verified_set(docs_df):
     assert lsh == exact
 
 
+def test_minhash_recall_report_counters(docs_df):
+    # Ground truth at 0.5 on the fixture: (1,2)/(2,6) near-dups +
+    # (1,6) exact dup — the replayable banding twin must catch all
+    # three (recall 1.0), and candidate generation must stay bucketed
+    # (no all-pairs: docs 3/4/5/7 share no band with anything).
+    row = dd.minhash_recall_report(docs_df, threshold=0.5).collect()[0]
+    assert row.n_exact_pairs == 3
+    assert row.n_caught == 3
+    assert row.recall == 1.0
+    assert row.n_band_candidates < 7 * 6 / 2  # bucketed, not all-pairs
+
+
 def test_simhash_near_pairs(docs_df):
     sims = {r.doc_id: r.simhash for r in dd.simhash(docs_df).collect()}
     assert sims[1] == sims[6]  # identical text → identical simhash
