@@ -742,6 +742,74 @@ WHERE rank <= {k_out}"""
     return _pq_training_sql(m, k, iters, dim).replace("__TAIL__", tail)
 
 
+# Recall@k of the ADC compressed-domain search vs exact, replayed end
+# to end like the IVF twin: the PQ training chain gives every vector's
+# per-subspace codes (win); the ADC side scores queries against
+# reconstructions from exact int64 lookup sums, the exact side is the
+# raw-double cosine baseline; both top-k sets and the intersection
+# counts are deterministic, so recall hash-checks.
+def _adc_recall_oracle_sql(
+    query_ids: tuple[int, ...] = TOPK_QUERY_IDS,
+    k_out: int = 10,
+    m: int = 16,
+    k: int = 16,
+    iters: int = 4,
+    dim: int = 64,
+) -> str:
+    qids = "(" + ",".join(str(i) for i in query_ids) + ")"
+    score = """CASE WHEN n2 = 0 THEN -2.0
+              ELSE CAST(a AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) END"""
+    tail = f""", ltop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {score} DESC, neighbor_id) AS rank
+    FROM (
+      SELECT d.qid AS query_id, w.pid AS neighbor_id,
+             CAST(SUM(d.a) AS BIGINT) AS a,
+             CAST(SUM(n.n2) AS BIGINT) AS n2
+      FROM win w
+      JOIN (
+        SELECT q.id AS qid, c.sub, c.cell, SUM(q.q * c.c) AS a
+        FROM qv q JOIN cb{iters} c ON c.sub = q.sub AND c.sd = q.sd
+        WHERE q.id IN {qids}
+        GROUP BY q.id, c.sub, c.cell) d
+      ON d.sub = w.sub AND d.cell = w.cell
+      JOIN (
+        SELECT sub, cell, SUM(c * c) AS n2
+        FROM cb{iters} GROUP BY sub, cell) n
+      ON n.sub = w.sub AND n.cell = w.cell
+      WHERE w.pid != d.qid
+      GROUP BY d.qid, w.pid))
+  WHERE rank <= {k_out}
+), ecand AS (
+  SELECT q.id AS query_id, b.id AS neighbor_id,
+         ROUND(list_dot_product(q.x, b.x)
+               / (sqrt(list_dot_product(q.x, q.x))
+                  * sqrt(list_dot_product(b.x, b.x))), 6) AS cosine
+  FROM base q CROSS JOIN base b
+  WHERE q.id IN {qids} AND b.id != q.id
+), etop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS r
+    FROM ecand) WHERE r <= {k_out}
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM etop GROUP BY query_id
+), nh AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM etop e JOIN ltop l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+FROM ne LEFT JOIN nh USING (query_id)"""
+    return _pq_training_sql(m, k, iters, dim).replace("__TAIL__", tail)
+
+
 # Combined IVF-PQ search oracle for emb_ivf_pq_topk: ONE replay contains
 # both quantizer trainings (IVF cent{i} chain verbatim from
 # _ivf_oracle_sql; PQ cb{i} chain from _pq_training_sql with pd/pasg CTE
@@ -1744,6 +1812,19 @@ def _q_ivf_recall_report(spark, sf_dir):
     )
 
 
+def _q_adc_recall_report(spark, sf_dir):
+    # the PQ sibling: recall@10 of compressed-domain ADC search at m=16
+    # (8-byte codes, 32x) — prices the compression in recall as a
+    # driver-graded number instead of a pytest bound (SCALE.md quotes
+    # 0.48 on the uniform-random fixture, PQ's documented worst case).
+    return similarity.ann_recall_report(
+        load_table(spark, sf_dir, "embeddings"),
+        TOPK_QUERY_IDS,
+        k=10,
+        method="adc",
+    )
+
+
 def _q_cosine_topk_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10
@@ -2282,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk_lsh": _q_cosine_topk_lsh,
         "emb_ann_recall_report": _q_ann_recall_report,
         "emb_ivf_recall_report": _q_ivf_recall_report,
+        "emb_adc_recall_report": _q_adc_recall_report,
         "emb_cosine_topk_ivf": _q_cosine_topk_ivf,
         "emb_cosine_near_dup": _q_cosine_near_dup,
         "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
@@ -2434,7 +2516,9 @@ def oracle_sql() -> dict[str, str]:
     emb_cosine_topk_lsh / emb_cosine_near_dup_lsh (_LSH_CTE),
     docs_dedup_simhash (sha256 token hash), emb_cosine_topk_ivf
     (_ivf_oracle_sql replays quantizer training, assignment, probing and
-    rerank bit-for-bit), docs_semantic_dedup (the replayable int-
+    rerank bit-for-bit), the recall reports (emb_ann/_ivf/_adc and
+    docs_minhash_recall_report — BOTH sides replayed, so the recall
+    numbers themselves hash-check), docs_semantic_dedup (the replayable int-
     quantizer variant — cells, kept flags and dup_of pointers replay via
     _semantic_dedup_oracle_sql; the float seed-separated semantic_dedup
     remains graded through its invariants companion) and
@@ -3498,6 +3582,7 @@ def oracle_sql() -> dict[str, str]:
         # result itself is hash-checked, not just a recall bound.
         "emb_cosine_topk_ivf": _ivf_oracle_sql(),
         "emb_ivf_recall_report": _ivf_recall_oracle_sql(),
+        "emb_adc_recall_report": _adc_recall_oracle_sql(),
         "docs_semantic_dedup": _semantic_dedup_oracle_sql(threshold=0.45),
         "events_approx_user_counts": _hll_oracle_sql(),
         "emb_pq_encode": _pq_oracle_sql(),

@@ -669,10 +669,13 @@ def ann_recall_report(
     contract as a FIRST-CLASS query instead of a pytest-only bound:
     both sides are fully deterministic (exact ranks tie-break by id;
     the LSH buckets are integer-exact via ``_plane_weights``, the IVF
-    quantizer is the integer-exact replayable one), so the recall
+    quantizer is the integer-exact replayable one, the ADC scores are
+    doubles computed from exact int64 lookup sums), so the recall
     numbers themselves replay in the DuckDB oracle and hash-check.
-    ``method``: ``"lsh"`` (default) or ``"ivf"`` — the two production
-    ANN paths under test.
+    ``method``: ``"lsh"`` (default), ``"ivf"``, or ``"adc"`` (the PQ
+    compressed-domain search, m=16 — measures what 32× compression
+    costs in recall, the number the SCALE.md compression table quotes
+    from pytest promoted to a driver-graded query).
 
     Output: one row per query id present in the corpus —
     (query_id, n_exact, n_hits, recall), recall = hits/n_exact rounded
@@ -690,6 +693,12 @@ def ann_recall_report(
         approx = cosine_topk_ivf(embeddings, query_ids, k, vec_col, id_col)
     elif method == "lsh":
         approx = cosine_topk_lsh(embeddings, query_ids, k, vec_col, id_col)
+    elif method == "adc":
+        # m=16 to match emb_pq_adc_topk: 8-byte codes, the 32×
+        # compression point whose recall this report prices.
+        approx = pq_adc_topk(
+            embeddings, query_ids, k, id_col, vec_col, m=16
+        )
     else:
         raise ValueError(f"unknown ANN method {method!r}")
     e = exact.select("query_id", F.col("neighbor_id").alias("__nid"))

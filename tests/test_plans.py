@@ -80,6 +80,7 @@ ALLOW: dict[str, tuple[int, int]] = {
     "emb_knn_graph_mutual": (0, 1),     # declared O(n²) exact anchor
     "emb_ann_recall_report": (0, 2),    # exact baseline's broadcast panel
     "emb_ivf_recall_report": (0, 1),    # same panel; IVF side equi-joins
+    "emb_adc_recall_report": (0, 1),    # same panel; ADC side is a scan
 }
 
 #: Driver-side fixpoint loops: a single executed plan of the returned
