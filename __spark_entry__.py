@@ -827,6 +827,7 @@ def _ivf_pq_oracle_sql(
     k_codes: int = 16,
     pq_iters: int = 4,
     dim: int = 64,
+    tail: str | None = None,
 ) -> str:
     qids = "(" + ",".join(str(i) for i in query_ids) + ")"
     sub = dim // m
@@ -971,14 +972,73 @@ dfin AS (
   JOIN cn2 n ON n.sub = w.sub AND n.cell = w.cell
   GROUP BY c.query_id, c.neighbor_id
 )
-SELECT query_id, neighbor_id, rank, adc_cos FROM (
+__TAIL__
+""".replace(
+        "__TAIL__",
+        tail
+        or f"""SELECT query_id, neighbor_id, rank, adc_cos FROM (
   SELECT query_id, neighbor_id,
          {score} AS adc_cos,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY {score} DESC, neighbor_id) AS rank
   FROM rec)
-WHERE rank <= {k_out}
-"""
+WHERE rank <= {k_out}""",
+    )
+
+
+# Recall@k of the composed IVF-PQ path vs exact — the recall matrix's
+# fourth corner (LSH, IVF, ADC, IVF-PQ): the shared replay already
+# yields every candidate's reconstruction score (rec); the recall tail
+# ranks them, ranks the exact raw-double side, and intersects.  IVF-PQ
+# recall is bounded by BOTH quantizers (probe misses and code
+# round-off), which is exactly why the composed number deserves its
+# own graded query next to the per-stage ones.
+def _ivf_pq_recall_oracle_sql(
+    query_ids: tuple[int, ...] = TOPK_QUERY_IDS, k_out: int = 10
+) -> str:
+    qids = "(" + ",".join(str(i) for i in query_ids) + ")"
+    score = """CASE WHEN n2 = 0 THEN -2.0
+              ELSE CAST(a AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) END"""
+    tail = f"""SELECT ne.query_id, ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+FROM (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.id AS query_id, b.id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.id ORDER BY
+               ROUND(list_dot_product(q.x, b.x)
+                     / (sqrt(list_dot_product(q.x, q.x))
+                        * sqrt(list_dot_product(b.x, b.x))), 6) DESC,
+               b.id) AS r
+      FROM base q CROSS JOIN base b
+      WHERE q.id IN {qids} AND b.id != q.id)
+    WHERE r <= {k_out}) GROUP BY query_id
+) ne LEFT JOIN (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.id AS query_id, b.id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.id ORDER BY
+               ROUND(list_dot_product(q.x, b.x)
+                     / (sqrt(list_dot_product(q.x, q.x))
+                        * sqrt(list_dot_product(b.x, b.x))), 6) DESC,
+               b.id) AS r
+      FROM base q CROSS JOIN base b
+      WHERE q.id IN {qids} AND b.id != q.id)
+    WHERE r <= {k_out}) e
+  JOIN (
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {score} DESC, neighbor_id) AS rank
+      FROM rec)
+    WHERE rank <= {k_out}) l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+) nh USING (query_id)"""
+    return _ivf_pq_oracle_sql(query_ids, k_out, m=16, tail=tail)
 
 
 SHINGLES_CTE = """
@@ -1825,6 +1885,17 @@ def _q_adc_recall_report(spark, sf_dir):
     )
 
 
+def _q_ivfpq_recall_report(spark, sf_dir):
+    # the composed IVF-PQ corner of the recall matrix: probe pruning +
+    # ADC scoring, recall bounded by both quantizers.
+    return similarity.ann_recall_report(
+        load_table(spark, sf_dir, "embeddings"),
+        TOPK_QUERY_IDS,
+        k=10,
+        method="ivfpq",
+    )
+
+
 def _q_cosine_topk_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, k=10
@@ -2364,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall_report": _q_ann_recall_report,
         "emb_ivf_recall_report": _q_ivf_recall_report,
         "emb_adc_recall_report": _q_adc_recall_report,
+        "emb_ivfpq_recall_report": _q_ivfpq_recall_report,
         "emb_cosine_topk_ivf": _q_cosine_topk_ivf,
         "emb_cosine_near_dup": _q_cosine_near_dup,
         "emb_cosine_near_dup_lsh": _q_cosine_near_dup_lsh,
@@ -3583,6 +3655,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk_ivf": _ivf_oracle_sql(),
         "emb_ivf_recall_report": _ivf_recall_oracle_sql(),
         "emb_adc_recall_report": _adc_recall_oracle_sql(),
+        "emb_ivfpq_recall_report": _ivf_pq_recall_oracle_sql(),
         "docs_semantic_dedup": _semantic_dedup_oracle_sql(threshold=0.45),
         "events_approx_user_counts": _hll_oracle_sql(),
         "emb_pq_encode": _pq_oracle_sql(),

@@ -672,10 +672,12 @@ def ann_recall_report(
     quantizer is the integer-exact replayable one, the ADC scores are
     doubles computed from exact int64 lookup sums), so the recall
     numbers themselves replay in the DuckDB oracle and hash-check.
-    ``method``: ``"lsh"`` (default), ``"ivf"``, or ``"adc"`` (the PQ
+    ``method``: ``"lsh"`` (default), ``"ivf"``, ``"adc"`` (the PQ
     compressed-domain search, m=16 — measures what 32× compression
     costs in recall, the number the SCALE.md compression table quotes
-    from pytest promoted to a driver-graded query).
+    from pytest promoted to a driver-graded query), or ``"ivfpq"``
+    (the composed probe+ADC deployment — recall bounded by BOTH
+    quantizers).
 
     Output: one row per query id present in the corpus —
     (query_id, n_exact, n_hits, recall), recall = hits/n_exact rounded
@@ -697,6 +699,14 @@ def ann_recall_report(
         # m=16 to match emb_pq_adc_topk: 8-byte codes, the 32×
         # compression point whose recall this report prices.
         approx = pq_adc_topk(
+            embeddings, query_ids, k, id_col, vec_col, m=16
+        )
+    elif method == "ivfpq":
+        # The composed FAISS-style deployment (probe pruning + ADC
+        # scoring of candidates only, m=16 like emb_ivf_pq_topk):
+        # recall here is bounded by BOTH quantizers, which is why the
+        # composition gets its own graded number.
+        approx = ivf_pq_topk(
             embeddings, query_ids, k, id_col, vec_col, m=16
         )
     else:

@@ -81,6 +81,7 @@ ALLOW: dict[str, tuple[int, int]] = {
     "emb_ann_recall_report": (0, 2),    # exact baseline's broadcast panel
     "emb_ivf_recall_report": (0, 1),    # same panel; IVF side equi-joins
     "emb_adc_recall_report": (0, 1),    # same panel; ADC side is a scan
+    "emb_ivfpq_recall_report": (0, 1),  # same panel; probe side equi-joins
 }
 
 #: Driver-side fixpoint loops: a single executed plan of the returned
