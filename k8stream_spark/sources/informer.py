@@ -108,6 +108,18 @@ class InformerStreamReader(DataSourceStreamReader):
                 "rowsperpartition", options.get("rowsPerPartition", 16384)
             )
         )
+        # Parallelism floor for packing (r10): rowsPerPartition is a
+        # CEILING on task size; packing all the way up to it can
+        # collapse a batch to fewer tasks than the cluster has cores
+        # (100k rows / 16384 = 6 tasks on 32 cores — measured ~15%
+        # SLOWER than unpacked in the r10 sweep, both code versions).
+        # Packing therefore never sizes tasks above total/minTasks.
+        # Default 64 = 2× the local core count; on a cluster set to
+        # ~2-3× total executor cores.
+        self._min_tasks = max(
+            1,
+            int(options.get("mintasks", options.get("minTasks", 64))),
+        )
         # (path → (size, mtime_ns, count, sig, byte_offsets)) so
         # unchanged files are not re-read on every trigger
         # (driver-side; checkpointed offsets stay pure [count, sig] —
@@ -265,10 +277,25 @@ class InformerStreamReader(DataSourceStreamReader):
         many-tiny-appends case would otherwise pay Python worker
         startup per file).  Deterministic given the same range list —
         the checkpoint-replay contract ``partitions`` already pins.
-        Single-range groups stay plain ``_RangePartition``."""
+        Single-range groups stay plain ``_RangePartition``.
+
+        ``rowsPerPartition`` is a size CEILING, not the sizing goal:
+        the effective target is additionally clamped to
+        ``total_rows // minTasks`` (bounded below by OFFSET_STRIDE so
+        tasks never shrink under the seek-checkpoint stride), keeping
+        at least ~minTasks tasks whenever the batch has the rows for
+        it — packing a 100k-row batch into 16384-row tasks left a
+        32-core box 80% idle (6 tasks, measured ~15% slower than
+        unpacked); the floor packs/splits the same batch into ~64
+        balanced tasks instead while the 10 GB-file ceiling bound is
+        unchanged."""
         target = self._rows_per_part
         if target <= 0:
             return [self._annotate_seek(p) for p in parts]
+        total = sum(p.end - p.start for p in parts)
+        target = min(
+            target, max(OFFSET_STRIDE, total // self._min_tasks)
+        )
         split: list[_RangePartition] = []
         for p in parts:
             if p.end - p.start <= target:

@@ -315,6 +315,46 @@ def test_non_string_values_in_string_fields_coerce_to_json_text(tmp_path):
     assert [row[0] for row in rows] == ["123", "e2"]
 
 
+def test_repack_respects_parallelism_floor(tmp_path):
+    """rowsPerPartition is a CEILING, not the packing goal: with a
+    minTasks floor, a batch with enough rows must spread over at least
+    ~minTasks tasks instead of packing down to total/rowsPerPartition
+    (measured 15% slower when 100k rows collapsed to 6 tasks on 32
+    cores).  OFFSET_STRIDE (1024) bounds the effective target below."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    # 8 files x 1024 rows; rowsPerPartition would pack them into ONE
+    # 8192-row task without the floor.
+    for j in range(8):
+        with open(os.path.join(src, f"f{j}.json"), "w") as f:
+            for i in range(1024):
+                f.write(json.dumps({"uid": f"{j}-{i}"}) + "\n")
+    r = InformerStreamReader(
+        _schema_for("event"),
+        {"path": src, "rowsPerPartition": "8192", "minTasks": "4"},
+    )
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    # effective target = min(8192, max(1024, 8192 // 4)) = 2048
+    assert len(parts) >= 4
+    sizes = []
+    for p in parts:
+        slices = p.slices if hasattr(p, "slices") else [p]
+        sizes.append(sum(s.end - s.start for s in slices))
+    assert all(s <= 2048 for s in sizes)
+    assert sum(sizes) == 8192
+    # the ceiling still splits: one oversized file alone must not
+    # serialize on a single task either
+    r1 = InformerStreamReader(
+        _schema_for("event"),
+        {"path": src, "rowsPerPartition": "1500", "minTasks": "1"},
+    )
+    parts1 = r1.partitions(r1.initialOffset(), r1.latestOffset())
+    for p in parts1:
+        slices = p.slices if hasattr(p, "slices") else [p]
+        for s in slices:
+            assert s.end - s.start <= 1500
+
+
 def test_repack_splits_large_and_packs_small_ranges(tmp_path):
     """Task sizing: ranges above the rowsPerPartition target split into
     chunks (initial-LIST parallelism), tiny per-file ranges pack into
