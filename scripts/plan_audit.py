@@ -116,6 +116,9 @@ AUDITED = [
     "docs_containment_dedup",
     # r10 surface
     "docs_quality_yield_curve_approx",
+    "docs_minhash_recall_report",
+    "emb_adc_recall_report",
+    "emb_ivfpq_recall_report",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh,
