@@ -999,45 +999,38 @@ def _ivf_pq_recall_oracle_sql(
     qids = "(" + ",".join(str(i) for i in query_ids) + ")"
     score = """CASE WHEN n2 = 0 THEN -2.0
               ELSE CAST(a AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) END"""
-    tail = f"""SELECT ne.query_id, ne.n_exact,
-       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
-       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
-FROM (
+    tail = f""", ltop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {score} DESC, neighbor_id) AS rank
+    FROM rec)
+  WHERE rank <= {k_out}
+), ecand AS (
+  SELECT q.id AS query_id, b.id AS neighbor_id,
+         ROUND(list_dot_product(q.x, b.x)
+               / (sqrt(list_dot_product(q.x, q.x))
+                  * sqrt(list_dot_product(b.x, b.x))), 6) AS cosine
+  FROM base q CROSS JOIN base b
+  WHERE q.id IN {qids} AND b.id != q.id
+), etop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS r
+    FROM ecand) WHERE r <= {k_out}
+), ne AS (
   SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
-  FROM (
-    SELECT query_id, neighbor_id FROM (
-      SELECT q.id AS query_id, b.id AS neighbor_id,
-             row_number() OVER (PARTITION BY q.id ORDER BY
-               ROUND(list_dot_product(q.x, b.x)
-                     / (sqrt(list_dot_product(q.x, q.x))
-                        * sqrt(list_dot_product(b.x, b.x))), 6) DESC,
-               b.id) AS r
-      FROM base q CROSS JOIN base b
-      WHERE q.id IN {qids} AND b.id != q.id)
-    WHERE r <= {k_out}) GROUP BY query_id
-) ne LEFT JOIN (
+  FROM etop GROUP BY query_id
+), nh AS (
   SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM (
-    SELECT query_id, neighbor_id FROM (
-      SELECT q.id AS query_id, b.id AS neighbor_id,
-             row_number() OVER (PARTITION BY q.id ORDER BY
-               ROUND(list_dot_product(q.x, b.x)
-                     / (sqrt(list_dot_product(q.x, q.x))
-                        * sqrt(list_dot_product(b.x, b.x))), 6) DESC,
-               b.id) AS r
-      FROM base q CROSS JOIN base b
-      WHERE q.id IN {qids} AND b.id != q.id)
-    WHERE r <= {k_out}) e
-  JOIN (
-    SELECT query_id, neighbor_id FROM (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY {score} DESC, neighbor_id) AS rank
-      FROM rec)
-    WHERE rank <= {k_out}) l
+  FROM etop e JOIN ltop l
     ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
   GROUP BY e.query_id
-) nh USING (query_id)"""
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+FROM ne LEFT JOIN nh USING (query_id)"""
     return _ivf_pq_oracle_sql(query_ids, k_out, m=16, tail=tail)
 
 
@@ -1178,8 +1171,10 @@ caught AS (
 SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
        CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_band_candidates,
        CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
-       ROUND(CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
-             / (SELECT COUNT(*) FROM exact), 6) AS recall
+       CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+            THEN ROUND(CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM exact), 6)
+            ELSE NULL END AS recall
 """
     )
 
@@ -2265,7 +2260,25 @@ def _bpe_apply_oracle(n_merges: int = 8) -> str:
               FROM w
             )"""
     ]
+    # Separator-ANCHORED application, mirroring text.bpe_apply: the
+    # pattern is chr(31)||A||chr(31)||B||chr(31) against a sep-wrapped
+    # state string (a bare replace would also match where A is the
+    # suffix of a longer symbol), iterated _BPE_MERGE_PASSES times
+    # because the anchored match consumes the shared boundary
+    # separator on back-to-back occurrence chains.
+    n_passes = textan._BPE_MERGE_PASSES
     for r in range(1, n_merges + 1):
+        pat = (
+            f"(chr(31) || coalesce((SELECT pr FROM m{r}), chr(1)) "
+            "|| chr(31))"
+        )
+        rep = (
+            f"(chr(31) || coalesce(replace((SELECT pr FROM m{r}), "
+            "chr(31), ''), '') || chr(31))"
+        )
+        expr = "(chr(31) || s || chr(31))"
+        for _ in range(n_passes):
+            expr = f"replace({expr}, {pat}, {rep})"
         parts.append(
             f""", p{r} AS MATERIALIZED (
               SELECT pr, CAST(SUM(wf) AS BIGINT) AS c FROM (
@@ -2280,12 +2293,8 @@ def _bpe_apply_oracle(n_merges: int = 8) -> str:
             ), m{r} AS (
               SELECT pr FROM p{r} ORDER BY c DESC, pr ASC LIMIT 1
             ), v{r} AS MATERIALIZED (
-              SELECT word, wf,
-                     replace(s,
-                       coalesce((SELECT pr FROM m{r}), chr(1)),
-                       coalesce(replace((SELECT pr FROM m{r}),
-                                        chr(31), ''), '')) AS s
-              FROM v{r - 1}
+              SELECT word, wf, substr(sw, 2, len(sw) - 2) AS s
+              FROM (SELECT word, wf, {expr} AS sw FROM v{r - 1})
             )"""
         )
     parts.append(
@@ -4936,13 +4945,17 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             -- 6-dp rounding can make the difference slightly negative
             -- for constant groups (sqrt -> NaN, and both engines treat
             -- NaN > 0 as TRUE).  Mirrors events.anomaly_zscore.
+            -- NULL values short-circuit before the guard (a null row
+            -- in a zero-variance group must NOT score z=0).
             SELECT e.event_id, e.event_type,
                    CAST(ROUND(1000000.0 * (
-                     CASE WHEN (st.m2 - st.m * st.m) > 0
+                     CASE WHEN e.value IS NULL THEN NULL
+                          WHEN (st.m2 - st.m * st.m) > 0
                           THEN (e.value - st.m)
                                / sqrt(st.m2 - st.m * st.m)
                           ELSE 0.0 END)) AS BIGINT) AS z_micro,
-                   (abs(CASE WHEN (st.m2 - st.m * st.m) > 0
+                   (abs(CASE WHEN e.value IS NULL THEN NULL
+                             WHEN (st.m2 - st.m * st.m) > 0
                              THEN (e.value - st.m)
                                   / sqrt(st.m2 - st.m * st.m)
                              ELSE 0.0 END) > 3.0) AS is_anomaly

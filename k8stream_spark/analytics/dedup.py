@@ -314,9 +314,11 @@ def minhash_recall_report(
     num_hashes = bands * rows_per_band
     coeffs = _mh_cw_coeffs(num_hashes)
 
-    # Shingle frame feeds the exact inverted index (3 branches inside
-    # ngram_jaccard_pairs' own persist) AND the twin-signature pipeline;
-    # compute the shingles once here and let each side reuse it.
+    # The banding side shingles here; the exact side
+    # (ngram_jaccard_pairs below) shingles again inside its own
+    # persist — the projection runs twice per invocation, accepted for
+    # an audit-report query (sharing would mean threading a frame into
+    # ngram_jaccard_pairs' persist lifecycle for a one-scan saving).
     sh = df.select(
         "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
     )
@@ -390,8 +392,16 @@ def minhash_recall_report(
             "n_exact_pairs",
             "n_band_candidates",
             "n_caught",
-            F.round(
-                F.col("n_caught") / F.col("n_exact_pairs"), 6
+            # NULL (not 0/0) when the corpus has no qualifying pairs:
+            # the counter row always exists, and an unguarded division
+            # errors under ANSI mode on Spark while DuckDB's IEEE
+            # default yields NaN — a cross-engine divergence on the
+            # empty-ground-truth edge.
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.round(
+                    F.col("n_caught") / F.col("n_exact_pairs"), 6
+                ),
             ).alias("recall"),
         )
     )

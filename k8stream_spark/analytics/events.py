@@ -643,8 +643,15 @@ def anomaly_zscore(
         ).alias("__m2"),
     )
     var = F.col("__m2") - F.col("__m") * F.col("__m")
-    z = F.when(var > 0, (x - F.col("__m")) / F.sqrt(var)).otherwise(
-        F.lit(0.0)
+    # Null values short-circuit BEFORE the variance guard: in the
+    # var>0 branch (x-m)/s already propagates NULL, but the
+    # otherwise(0.0) arm would score a null row in a zero-variance
+    # group as z=0 / not-anomalous — a definite verdict on an
+    # unscoreable row, contradicting the NULL-emission contract above.
+    z = (
+        F.when(x.isNull(), F.lit(None).cast("double"))
+        .when(var > 0, (x - F.col("__m")) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
     )
     return df.join(F.broadcast(stats), by).select(
         "event_id",

@@ -905,6 +905,12 @@ def bpe_merge_pairs(
 #: non-overlapping semantics (identical in Spark and DuckDB) ARE the
 #: greedy BPE scan — no array fold, no UDF.
 _BPE_SEP = "\x1f"
+#: Anchored-merge passes per BPE round: the sep-anchored replace
+#: consumes the boundary separator, so chained occurrences of the same
+#: pair within one word ([A,B,A,B,...]) merge one-per-chain per pass;
+#: 8 passes reach the greedy fixpoint for runs of up to 2^8 pair
+#: occurrences (a 512-symbol single-word run — degenerate input).
+_BPE_MERGE_PASSES = 8
 
 
 def bpe_apply(
@@ -974,7 +980,6 @@ def bpe_apply(
         .alias("__s"),
     ).localCheckpoint(eager=True)
 
-    merges: list[str] = []
     for _ in range(n_merges):
         arr = F.split(F.col("__s"), _BPE_SEP)
         pair_arr = F.transform(
@@ -999,15 +1004,31 @@ def bpe_apply(
         if not top:
             break
         merged_pair = top[0]["__p"]
-        merges.append(merged_pair)
+        # Separator-ANCHORED merge: a bare replace("A<sep>B") also
+        # matches where A is a suffix of a longer symbol (symbols
+        # [x, ta, b] with pair (a,b) would wrongly produce [x, tab]),
+        # so the pattern is wrapped "<sep>A<sep>B<sep>" against a
+        # sep-wrapped state string.  The anchored match CONSUMES the
+        # shared boundary separator, so back-to-back occurrences
+        # (runs like [A,B,A,B]) need iterated passes: each pass
+        # merges the leftmost of any adjacent occurrence chain and
+        # halves the rest — _BPE_MERGE_PASSES=8 covers runs of 2^8
+        # pair occurrences per word, and the fixpoint equals the
+        # symbol-wise greedy left-to-right merge the replica test
+        # pins.  Each pass is one codegen string op on the
+        # vocab-sized frame.
+        anchored = F.lit(_BPE_SEP + merged_pair + _BPE_SEP)
+        collapsed = F.lit(
+            _BPE_SEP + merged_pair.replace(_BPE_SEP, "") + _BPE_SEP
+        )
+        s = F.concat(F.lit(_BPE_SEP), F.col("__s"), F.lit(_BPE_SEP))
+        for _pass in range(_BPE_MERGE_PASSES):
+            s = F.replace(s, anchored, collapsed)
+        s = s.substr(F.lit(2), F.length(s) - 2)
         nxt = vocab.select(
             "__w",
             "__wf",
-            F.replace(
-                F.col("__s"),
-                F.lit(merged_pair),
-                F.lit(merged_pair.replace(_BPE_SEP, "")),
-            ).alias("__s"),
+            s.alias("__s"),
         ).localCheckpoint(eager=True)
         vocab.unpersist()
         vocab = nxt

@@ -258,6 +258,10 @@ def test_anomaly_batch_stream_null_symmetry(spark):
         (3, "a", None),  # must not dilute the mean: m = 2.0, not 4/3
         (4, "a", 2.0),
         (5, "b", 7.0),
+        (6, "c", 4.0),
+        (7, "c", 4.0),
+        (8, "c", None),  # null in a ZERO-VARIANCE group: must stay
+        #                  NULL, not fall into the otherwise-0 arm
     ]
     df = spark.createDataFrame(
         rows, "event_id int, event_type string, value double"
@@ -277,6 +281,11 @@ def test_anomaly_batch_stream_null_symmetry(spark):
     assert out[3].z_micro is None and out[3].is_anomaly is None
     # Single-row group b: zero variance → z pins to 0, no flag.
     assert out[5].z_micro == 0 and out[5].is_anomaly is False
+    # Zero-variance group c: non-null rows pin to 0, but the NULL row
+    # must short-circuit to NULL before the variance guard (r10 review:
+    # the otherwise(0.0) arm scored it as a definite non-anomaly).
+    assert out[6].z_micro == 0 and out[6].is_anomaly is False
+    assert out[8].z_micro is None and out[8].is_anomaly is None
 
 
 def test_histogram_bins_stateful_matches_batch_bins(spark, tmp_path):

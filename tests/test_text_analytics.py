@@ -427,7 +427,14 @@ def test_bpe_apply_replica(spark):
     same contract (greedy left-to-right merge, (count desc, pair asc)
     tiebreak), pinning the three behaviors the oracle relies on:
     greedy non-overlap on runs ('aaa' -> [aa, a]), merge priority by
-    weighted count, and the early break when no pairs remain."""
+    weighted count, and the early break when no pairs remain.
+
+    Docs 4/5 pin the two anchored-merge regressions: 'xtab' must stay
+    [x, ta, b] after merges (t,a) then (a,b) — an unanchored replace
+    would match the 'a' suffix of symbol 'ta' and wrongly produce
+    [x, tab] — and 'abab' must fully merge to [ab, ab] even though
+    back-to-back anchored matches share a boundary separator
+    (iterated passes)."""
     from collections import Counter
 
     from k8stream_spark.analytics import text as textan
@@ -437,6 +444,8 @@ def test_bpe_apply_replica(spark):
         (1, "newest widest low"),
         (2, None),
         (3, ""),
+        (4, "ta ta ta ta ta ab ab ab xtab"),
+        (5, "ab ab abab"),
     ]
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
 
