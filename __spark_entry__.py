@@ -465,6 +465,44 @@ WHERE rank <= {k}"""
     return _ivf_training_sql(iters, dim).replace("__TAIL__", tail)
 
 
+def _recall_tail_sql(
+    qids: str, k_out: int = 10, id_col: str = "id", vec_col: str = "x"
+) -> str:
+    """The shared back half of every recall-report oracle: exact-side
+    brute-force cosine top-k over ``base`` (ecand/etop), per-query
+    intersection with an ``ltop(query_id, neighbor_id)`` CTE the
+    CALLER must define just before appending this, and the final
+    (query_id, n_exact, n_hits, recall) projection.  One definition so
+    a future change to the exact-side rounding or tiebreak cannot
+    silently diverge one report from its three siblings."""
+    return f""", ecand AS (
+  SELECT q.{id_col} AS query_id, b.{id_col} AS neighbor_id,
+         ROUND(list_dot_product(q.{vec_col}, b.{vec_col})
+               / (sqrt(list_dot_product(q.{vec_col}, q.{vec_col}))
+                  * sqrt(list_dot_product(b.{vec_col}, b.{vec_col}))), 6)
+           AS cosine
+  FROM base q CROSS JOIN base b
+  WHERE q.{id_col} IN {qids} AND b.{id_col} != q.{id_col}
+), etop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS r
+    FROM ecand) WHERE r <= {k_out}
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM etop GROUP BY query_id
+), nh AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM etop e JOIN ltop l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+FROM ne LEFT JOIN nh USING (query_id)"""
+
+
 # Recall@k of the IVF path vs exact, replayed end to end: the training
 # chain gives every vector's cell (asgf) and per-query probe ranking
 # (ranked); both top-k sides and their intersection counts are
@@ -493,31 +531,7 @@ def _ivf_recall_oracle_sql(
     SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, neighbor_id) AS rank
     FROM scored) WHERE rank <= {k}
-), ecand AS (
-  SELECT q.id AS query_id, b.id AS neighbor_id,
-         ROUND(list_dot_product(q.x, b.x)
-               / (sqrt(list_dot_product(q.x, q.x))
-                  * sqrt(list_dot_product(b.x, b.x))), 6) AS cosine
-  FROM base q CROSS JOIN base b
-  WHERE q.id IN {qids} AND b.id != q.id
-), etop AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, neighbor_id) AS r
-    FROM ecand) WHERE r <= {k}
-), ne AS (
-  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
-  FROM etop GROUP BY query_id
-), nh AS (
-  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM etop e JOIN ltop l
-    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
-  GROUP BY e.query_id
-)
-SELECT ne.query_id, ne.n_exact,
-       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
-       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
-FROM ne LEFT JOIN nh USING (query_id)"""
+)""" + _recall_tail_sql(qids, k)
     return _ivf_training_sql(iters, dim).replace("__TAIL__", tail)
 
 
@@ -782,31 +796,7 @@ def _adc_recall_oracle_sql(
       WHERE w.pid != d.qid
       GROUP BY d.qid, w.pid))
   WHERE rank <= {k_out}
-), ecand AS (
-  SELECT q.id AS query_id, b.id AS neighbor_id,
-         ROUND(list_dot_product(q.x, b.x)
-               / (sqrt(list_dot_product(q.x, q.x))
-                  * sqrt(list_dot_product(b.x, b.x))), 6) AS cosine
-  FROM base q CROSS JOIN base b
-  WHERE q.id IN {qids} AND b.id != q.id
-), etop AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, neighbor_id) AS r
-    FROM ecand) WHERE r <= {k_out}
-), ne AS (
-  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
-  FROM etop GROUP BY query_id
-), nh AS (
-  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM etop e JOIN ltop l
-    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
-  GROUP BY e.query_id
-)
-SELECT ne.query_id, ne.n_exact,
-       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
-       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
-FROM ne LEFT JOIN nh USING (query_id)"""
+)""" + _recall_tail_sql(qids, k_out)
     return _pq_training_sql(m, k, iters, dim).replace("__TAIL__", tail)
 
 
@@ -1006,31 +996,7 @@ def _ivf_pq_recall_oracle_sql(
                               ORDER BY {score} DESC, neighbor_id) AS rank
     FROM rec)
   WHERE rank <= {k_out}
-), ecand AS (
-  SELECT q.id AS query_id, b.id AS neighbor_id,
-         ROUND(list_dot_product(q.x, b.x)
-               / (sqrt(list_dot_product(q.x, q.x))
-                  * sqrt(list_dot_product(b.x, b.x))), 6) AS cosine
-  FROM base q CROSS JOIN base b
-  WHERE q.id IN {qids} AND b.id != q.id
-), etop AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, neighbor_id) AS r
-    FROM ecand) WHERE r <= {k_out}
-), ne AS (
-  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
-  FROM etop GROUP BY query_id
-), nh AS (
-  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM etop e JOIN ltop l
-    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
-  GROUP BY e.query_id
-)
-SELECT ne.query_id, ne.n_exact,
-       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
-       ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
-FROM ne LEFT JOIN nh USING (query_id)"""
+)""" + _recall_tail_sql(qids, k_out)
     return _ivf_pq_oracle_sql(query_ids, k_out, m=16, tail=tail)
 
 
@@ -3613,18 +3579,6 @@ def oracle_sql() -> dict[str, str]:
         + f"""
             , base AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            ), ecand AS (
-              SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-                     ROUND(list_dot_product(q.v, b.v)
-                           / (sqrt(list_dot_product(q.v, q.v))
-                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-              FROM base q CROSS JOIN base b
-              WHERE q.vec_id IN {TOPK_QUERY_IDS} AND b.vec_id != q.vec_id
-            ), etop AS (
-              SELECT query_id, neighbor_id FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS r
-                FROM ecand) WHERE r <= 10
             ), lcand AS (
               SELECT DISTINCT q.vid AS query_id, o.vid AS nid
               FROM bkey q JOIN bkey o ON q.bkt = o.bkt AND o.vid != q.vid
@@ -3638,25 +3592,14 @@ def oracle_sql() -> dict[str, str]:
               JOIN base q ON q.vec_id = c.query_id
               JOIN base b ON b.vec_id = c.nid
             ), ltop AS (
-              SELECT query_id, nid FROM (
+              SELECT query_id, nid AS neighbor_id FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, nid) AS r
                 FROM lscored) WHERE r <= 10
-            ), ne AS (
-              SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
-              FROM etop GROUP BY query_id
-            ), nh AS (
-              SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-              FROM etop e
-              JOIN ltop l ON l.query_id = e.query_id
-                         AND l.nid = e.neighbor_id
-              GROUP BY e.query_id
-            )
-            SELECT ne.query_id, ne.n_exact,
-                   CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
-                   ROUND(COALESCE(nh.n_hits, 0) / ne.n_exact, 6) AS recall
-            FROM ne LEFT JOIN nh USING (query_id)
-        """,
+            )"""
+        + _recall_tail_sql(
+            str(TOPK_QUERY_IDS), 10, id_col="vec_id", vec_col="v"
+        ),
         # Full replay of the integer-exact IVF pipeline (see
         # _ivf_oracle_sql): quantizer training, assignment, probing and
         # rerank are all reproduced bit-for-bit, so the APPROXIMATE

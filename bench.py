@@ -417,6 +417,11 @@ def main() -> None:
         line = json.dumps(payload)
     while len(line) >= 1500 and payload["queries"]:
         payload["queries"].pop(next(reversed(payload["queries"])))
+        # keep the self-description honest after shrinking
+        payload["queries_note"] = "%d slowest of %d; full maps in BENCH_FULL_latest.json" % (
+            len(payload["queries"]),
+            len(timings),
+        )
         line = json.dumps(payload)
     print(line)
     spark.stop()

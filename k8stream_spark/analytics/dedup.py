@@ -314,14 +314,16 @@ def minhash_recall_report(
     num_hashes = bands * rows_per_band
     coeffs = _mh_cw_coeffs(num_hashes)
 
-    # The banding side shingles here; the exact side
-    # (ngram_jaccard_pairs below) shingles again inside its own
-    # persist — the projection runs twice per invocation, accepted for
-    # an audit-report query (sharing would mean threading a frame into
-    # ngram_jaccard_pairs' persist lifecycle for a one-scan saving).
+    # ONE persisted shingle frame feeds both sides — the banding twin
+    # here and the exact inverted index (threaded into
+    # ngram_jaccard_pairs via its caller-owned ``shingles`` param) —
+    # and the report owns its lifecycle: the one-row output is
+    # finalized below, releasing the corpus-sized cache instead of
+    # accumulating one entry per call in a long-lived session.
     sh = df.select(
         "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
-    )
+    ).persist()
+    sh.count()
     ex = sh.select("doc_id", F.explode("shingles").alias("g"))
     # 15 hex chars = 60 bits: exact in a signed long in both engines
     # (Spark conv(…,16,10) + cast; DuckDB CAST('0x'||… AS BIGINT)).
@@ -376,16 +378,16 @@ def minhash_recall_report(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, threshold, shingle_n).select(
-        "doc_a", "doc_b"
-    )
+    exact = ngram_jaccard_pairs(
+        df, text_col, threshold, shingle_n, shingles=sh
+    ).select("doc_a", "doc_b")
     caught = exact.join(candidates, ["doc_a", "doc_b"])
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_cand = candidates.agg(
         F.count(F.lit(1)).alias("n_band_candidates")
     )
     n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
-    return (
+    report = (
         n_exact.crossJoin(n_cand)
         .crossJoin(n_caught)
         .select(
@@ -405,6 +407,9 @@ def minhash_recall_report(
             ).alias("recall"),
         )
     )
+    from k8stream_spark.analytics._cache import finalize
+
+    return finalize(report, sh)
 
 
 def ngram_jaccard_pairs(
@@ -412,6 +417,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
 
@@ -419,15 +425,26 @@ def ngram_jaccard_pairs(
     index — only docs sharing at least one shingle meet) → count shared
     shingles per pair → Jaccard from |A∩B| and set sizes.  The join is an
     equi-join on the shingle hash, so it shuffles on shingle, not doc².
+
+    ``shingles``: optional caller-owned (doc_id, shingles) frame —
+    supplied by callers that already computed (and persisted) the
+    shingle projection for another branch (``minhash_recall_report``),
+    so the corpus is shingled once and the CALLER controls the cache
+    lifecycle; when omitted, this function persists its own under the
+    house clearCache-between-queries contract.
     """
-    # Persist: the shingle frame feeds the inverted-index self-join (left +
-    # right) and the per-doc size lookup — three branches, one computation.
-    # Materialized eagerly: within one action the cold branches would race
-    # the unpopulated cache and each recompute the shingles.
-    sh = df.select(
-        "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
-    ).persist()
-    sh.count()
+    if shingles is not None:
+        sh = shingles
+    else:
+        # Persist: the shingle frame feeds the inverted-index self-join
+        # (left + right) and the per-doc size lookup — three branches,
+        # one computation.  Materialized eagerly: within one action the
+        # cold branches would race the unpopulated cache and each
+        # recompute the shingles.
+        sh = df.select(
+            "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
+        ).persist()
+        sh.count()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")

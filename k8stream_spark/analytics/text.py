@@ -1030,7 +1030,10 @@ def bpe_apply(
             "__wf",
             s.alias("__s"),
         ).localCheckpoint(eager=True)
-        vocab.unpersist()
+        # No explicit release: localCheckpointed frames have no
+        # CacheManager entry (unpersist would be a no-op) — dropping
+        # the reference lets ContextCleaner reap the round's blocks
+        # after a driver GC, and the frames are vocab-sized.
         vocab = nxt
 
     n_sym = vocab.select(
@@ -1054,7 +1057,10 @@ def bpe_apply(
         .join(per_doc, "doc_id", "left")
         .na.fill({"n_ws_tokens": 0, "n_bpe_tokens": 0})
     )
-    return finalize(out, vocab)
+    # finalize(out) only: vocab is localCheckpointed (no CacheManager
+    # entry to unpersist) and is reclaimed by ContextCleaner once this
+    # frame drops out of scope.
+    return finalize(out)
 
 
 def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -430,7 +430,27 @@ class InformerStreamReader(DataSourceStreamReader):
         with open(partition.path, "rb") as fh:
             idx = getattr(partition, "seek_row", 0)
             if idx:
-                fh.seek(getattr(partition, "seek_byte", 0))
+                seek_byte = getattr(partition, "seek_byte", 0)
+                # Alignment guard: the offset index was recorded
+                # against the file identity seen at latestOffset(); if
+                # the path was renamed-over between planning and this
+                # task, the byte offset can land MID-LINE in the new
+                # content — which would silently shift every row in
+                # the slice off-by-one (the old skip-scan delivered
+                # wrong-but-aligned rows in the same rotation race,
+                # redelivered from 0 on the next trigger's sig check).
+                # A checkpointed offset is always preceded by '\n', so
+                # one 1-byte read detects the mismatch and degrades to
+                # the line-0 scan instead of misaligned rows.
+                aligned = False
+                if seek_byte > 0:
+                    fh.seek(seek_byte - 1)
+                    aligned = fh.read(1) == b"\n"
+                if aligned:
+                    fh.seek(seek_byte)
+                else:
+                    fh.seek(0)
+                    idx = 0
             for line in fh:
                 if not line.strip():
                     continue

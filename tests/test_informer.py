@@ -315,6 +315,35 @@ def test_non_string_values_in_string_fields_coerce_to_json_text(tmp_path):
     assert [row[0] for row in rows] == ["123", "e2"]
 
 
+def test_seek_misalignment_falls_back_to_line0_scan(tmp_path):
+    """A byte-offset checkpoint that lands mid-line (the rename-over
+    race between latestOffset() and the executor task) must NOT shift
+    rows off-by-one: the executor verifies the preceding byte is a
+    newline and degrades to the line-0 skip-scan otherwise."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    with open(os.path.join(src, "big.json"), "w") as f:
+        for i in range(3000):
+            f.write(json.dumps({"uid": f"b{i:04d}"}) + "\n")
+    r = InformerStreamReader(
+        _schema_for("event"),
+        {"path": src, "rowsPerPartition": "1024", "minTasks": "1"},
+    )
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    seeked = [
+        s
+        for p in parts
+        for s in (p.slices if hasattr(p, "slices") else [p])
+        if getattr(s, "seek_row", 0) > 0
+    ]
+    assert seeked  # the split slices carry checkpoint annotations
+    want = sorted(row[0] for row in _rows(r, parts))
+    for s in seeked:
+        s.seek_byte += 3  # now mid-line, as after a rename-over race
+    got = sorted(row[0] for row in _rows(r, parts))
+    assert got == want == sorted(f"b{i:04d}" for i in range(3000))
+
+
 def test_repack_respects_parallelism_floor(tmp_path):
     """rowsPerPartition is a CEILING, not the packing goal: with a
     minTasks floor, a batch with enough rows must spread over at least
@@ -342,6 +371,16 @@ def test_repack_respects_parallelism_floor(tmp_path):
         sizes.append(sum(s.end - s.start for s in slices))
     assert all(s <= 2048 for s in sizes)
     assert sum(sizes) == 8192
+    # the minTasks OPTION must actually steer the floor (not just the
+    # default 64): minTasks=2 -> effective target min(8192, 8192//2) =
+    # 4096, i.e. exactly 2 packed tasks; a regression to the default
+    # would yield 8 tasks of 1024 and fail here
+    r2 = InformerStreamReader(
+        _schema_for("event"),
+        {"path": src, "rowsPerPartition": "8192", "minTasks": "2"},
+    )
+    parts2 = r2.partitions(r2.initialOffset(), r2.latestOffset())
+    assert len(parts2) == 2
     # the ceiling still splits: one oversized file alone must not
     # serialize on a single task either
     r1 = InformerStreamReader(
