@@ -2367,6 +2367,41 @@ def _q_anomaly_zscore(spark, sf_dir):
     return evan.anomaly_zscore(load_table(spark, sf_dir, "events"))
 
 
+def _q_pca_covariance(spark, sf_dir):
+    return similarity.pca_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_pca_top_component(spark, sf_dir):
+    return similarity.pca_top_component(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _q_pca_project(spark, sf_dir):
+    return similarity.pca_project(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _q_snapshot_delta(spark, sf_dir):
+    """Corpus snapshot diff over two deterministically derived versions
+    of the documents table (no second table exists in the driver data):
+    the OLD snapshot lacks doc_id % 7 == 3 (since added), carries a
+    7-char-shorter text for doc_id % 5 == 0 (since edited), and the NEW
+    snapshot dropped doc_id % 11 == 5 (since removed) — all three delta
+    classes exercised.  The derivations repeat verbatim in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.expr("substring(text, 1, greatest(length(text) - 7, 0))"),
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 5)
+    return docdedup.snapshot_delta(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -2469,6 +2504,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_pipeline": _q_curation_pipeline,
         "emb_standardize": _q_standardize,
         "events_anomaly_zscore": _q_anomaly_zscore,
+        # r10 surface: PCA (covariance → power iteration → projection)
+        # and the incremental-ingest snapshot delta
+        "emb_pca_covariance": _q_pca_covariance,
+        "emb_pca_top_component": _q_pca_top_component,
+        "emb_pca_project": _q_pca_project,
+        "docs_snapshot_delta": _q_snapshot_delta,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -2554,6 +2595,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rnd, green = graded.get(n, (0, False))
         return (green, rnd, order[n])
     return {name: reg[name] for name in sorted(reg, key=_key)}
+
+
+#: Power-iteration steps for the PCA queries — must match the default
+#: in similarity.pca_top_component / pca_project.
+_PCA_STEPS = 8
+
+
+def _pca_oracle(final: str, steps: int = _PCA_STEPS) -> str:
+    """Unrolled-CTE replay of similarity.pca_covariance +
+    _pca_power_iterate: decimal-sum covariance in micro ints, then
+    ``steps`` rounds of integer-exact matrix-vector multiply and
+    floor(x+0.5) normalization.  Every op is exact int64 arithmetic or
+    a single correctly-rounded IEEE step, so DuckDB reproduces the
+    driver-side Python loop bit-for-bit (see _pca_power_iterate's
+    docstring for the bounds argument).
+
+    The chain CTEs are AS MATERIALIZED: each v_k references w_k twice
+    (directly and through n_k), so DuckDB's default CTE inlining
+    expands the plan 2^steps-fold — 50 s at sf0.01 vs 0.3 s
+    materialized (measured r10)."""
+    parts = [
+        """ex AS (
+          SELECT vec_id, i.i - 1 AS d, CAST(embedding[i.i] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+        )""",
+        """pairs AS (
+          SELECT a.d AS i, b.d AS j, a.x AS xi, b.x AS xj
+          FROM ex a JOIN ex b USING (vec_id)
+        )""",
+        """g AS (
+          SELECT i, j,
+            ROUND(CAST(SUM(CAST(xi * xj AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS e,
+            ROUND(CAST(SUM(CAST(xi AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS mi,
+            ROUND(CAST(SUM(CAST(xj AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS mj
+          FROM pairs GROUP BY i, j
+        )""",
+        """cov AS MATERIALIZED (
+          SELECT i, j,
+                 CAST(ROUND(1000000.0 * ROUND(e - mi * mj, 6)) AS BIGINT)
+                   AS c
+          FROM g
+        )""",
+        """v0 AS (
+          SELECT dd.d, CAST(FLOOR(1000000.0 / sqrt(64) + 0.5) AS BIGINT)
+                   AS v
+          FROM (SELECT unnest(generate_series(0, 63)) AS d) dd
+        )""",
+    ]
+    prev = "v0"
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+          SELECT cov.i AS d,
+                 CAST(FLOOR((SUM(cov.c * {prev}.v) + 500000)
+                            / 1000000.0) AS BIGINT) AS w
+          FROM cov JOIN {prev} ON cov.j = {prev}.d GROUP BY cov.i
+        )"""
+        )
+        parts.append(
+            f"""n{k} AS MATERIALIZED (
+          SELECT CAST(SUM(w * w) AS DOUBLE) AS norm2 FROM w{k}
+        )"""
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+          SELECT d, CASE WHEN norm2 > 0
+                         THEN CAST(FLOOR(1000000.0 * w / sqrt(norm2)
+                                         + 0.5) AS BIGINT)
+                         ELSE 0 END AS v
+          FROM w{k}, n{k}
+        )"""
+        )
+        prev = f"v{k}"
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5115,6 +5233,55 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        """,
+        # r10 PCA family: shared unrolled power-iteration chain
+        # (_pca_oracle) — covariance, component, projection.
+        "emb_pca_covariance": _pca_oracle(
+            "SELECT i, j, c AS c_micro FROM cov"
+        ),
+        "emb_pca_top_component": _pca_oracle(
+            f"""SELECT v{_PCA_STEPS}.d AS d, v{_PCA_STEPS}.v AS v_micro,
+                   CASE WHEN n{_PCA_STEPS}.norm2 > 0
+                        THEN CAST(FLOOR(sqrt(n{_PCA_STEPS}.norm2) + 0.5)
+                                  AS BIGINT)
+                        ELSE 0 END AS lambda_micro
+            FROM v{_PCA_STEPS}, n{_PCA_STEPS}"""
+        ),
+        "emb_pca_project": _pca_oracle(
+            f"""SELECT ex.vec_id,
+                   CAST(ROUND(1000000.0 * CAST(SUM(CAST(
+                          (ex.x - m.m) * (v{_PCA_STEPS}.v / 1000000.0)
+                        AS DECIMAL(28,12))) AS DOUBLE)) AS BIGINT)
+                     AS score_micro
+            FROM ex
+            JOIN (SELECT d,
+                         ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12)))
+                                    AS DOUBLE) / COUNT(*), 6) AS m
+                  FROM ex GROUP BY d) m USING (d)
+            JOIN v{_PCA_STEPS} ON v{_PCA_STEPS}.d = ex.d
+            GROUP BY ex.vec_id"""
+        ),
+        # Mirrors dedup.snapshot_delta over the _q_snapshot_delta
+        # version derivations (old: %7 filter + 7-char trim for %5;
+        # new: %11 filter).
+        "docs_snapshot_delta": """
+            WITH old AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 5 = 0
+                              THEN substring(text, 1,
+                                     greatest(length(text) - 7, 0))
+                              ELSE text END) AS oh
+              FROM documents WHERE doc_id % 7 <> 3
+            ), new AS (
+              SELECT doc_id, md5(text) AS nh
+              FROM documents WHERE doc_id % 11 <> 5
+            )
+            SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN oh IS NULL THEN 'added'
+                        WHEN nh IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+            WHERE oh IS NULL OR nh IS NULL OR oh <> nh
         """,
         # DuckDB's native ASOF JOIN checks the union/last-value
         # distributed as-of implementation.

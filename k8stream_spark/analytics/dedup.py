@@ -1528,3 +1528,46 @@ def curation_pipeline(
             ).alias("final_keep"),
         )
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: classify every doc as added / removed /
+    changed between two corpus versions, emitting ONLY the churn rows.
+
+    The incremental-ingest companion to ``incremental_dedup``: a
+    pipeline that re-crawls a source needs the delta against the
+    previous snapshot before anything downstream (re-embedding,
+    re-dedup, re-tokenization) runs — recomputing those over the ~99%
+    unchanged corpus is the classic 100 TB waste.
+
+    Scale: each side collapses to (id, md5) before the join — 48-byte
+    rows, never text payloads — then ONE id-keyed full-outer sort-merge
+    join; with both snapshots bucketed by id on disk the exchange
+    disappears entirely.  Output is bounded by the churn, not the
+    corpus.  ``unchanged`` rows are dropped before the join output ever
+    materializes downstream operators' input.
+    """
+    o = old.select(
+        F.col(id_col).alias(id_col),
+        F.md5(F.col(text_col)).alias("__oh"),
+    )
+    n = new.select(
+        F.col(id_col).alias(id_col),
+        F.md5(F.col(text_col)).alias("__nh"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.col(id_col), status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )

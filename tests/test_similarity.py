@@ -544,3 +544,76 @@ def test_standardize_hand_values_and_moments(spark):
         # mean, i.e. a few micro units at s ~ 0.3
         assert abs(s1[d] / n[d]) < 5.0, d              # mean ~0 micro
         assert abs(s2[d] / n[d] / 1e12 - 1.0) < 0.01, d  # E[z^2] ~1
+
+
+def test_pca_covariance_and_top_component_hand_values(spark):
+    """Axis-aligned corpus: dim 0 carries all the variance, so the top
+    component must be exactly e0 with lambda = Var[x_0], and every
+    covariance cell replays the E[xy] - mx*my recipe by hand."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [-2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cov = {
+        (r.i, r.j): r.c_micro
+        for r in similarity.pca_covariance(df, dim=2).collect()
+    }
+    # E[x0^2] = (1+1+4+4)/4 = 2.5, means 0 -> c(0,0) = 2_500_000
+    assert cov == {
+        (0, 0): 2_500_000,
+        (0, 1): 0,
+        (1, 0): 0,
+        (1, 1): 0,
+    }
+    comp = similarity.pca_top_component(spark, df, dim=2).collect()
+    got = {r.d: (r.v_micro, r.lambda_micro) for r in comp}
+    assert got[0] == (1_000_000, 2_500_000)
+    assert got[1] == (0, 2_500_000)
+    # Projection = centered dim-0 value (component is e0, means are 0).
+    proj = {
+        r.vec_id: r.score_micro
+        for r in similarity.pca_project(spark, df, dim=2).collect()
+    }
+    assert proj == {
+        0: 1_000_000,
+        1: -1_000_000,
+        2: 2_000_000,
+        3: -2_000_000,
+    }
+
+
+def test_pca_zero_spectrum_guarded(spark):
+    """An all-identical corpus has a zero covariance matrix: the
+    normalization guard must yield the zero vector and lambda 0, never
+    a NaN/overflow from dividing by sqrt(0)."""
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    comp = similarity.pca_top_component(spark, df, dim=2).collect()
+    assert {(r.v_micro, r.lambda_micro) for r in comp} == {(0, 0)}
+    proj = similarity.pca_project(spark, df, dim=2).collect()
+    assert {r.score_micro for r in proj} == {0}
+
+
+def test_pca_power_iterate_is_integer_exact():
+    """The driver-side loop is pure int64 + single IEEE steps: feeding
+    the documented worst-case magnitudes must stay inside exact-double
+    range (no silent precision loss), and a known 2x2 matrix converges
+    to the dominant eigenvector."""
+    # [[2, 1], [1, 2]] in micro units: eigenvector (1,1)/sqrt(2),
+    # eigenvalue 3.
+    cov = {
+        (0, 0): 2_000_000,
+        (0, 1): 1_000_000,
+        (1, 0): 1_000_000,
+        (1, 1): 2_000_000,
+    }
+    v, lam = similarity._pca_power_iterate(cov, 2, 8)
+    assert v == [707107, 707107]  # floor(1e6/sqrt(2)+0.5)
+    # lambda carries the fixpoint's micro-quantization: w settles at
+    # (3e6*707107 + 5e5)//1e6 = 2121321 per dim, and
+    # floor(2121321*sqrt(2) + 0.5) = 3000001 — one micro above the
+    # true eigenvalue 3.0, the documented +-1-micro discretization.
+    assert lam == 3_000_001
