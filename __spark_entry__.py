@@ -2383,6 +2383,12 @@ def _q_pca_project(spark, sf_dir):
     )
 
 
+def _q_pca_var_explained(spark, sf_dir):
+    return similarity.pca_var_explained(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_snapshot_delta(spark, sf_dir):
     """Corpus snapshot diff over two deterministically derived versions
     of the documents table (no second table exists in the driver data):
@@ -2509,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_covariance": _q_pca_covariance,
         "emb_pca_top_component": _q_pca_top_component,
         "emb_pca_project": _q_pca_project,
+        "emb_pca_var_explained": _q_pca_var_explained,
         "docs_snapshot_delta": _q_snapshot_delta,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
@@ -5260,6 +5267,24 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
                   FROM ex GROUP BY d) m USING (d)
             JOIN v{_PCA_STEPS} ON v{_PCA_STEPS}.d = ex.d
             GROUP BY ex.vec_id"""
+        ),
+        "emb_pca_var_explained": _pca_oracle(
+            f"""SELECT
+                   CASE WHEN n{_PCA_STEPS}.norm2 > 0
+                        THEN CAST(FLOOR(sqrt(n{_PCA_STEPS}.norm2) + 0.5) AS BIGINT)
+                        ELSE 0 END AS lambda_micro,
+                   t.trace AS trace_micro,
+                   CASE WHEN t.trace > 0
+                        THEN CAST(FLOOR(1000000.0 *
+                               (CASE WHEN n{_PCA_STEPS}.norm2 > 0
+                                     THEN CAST(FLOOR(sqrt(n{_PCA_STEPS}.norm2)
+                                               + 0.5) AS BIGINT)
+                                     ELSE 0 END)
+                               / t.trace + 0.5) AS BIGINT)
+                        ELSE 0 END AS var_explained_micro
+            FROM n{_PCA_STEPS},
+                 (SELECT CAST(SUM(c) AS BIGINT) AS trace
+                  FROM cov WHERE i = j) t"""
         ),
         # Mirrors dedup.snapshot_delta over the _q_snapshot_delta
         # version derivations (old: %7 filter + 7-char trim for %5;

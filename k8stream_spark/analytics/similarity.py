@@ -2340,3 +2340,39 @@ def pca_project(
             .alias("score_micro")
         )
     )
+
+
+def pca_var_explained(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int = 64,
+    steps: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Variance explained by the top principal component: one row
+    (lambda_micro, trace_micro, var_explained_micro) with ratio =
+    λ / trace(C) — the go/no-go statistic for dimensionality reduction
+    (a high ratio says the corpus is effectively low-rank; a flat
+    spectrum says a 1-D curriculum ordering would be noise).
+
+    Same bounded split as ``pca_top_component``: distributed
+    covariance, collected d² cells, integer-exact driver math — trace
+    is an exact int64 sum of the diagonal micro cells, and the ratio
+    is floor(1e6·λ/trace + 0.5), single IEEE steps an unrolled DuckDB
+    CTE repeats.  Returned frame is a 1-row LocalTableScan.
+    """
+    rows = pca_covariance(
+        embeddings, dim=dim, vec_col=vec_col, id_col=id_col
+    ).collect()
+    cov = {(int(r["i"]), int(r["j"])): int(r["c_micro"]) for r in rows}
+    _, lam = _pca_power_iterate(cov, dim, steps)
+    trace = sum(cov.get((d, d), 0) for d in range(dim))
+    ratio = (
+        math.floor(1000000.0 * lam / trace + 0.5) if trace > 0 else 0
+    )
+    return spark.createDataFrame(
+        [(lam, trace, ratio)],
+        "lambda_micro bigint, trace_micro bigint, "
+        "var_explained_micro bigint",
+    )

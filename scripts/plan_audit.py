@@ -122,6 +122,7 @@ AUDITED = [
     "emb_pca_covariance",
     "emb_pca_top_component",
     "emb_pca_project",
+    "emb_pca_var_explained",
     "docs_snapshot_delta",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on

@@ -617,3 +617,23 @@ def test_pca_power_iterate_is_integer_exact():
     # floor(2121321*sqrt(2) + 0.5) = 3000001 — one micro above the
     # true eigenvalue 3.0, the documented +-1-micro discretization.
     assert lam == 3_000_001
+
+
+def test_pca_var_explained_hand_values(spark):
+    """Axis-aligned corpus: all variance on dim 0 -> ratio exactly 1.0
+    (1_000_000 micro); trace = the single nonzero diagonal cell."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [-2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.pca_var_explained(spark, df, dim=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.lambda_micro, r.trace_micro, r.var_explained_micro) == (
+        2_500_000,
+        2_500_000,
+        1_000_000,
+    )

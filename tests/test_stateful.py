@@ -398,3 +398,90 @@ def test_cms_counters_stateful_matches_batch_sketch(spark, tmp_path):
             ) % 64
             want[(j, b)] = want.get((j, b), 0) + n
     assert latest == want
+
+
+# ---------------------------------------------------------------------------
+# content-change CDC gate — stream twin of analytics.dedup.snapshot_delta
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _run_gate(spark, src: str, ckpt: str) -> list[tuple[int, str, str]]:
+    from k8stream_spark.streaming.stateful import content_change_gate_stateful
+
+    stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+    gated = content_change_gate_stateful(stream, key="doc_id")
+    emitted: list[tuple[int, str, str]] = []
+
+    def collect(batch_df, _batch_id):
+        emitted.extend(
+            (r.doc_id, r.text, r.status) for r in batch_df.collect()
+        )
+
+    q = (
+        gated.writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "query did not terminate"
+    return emitted
+
+
+def test_content_gate_matches_batch_snapshot_delta(
+    spark, tmp_path, no_data_batches_off
+):
+    """Feed the gate two corpus snapshots as successive runs over one
+    checkpoint: its add/change decisions must equal the batch
+    snapshot_delta over the same two frames, minus 'removed' (absence
+    is not a stream event — documented contract)."""
+    from k8stream_spark.analytics.dedup import snapshot_delta
+
+    old = [(1, "a"), (2, "b"), (3, "c")]
+    new = [(2, "b"), (3, "x"), (4, "d")]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", [{"doc_id": i, "text": t} for i, t in old])
+    out1 = _run_gate(spark, src, ckpt)
+    assert sorted(out1) == [(1, "a", "added"), (2, "b", "added"),
+                            (3, "c", "added")]
+
+    _write(src, "b2.json", [{"doc_id": i, "text": t} for i, t in new])
+    out2 = _run_gate(spark, src, ckpt)
+    stream_decisions = {d: s for d, _, s in out2}
+    assert stream_decisions == {3: "changed", 4: "added"}  # 2 suppressed
+
+    batch = {
+        r.doc_id: r.status
+        for r in snapshot_delta(
+            spark.createDataFrame(old, "doc_id bigint, text string"),
+            spark.createDataFrame(new, "doc_id bigint, text string"),
+        ).collect()
+    }
+    assert {k: v for k, v in batch.items() if v != "removed"} == (
+        stream_decisions
+    )
+
+
+def test_content_gate_folds_within_batch(
+    spark, tmp_path, no_data_batches_off
+):
+    """Serial fold inside one micro-batch: first sight is 'added', a
+    same-hash repeat is suppressed, a moved hash is 'changed'."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b1.json", [
+        {"doc_id": 1, "text": "a"},
+        {"doc_id": 1, "text": "a"},
+        {"doc_id": 1, "text": "b"},
+    ])
+    out = _run_gate(spark, src, ckpt)
+    assert out == [(1, "a", "added"), (1, "b", "changed")]
