@@ -2408,6 +2408,24 @@ def _q_snapshot_delta(spark, sf_dir):
     return docdedup.snapshot_delta(old, new)
 
 
+def _q_reembed_worklist(spark, sf_dir):
+    """Same deterministic snapshot derivations as _q_snapshot_delta;
+    embeddings (vec_id 0..n-1, a strict subset of doc ids at every SF)
+    naturally leave a missing_embedding backfill tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.expr("substring(text, 1, greatest(length(text) - 7, 0))"),
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 5)
+    return docdedup.reembed_worklist(
+        old, new, load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+M6 layer).
 
@@ -2517,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": _q_pca_project,
         "emb_pca_var_explained": _q_pca_var_explained,
         "docs_snapshot_delta": _q_snapshot_delta,
+        "docs_reembed_worklist": _q_reembed_worklist,
         # P — filters / projections (SURVEY §2.2)
         "p1_namespace_blacklist": _q_p1,
         "p2_namespace_whitelist": _q_p2,
@@ -5307,6 +5326,42 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
                         ELSE 'changed' END AS status
             FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
             WHERE oh IS NULL OR nh IS NULL OR oh <> nh
+        """,
+        # Mirrors dedup.reembed_worklist over the same derivations:
+        # added/changed churn UNION missing-embedding backfill (delta
+        # status wins).
+        "docs_reembed_worklist": """
+            WITH old AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 5 = 0
+                              THEN substring(text, 1,
+                                     greatest(length(text) - 7, 0))
+                              ELSE text END) AS oh
+              FROM documents WHERE doc_id % 7 <> 3
+            ), new AS (
+              SELECT doc_id, md5(text) AS nh
+              FROM documents WHERE doc_id % 11 <> 5
+            ), delta AS (
+              SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                     CASE WHEN oh IS NULL THEN 'added'
+                          WHEN nh IS NULL THEN 'removed'
+                          ELSE 'changed' END AS status
+              FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+              WHERE oh IS NULL OR nh IS NULL OR oh <> nh
+            ), keepdelta AS (
+              SELECT doc_id, status FROM delta WHERE status <> 'removed'
+            ), have AS (
+              SELECT DISTINCT vec_id AS doc_id FROM embeddings
+            ), missing AS (
+              SELECT n.doc_id, 'missing_embedding' AS status
+              FROM new n LEFT JOIN have h USING (doc_id)
+              WHERE h.doc_id IS NULL
+            )
+            SELECT doc_id, status FROM keepdelta
+            UNION ALL
+            SELECT m.doc_id, m.status
+            FROM missing m LEFT JOIN keepdelta d USING (doc_id)
+            WHERE d.doc_id IS NULL
         """,
         # DuckDB's native ASOF JOIN checks the union/last-value
         # distributed as-of implementation.

@@ -1571,3 +1571,43 @@ def snapshot_delta(
         j.select(F.col(id_col), status.alias("status"))
         .filter(F.col("status") != "unchanged")
     )
+
+
+def reembed_worklist(
+    old: DataFrame,
+    new: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental embedding maintenance: the docs whose vectors must be
+    (re)computed after a corpus refresh — ``snapshot_delta``'s added/
+    changed churn PLUS any current doc with no embedding row at all
+    (backfill for rows that slipped past an earlier run).  One row per
+    doc needing work: (doc_id, status ∈ added|changed|
+    missing_embedding); delta statuses win over the backfill tag.
+
+    This is the composition a 100 TB pipeline actually schedules: the
+    embedding fleet's work queue is churn-plus-gaps, never the corpus.
+    Scale: the delta is the ``snapshot_delta`` (id, md5) join; the gap
+    check is two id-keyed anti-joins (embedding ids collapse to a
+    distinct id set first — 8-byte rows).  With id-bucketed tables all
+    three joins co-locate; output is churn + gap bounded.
+    """
+    delta = snapshot_delta(
+        old, new, id_col=id_col, text_col=text_col
+    ).filter(F.col("status") != "removed")
+    have = embeddings.select(
+        F.col(vec_id_col).alias(id_col)
+    ).distinct()
+    missing = (
+        new.select(id_col)
+        .join(have, id_col, "left_anti")
+        .select(
+            F.col(id_col), F.lit("missing_embedding").alias("status")
+        )
+    )
+    return delta.unionByName(
+        missing.join(delta.select(id_col), id_col, "left_anti")
+    )

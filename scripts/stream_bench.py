@@ -240,6 +240,70 @@ def main() -> None:
             }
         )
 
+    # --- CDC content-change gate (r10): the stream twin of
+    # snapshot_delta.  Leg 1 ("first_sight") feeds a fresh checkpoint —
+    # every doc is 'added', the worst-case all-emit rate.  Leg 2
+    # ("steady_unchanged") copies the SAME spool under new file names
+    # into the same checkpointed source, so every doc hashes equal to
+    # its state entry and is suppressed — the marginal rate of the
+    # ~99%-unchanged steady-state re-crawl, which is the number a
+    # 100 TB re-crawl capacity plan actually needs. ---
+    import glob as _glob
+
+    from k8stream_spark.streaming.stateful import (
+        content_change_gate_stateful,
+    )
+
+    # ProcessingTimeTimeout keeps the engine scheduling no-data
+    # micro-batches to service pending state timers, so an availableNow
+    # run never terminates (measured: 291 empty epochs before the
+    # harness timeout) — same deployment note as dedup_ttl_stateful;
+    # the operator's data path checks deadlines itself.
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+    )
+
+    cdc_src = f"{work}/cdcsrc"
+    os.makedirs(cdc_src, exist_ok=True)
+    spool = sorted(_glob.glob(f"{doc_src}/part-*"))
+
+    def copy_spool(gen: int) -> None:
+        for i, p in enumerate(spool):
+            shutil.copy(p, f"{cdc_src}/g{gen}-{i}.json")
+
+    def run_cdc(tag: str) -> float:
+        stream3 = spark.readStream.schema(new.schema).json(cdc_src)
+        return timed_query(
+            lambda: content_change_gate_stateful(stream3, key="doc_id")
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt-cdc")
+            .trigger(availableNow=True)
+            .start(),
+            f"cdc-gate[{tag}]",
+        )
+
+    copy_spool(1)
+    first = run_cdc("first_sight")
+    copy_spool(2)
+    steady = run_cdc("steady_unchanged")
+    for leg, elapsed in (
+        ("first_sight", first),
+        ("steady_unchanged", steady),
+    ):
+        emit(
+            {
+                "metric": "stream_cdc_gate_throughput",
+                "leg": leg,
+                "warm": leg == "steady_unchanged",
+                "docs_in": n_docs,
+                "seconds": round(elapsed, 2),
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                "sf_dir": sf_dir,
+            }
+        )
+    spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+
     # --- keyed-state analytics twins (r8): per-group moment state for
     # z-score anomaly scoring and the equi-width histogram-bin state,
     # both applyInPandasWithState on the RocksDB provider — measured

@@ -463,3 +463,33 @@ def test_snapshot_delta_statuses(spark):
     )
     out = {r.doc_id: r.status for r in snapshot_delta(old, new).collect()}
     assert out == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_reembed_worklist_statuses_and_precedence(spark):
+    """Worklist = added/changed churn + missing-embedding backfill;
+    delta status wins over the backfill tag; removed and healthy
+    unchanged docs never appear."""
+    from k8stream_spark.analytics.dedup import reembed_worklist
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    # 1 removed, 2 unchanged (no embedding), 3 changed (has embedding),
+    # 4 added (has embedding), 5 added (no embedding -> still 'added')
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "x"), (4, "d"), (5, "e")],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [(3, [1.0]), (4, [1.0])], "vec_id bigint, embedding array<float>"
+    )
+    out = {
+        r.doc_id: r.status
+        for r in reembed_worklist(old, new, emb).collect()
+    }
+    assert out == {
+        2: "missing_embedding",
+        3: "changed",
+        4: "added",
+        5: "added",
+    }
