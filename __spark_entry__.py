@@ -2389,6 +2389,12 @@ def _q_pca_var_explained(spark, sf_dir):
     )
 
 
+def _q_pca_top2(spark, sf_dir):
+    return similarity.pca_top2_components(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_snapshot_delta(spark, sf_dir):
     """Corpus snapshot diff over two deterministically derived versions
     of the documents table (no second table exists in the driver data):
@@ -2534,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_top_component": _q_pca_top_component,
         "emb_pca_project": _q_pca_project,
         "emb_pca_var_explained": _q_pca_var_explained,
+        "emb_pca_top2_components": _q_pca_top2,
         "docs_snapshot_delta": _q_snapshot_delta,
         "docs_reembed_worklist": _q_reembed_worklist,
         # P — filters / projections (SURVEY §2.2)
@@ -2672,32 +2679,91 @@ def _pca_oracle(final: str, steps: int = _PCA_STEPS) -> str:
           FROM (SELECT unnest(generate_series(0, 63)) AS d) dd
         )""",
     ]
-    prev = "v0"
+    parts.extend(_pca_iter_ctes("cov", "", steps))
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _pca_iter_ctes(cov_name: str, pfx: str, steps: int) -> list[str]:
+    """The power-iteration CTE loop over covariance table ``cov_name``
+    with CTE names ``{pfx}w{k}`` / ``{pfx}n{k}`` / ``{pfx}v{k}``
+    (stage 1 uses the legacy unprefixed names; the deflated stage-2
+    chain of emb_pca_top2_components uses pfx='t2' over cov2)."""
+    parts = []
+    prev = f"{pfx}v0" if pfx else "v0"
+    if pfx:
+        parts.append(
+            f"""{pfx}v0 AS (
+          SELECT dd.d, CAST(FLOOR(1000000.0 / sqrt(64) + 0.5) AS BIGINT)
+                   AS v
+          FROM (SELECT unnest(generate_series(0, 63)) AS d) dd
+        )"""
+        )
     for k in range(1, steps + 1):
         parts.append(
-            f"""w{k} AS MATERIALIZED (
-          SELECT cov.i AS d,
-                 CAST(FLOOR((SUM(cov.c * {prev}.v) + 500000)
+            f"""{pfx}w{k} AS MATERIALIZED (
+          SELECT {cov_name}.i AS d,
+                 CAST(FLOOR((SUM({cov_name}.c * {prev}.v) + 500000)
                             / 1000000.0) AS BIGINT) AS w
-          FROM cov JOIN {prev} ON cov.j = {prev}.d GROUP BY cov.i
+          FROM {cov_name} JOIN {prev} ON {cov_name}.j = {prev}.d
+          GROUP BY {cov_name}.i
         )"""
         )
         parts.append(
-            f"""n{k} AS MATERIALIZED (
-          SELECT CAST(SUM(w * w) AS DOUBLE) AS norm2 FROM w{k}
+            f"""{pfx}n{k} AS MATERIALIZED (
+          SELECT CAST(SUM(w * w) AS DOUBLE) AS norm2 FROM {pfx}w{k}
         )"""
         )
         parts.append(
-            f"""v{k} AS MATERIALIZED (
+            f"""{pfx}v{k} AS MATERIALIZED (
           SELECT d, CASE WHEN norm2 > 0
                          THEN CAST(FLOOR(1000000.0 * w / sqrt(norm2)
                                          + 0.5) AS BIGINT)
                          ELSE 0 END AS v
-          FROM w{k}, n{k}
+          FROM {pfx}w{k}, {pfx}n{k}
         )"""
         )
-        prev = f"v{k}"
-    return "WITH " + ",\n".join(parts) + "\n" + final
+        prev = f"{pfx}v{k}"
+    return parts
+
+
+_PCA_TOP2_TAIL = (
+    """, lam1 AS MATERIALIZED (
+              SELECT CASE WHEN norm2 > 0
+                          THEN CAST(FLOOR(sqrt(norm2) + 0.5) AS BIGINT)
+                          ELSE 0 END AS l
+              FROM n8
+            ),
+            defl AS MATERIALIZED (
+              SELECT cov.i, cov.j, cov.c,
+                     CAST(lam1.l AS HUGEINT) * a.v * b.v AS p
+              FROM cov
+              JOIN v8 a ON a.d = cov.i
+              JOIN v8 b ON b.d = cov.j, lam1
+            ),
+            cov2 AS MATERIALIZED (
+              SELECT i, j,
+                     CAST(c - (CASE WHEN p >= 0
+                                    THEN (p + 500000000000)
+                                         // 1000000000000
+                                    ELSE -((-p + 500000000000)
+                                           // 1000000000000)
+                               END) AS BIGINT) AS c
+              FROM defl
+            ),
+            """
+    + ",\n".join(_pca_iter_ctes("cov2", "t2", _PCA_STEPS))
+    + """
+            SELECT CAST(1 AS BIGINT) AS component, v8.d AS d,
+                   v8.v AS v_micro, lam1.l AS lambda_micro
+            FROM v8, lam1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), t2v8.d, t2v8.v,
+                   CASE WHEN t2n8.norm2 > 0
+                        THEN CAST(FLOOR(sqrt(t2n8.norm2) + 0.5)
+                                  AS BIGINT)
+                        ELSE 0 END
+            FROM t2v8, t2n8"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5304,6 +5370,13 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             FROM n{_PCA_STEPS},
                  (SELECT CAST(SUM(c) AS BIGINT) AS trace
                   FROM cov WHERE i = j) t"""
+        ),
+        # Two-stage chain: stage-1 iteration, integer Hotelling
+        # deflation (sign-symmetric // so DuckDB's truncating division
+        # matches Python's floor on magnitudes), stage-2 iteration
+        # with the t2 prefix.  Mirrors similarity.pca_top2_components.
+        "emb_pca_top2_components": _pca_oracle(
+            _PCA_TOP2_TAIL
         ),
         # Mirrors dedup.snapshot_delta over the _q_snapshot_delta
         # version derivations (old: %7 filter + 7-char trim for %5;

@@ -2376,3 +2376,78 @@ def pca_var_explained(
         "lambda_micro bigint, trace_micro bigint, "
         "var_explained_micro bigint",
     )
+
+
+def _pca_deflate(
+    cov: dict[tuple[int, int], int], v: list[int], lam: int, dim: int
+) -> dict[tuple[int, int], int]:
+    """Hotelling deflation in exact integer micro units: c₂ = c −
+    round(λ·v·vᵀ), with round = half-away-from-zero implemented as
+    sign-symmetric integer division — DuckDB's ``//`` truncates toward
+    zero while Python's floors, so the formula splits on sign and uses
+    magnitudes only, making both engines (and this function) compute
+    the identical quotient.  Products run up to |λ|·1e12 ≈ 1e20:
+    exact in Python ints and DuckDB HUGEINT, never through a double.
+    """
+    out = {}
+    for i in range(dim):
+        vi = v[i]
+        for j in range(dim):
+            p = lam * vi * v[j]
+            if p >= 0:
+                r = (p + 500_000_000_000) // 1_000_000_000_000
+            else:
+                r = -((-p + 500_000_000_000) // 1_000_000_000_000)
+            out[(i, j)] = cov.get((i, j), 0) - r
+    return out
+
+
+def pca_top2_components(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int = 64,
+    steps: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top TWO principal components via power iteration + Hotelling
+    deflation: (component ∈ {1,2}, d, v_micro, lambda_micro) — 2·dim
+    rows.  The 2-D PCA embedding is the standard corpus-visualization /
+    stratification basis; component 2 is extracted by the same
+    integer-exact iteration after subtracting λ₁·v₁v₁ᵀ from the
+    covariance (``_pca_deflate``), so the entire two-stage pipeline
+    replays bit-for-bit in the DuckDB oracle's doubled CTE chain.
+
+    Orthogonality note: deflation guarantees v₂ ⊥ v₁ only up to the
+    micro quantization and the finite iteration count (residual ~
+    (λ₂/λ₁)^steps); the unit test bounds |v₁·v₂| instead of pinning
+    zero.  Scale posture identical to ``pca_top_component`` — one
+    distributed covariance pass, d² driver cells, LocalTableScan out.
+
+    Convergence is governed by the spectral gap: measured on the
+    near-isotropic synthetic embeddings (λ₂/λ₁ ≈ 0.9 and flatter
+    below), 8 steps leave |v₁·v₂| ≈ 0.07 and even 96 steps only reach
+    ≈ 0.003 — on such corpora the components are a Rayleigh-quotient
+    basis, not converged eigenvectors, and ``pca_var_explained``
+    (λ/trace ≈ 1/50 here) is the diagnostic that says so.  With a
+    dominant direction (the unit test's diag(1,4) corpus) 8 steps
+    converge to micro precision.  The fixed budget is deliberate: the
+    output is DEFINED as the integer fixpoint of ``steps`` rounds, so
+    both engines replay it exactly regardless of how far the
+    mathematical eigenproblem has converged.
+    """
+    rows = pca_covariance(
+        embeddings, dim=dim, vec_col=vec_col, id_col=id_col
+    ).collect()
+    cov = {(int(r["i"]), int(r["j"])): int(r["c_micro"]) for r in rows}
+    v1, lam1 = _pca_power_iterate(cov, dim, steps)
+    cov2 = _pca_deflate(cov, v1, lam1, dim)
+    v2, lam2 = _pca_power_iterate(cov2, dim, steps)
+    data = [(1, d, v1[d], lam1) for d in range(dim)] + [
+        (2, d, v2[d], lam2) for d in range(dim)
+    ]
+    return spark.createDataFrame(
+        data,
+        "component bigint, d bigint, v_micro bigint, "
+        "lambda_micro bigint",
+    )

@@ -125,6 +125,7 @@ AUDITED = [
     "emb_pca_var_explained",
     "docs_snapshot_delta",
     "docs_reembed_worklist",
+    "emb_pca_top2_components",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh,

@@ -637,3 +637,31 @@ def test_pca_var_explained_hand_values(spark):
         2_500_000,
         1_000_000,
     )
+
+
+def test_pca_top2_deflation_hand_values(spark):
+    """diag(1, 4) covariance corpus: component 1 converges to e1
+    (lambda 4.0), deflation removes it, component 2 converges to e0
+    (lambda 1.0); the quantized vectors stay near-orthonormal."""
+    rows = [
+        (0, [1.0, 2.0]),
+        (1, [-1.0, 2.0]),
+        (2, [1.0, -2.0]),
+        (3, [-1.0, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.pca_top2_components(spark, df, dim=2).collect()
+    assert len(out) == 4
+    comp = {(r.component, r.d): (r.v_micro, r.lambda_micro) for r in out}
+    v1 = [comp[(1, 0)][0], comp[(1, 1)][0]]
+    v2 = [comp[(2, 0)][0], comp[(2, 1)][0]]
+    lam1, lam2 = comp[(1, 0)][1], comp[(2, 0)][1]
+    # dominant directions: e1 then e0 (sign free, magnitudes pinned);
+    # lambda carries the documented +-few-micro discretization.
+    assert abs(lam1 - 4_000_000) <= 10 and abs(lam2 - 1_000_000) <= 10
+    assert abs(v1[1]) >= 999_990 and abs(v1[0]) <= 50
+    assert abs(v2[0]) >= 999_900 and abs(v2[1]) <= 2_000
+    # near-orthonormal after quantization
+    assert abs(v1[0] * v2[0] + v1[1] * v2[1]) / 1e12 <= 1e-3
+    for v in (v1, v2):
+        assert abs((v[0] ** 2 + v[1] ** 2) / 1e12 - 1.0) <= 1e-4
