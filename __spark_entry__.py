@@ -2395,6 +2395,12 @@ def _q_pca_top2(spark, sf_dir):
     )
 
 
+def _q_pca_project2d(spark, sf_dir):
+    return similarity.pca_project2d(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_snapshot_delta(spark, sf_dir):
     """Corpus snapshot diff over two deterministically derived versions
     of the documents table (no second table exists in the driver data):
@@ -2541,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": _q_pca_project,
         "emb_pca_var_explained": _q_pca_var_explained,
         "emb_pca_top2_components": _q_pca_top2,
+        "emb_pca_project2d": _q_pca_project2d,
         "docs_snapshot_delta": _q_snapshot_delta,
         "docs_reembed_worklist": _q_reembed_worklist,
         # P — filters / projections (SURVEY §2.2)
@@ -5377,6 +5384,38 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
         # with the t2 prefix.  Mirrors similarity.pca_top2_components.
         "emb_pca_top2_components": _pca_oracle(
             _PCA_TOP2_TAIL
+        ),
+        # Same two-stage chain as emb_pca_top2_components, different
+        # tail: per-vector conditional decimal sums against both
+        # components (FILTER-style), the pca_project recipe twice.
+        "emb_pca_project2d": _pca_oracle(
+            _PCA_TOP2_TAIL.split("SELECT CAST(1 AS BIGINT)")[0]
+            + """, comps AS (
+              SELECT CAST(1 AS BIGINT) AS component, d, v FROM v8
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), d, v FROM t2v8
+            ),
+            m AS (
+              SELECT d,
+                     ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12)))
+                                AS DOUBLE) / COUNT(*), 6) AS m
+              FROM ex GROUP BY d
+            )
+            SELECT ex.vec_id,
+                   CAST(ROUND(1000000.0 * CAST(SUM(CAST(
+                          (ex.x - m.m) * (comps.v / 1000000.0)
+                        AS DECIMAL(28,12)))
+                        FILTER (WHERE comps.component = 1)
+                        AS DOUBLE)) AS BIGINT) AS pc1_micro,
+                   CAST(ROUND(1000000.0 * CAST(SUM(CAST(
+                          (ex.x - m.m) * (comps.v / 1000000.0)
+                        AS DECIMAL(28,12)))
+                        FILTER (WHERE comps.component = 2)
+                        AS DOUBLE)) AS BIGINT) AS pc2_micro
+            FROM ex
+            JOIN m USING (d)
+            JOIN comps ON comps.d = ex.d
+            GROUP BY ex.vec_id"""
         ),
         # Mirrors dedup.snapshot_delta over the _q_snapshot_delta
         # version derivations (old: %7 filter + 7-char trim for %5;

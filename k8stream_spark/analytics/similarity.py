@@ -2451,3 +2451,71 @@ def pca_top2_components(
         "component bigint, d bigint, v_micro bigint, "
         "lambda_micro bigint",
     )
+
+
+def pca_project2d(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int = 64,
+    steps: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector coordinates in the top-2 PCA basis: (vec_id,
+    pc1_micro, pc2_micro) — the 2-D corpus map used for visualization,
+    stratified sampling over semantic spread, and outlier trimming.
+
+    Scale: one corpus scan; the 128-row component frame and the 64-row
+    means broadcast; each exploded (vec, d) row meets both components
+    in a single broadcast join and the two scores come out of one
+    grouped pass as conditional DECIMAL sums (FILTER-style, one
+    (vec_id, 2·decimal) shuffle row per vector after map-side combine).
+    Exactness per the ``pca_project`` recipe on both components.
+    """
+    comp = pca_top2_components(
+        spark, embeddings, dim=dim, steps=steps,
+        vec_col=vec_col, id_col=id_col,
+    ).select(
+        "component", "d",
+        (F.col("v_micro") / F.lit(1000000.0)).alias("__v"),
+    )
+    ex = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                _vec_checked(F.col(vec_col), dim),
+                lambda x: x.cast("double"),
+            )
+        ).alias("__d", "__x"),
+    ).withColumn("d", F.col("__d").cast("bigint"))
+    means = ex.groupBy("d").agg(
+        F.round(
+            F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m")
+    )
+    p = ((F.col("__x") - F.col("__m")) * F.col("__v")).cast(
+        "decimal(28,12)"
+    )
+
+    def _score(c: int) -> Column:
+        return (
+            F.round(
+                F.lit(1000000.0)
+                * F.sum(
+                    F.when(F.col("component") == c, p)
+                ).cast("double")
+            )
+            .cast("bigint")
+        )
+
+    return (
+        ex.join(F.broadcast(means), "d")
+        .join(F.broadcast(comp), "d")
+        .groupBy(id_col)
+        .agg(
+            _score(1).alias("pc1_micro"),
+            _score(2).alias("pc2_micro"),
+        )
+    )

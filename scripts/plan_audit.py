@@ -126,6 +126,7 @@ AUDITED = [
     "docs_snapshot_delta",
     "docs_reembed_worklist",
     "emb_pca_top2_components",
+    "emb_pca_project2d",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh,

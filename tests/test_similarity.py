@@ -665,3 +665,33 @@ def test_pca_top2_deflation_hand_values(spark):
     assert abs(v1[0] * v2[0] + v1[1] * v2[1]) / 1e12 <= 1e-3
     for v in (v1, v2):
         assert abs((v[0] ** 2 + v[1] ** 2) / 1e12 - 1.0) <= 1e-4
+
+
+def test_pca_project2d_matches_single_projections(spark):
+    """pc1 must equal pca_project's single-component score, and on the
+    diag(1,4) corpus the coordinates are the centered dims (up to
+    component sign): |pc1| = dim-1 value, |pc2| = dim-0 value."""
+    rows = [
+        (0, [1.0, 2.0]),
+        (1, [-1.0, 2.0]),
+        (2, [1.0, -2.0]),
+        (3, [-1.0, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r.vec_id: (r.pc1_micro, r.pc2_micro)
+        for r in similarity.pca_project2d(spark, df, dim=2).collect()
+    }
+    one = {
+        r.vec_id: r.score_micro
+        for r in similarity.pca_project(spark, df, dim=2).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for v in out:
+        assert out[v][0] == one[v]
+    # component magnitudes: v1 ~ e1 (so pc1 ~ +-2e6), v2 ~ e0 (+-1e6);
+    # quantization tolerance per the documented micro discretization.
+    for v, (x0, x1) in ((0, (1, 2)), (1, (-1, 2)), (2, (1, -2)),
+                        (3, (-1, -2))):
+        assert abs(abs(out[v][0]) - abs(x1) * 1_000_000) <= 200
+        assert abs(abs(out[v][1]) - abs(x0) * 1_000_000) <= 2_500
