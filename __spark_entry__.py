@@ -2401,6 +2401,18 @@ def _q_pca_project2d(spark, sf_dir):
     )
 
 
+def _q_mixture_plan(spark, sf_dir):
+    from k8stream_spark.analytics import splits as splitsmod
+
+    return splitsmod.mixture_plan(load_table(spark, sf_dir, "documents"))
+
+
+def _q_maha_outliers(spark, sf_dir):
+    return similarity.maha_outliers(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_snapshot_delta(spark, sf_dir):
     """Corpus snapshot diff over two deterministically derived versions
     of the documents table (no second table exists in the driver data):
@@ -2548,6 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_var_explained": _q_pca_var_explained,
         "emb_pca_top2_components": _q_pca_top2,
         "emb_pca_project2d": _q_pca_project2d,
+        "docs_mixture_plan": _q_mixture_plan,
+        "emb_maha_outliers": _q_maha_outliers,
         "docs_snapshot_delta": _q_snapshot_delta,
         "docs_reembed_worklist": _q_reembed_worklist,
         # P — filters / projections (SURVEY §2.2)
@@ -5417,6 +5431,71 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             JOIN comps ON comps.d = ex.d
             GROUP BY ex.vec_id"""
         ),
+        # Mirrors splits.mixture_plan: ramp weights, integer targets /
+        # rates (all operands non-negative, so Spark div == DuckDB //).
+        "docs_mixture_plan": """
+            WITH g AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(string_split(coalesce(text, ''), ' ')))
+                          AS BIGINT) AS actual_tokens
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT *,
+                     (100000 * (20 - CAST(regexp_replace(source, '^src',
+                                                         '') AS BIGINT)))
+                       // 210 AS target_tokens
+              FROM g
+            )
+            SELECT source, n_docs, actual_tokens, target_tokens,
+                   CAST(CASE WHEN actual_tokens > 0
+                        THEN least(1000000,
+                                   (target_tokens * 1000000)
+                                     // actual_tokens)
+                        ELSE 0 END AS BIGINT) AS rate_micro,
+                   CAST((actual_tokens *
+                         CASE WHEN actual_tokens > 0
+                              THEN least(1000000,
+                                         (target_tokens * 1000000)
+                                           // actual_tokens)
+                              ELSE 0 END) // 1000000 AS BIGINT)
+                     AS expected_tokens
+            FROM t
+        """,
+        # Mirrors similarity.maha_outliers: the standardize recipe,
+        # z² decimal-summed per vector, flag on the quantized score.
+        "emb_maha_outliers": """
+            WITH ex AS (
+              SELECT vec_id, i.i - 1 AS d,
+                     CAST(embedding[i.i] AS DOUBLE) AS x
+              FROM embeddings,
+                   (SELECT unnest(generate_series(1, 64)) AS i) i
+            ), st AS (
+              SELECT d,
+                     ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12)))
+                                AS DOUBLE) / COUNT(*), 6) AS m,
+                     ROUND(CAST(SUM(CAST(x * x AS DECIMAL(28,12)))
+                                AS DOUBLE) / COUNT(*), 6) AS m2
+              FROM ex GROUP BY d
+            ), sc AS (
+              SELECT ex.vec_id,
+                     CAST(ROUND(1000000.0 * CAST(SUM(CAST(
+                            (CASE WHEN (st.m2 - st.m * st.m) > 0
+                                  THEN (ex.x - st.m)
+                                       / sqrt(st.m2 - st.m * st.m)
+                                  ELSE 0.0 END)
+                            * (CASE WHEN (st.m2 - st.m * st.m) > 0
+                                    THEN (ex.x - st.m)
+                                         / sqrt(st.m2 - st.m * st.m)
+                                    ELSE 0.0 END)
+                          AS DECIMAL(28,12))) AS DOUBLE)) AS BIGINT)
+                       AS maha_micro
+              FROM ex JOIN st USING (d)
+              GROUP BY ex.vec_id
+            )
+            SELECT vec_id, maha_micro,
+                   maha_micro > 65280000 AS is_outlier
+            FROM sc
+        """,
         # Mirrors dedup.snapshot_delta over the _q_snapshot_delta
         # version derivations (old: %7 filter + 7-char trim for %5;
         # new: %11 filter).

@@ -2519,3 +2519,72 @@ def pca_project2d(
             _score(2).alias("pc2_micro"),
         )
     )
+
+
+def maha_outliers(
+    embeddings: DataFrame,
+    dim: int = 64,
+    threshold_per_dim: float = 1.02,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diagonal-Mahalanobis outlier score per vector: maha = Σ_d z_d²
+    with z the ``standardize`` recipe — the embedding-space outlier
+    trim (corrupt decodes, off-distribution inputs) that runs ahead of
+    expensive clustering/dedup.  Output (vec_id, maha_micro,
+    is_outlier) with is_outlier = maha > threshold_per_dim·dim
+    (E[maha] = dim on clean data; the near-unit-norm synthetic
+    embeddings concentrate maha in [61, 67] at dim 64, so the default
+    cutoff sits inside that band to keep BOTH flag branches exercised
+    at every SF — production callers pass their own χ²-quantile).
+
+    Exactness: per-dim stats via the 6-dp decimal recipe; each z is
+    two IEEE steps; z² one more; the cross-dimension sum runs in
+    DECIMAL(28,12); one round(1e6·s) cast.  The flag compares the
+    ALREADY-quantized maha_micro against an integer threshold, so it
+    replays exactly.  Zero-variance dims contribute 0 (guarded on the
+    variance like ``standardize``).
+
+    Scale: the ``mean_center`` shape — 64-group stats shuffle,
+    broadcast join back, one (vec_id, decimal) row per vector through
+    the final exchange.
+    """
+    ex = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                _vec_checked(F.col(vec_col), dim),
+                lambda x: x.cast("double"),
+            )
+        ).alias("d", "__x"),
+    )
+    stats = ex.groupBy("d").agg(
+        F.round(
+            F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m"),
+        F.round(
+            F.sum(
+                (F.col("__x") * F.col("__x")).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m2"),
+    )
+    var = F.col("__m2") - F.col("__m") * F.col("__m")
+    z = F.when(
+        var > 0, (F.col("__x") - F.col("__m")) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    thr = int(round(threshold_per_dim * dim * 1_000_000))
+    return (
+        ex.join(F.broadcast(stats), "d")
+        .select(id_col, (z * z).cast("decimal(28,12)").alias("__z2"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.lit(1000000.0) * F.sum("__z2").cast("double"))
+            .cast("bigint")
+            .alias("maha_micro")
+        )
+        .withColumn("is_outlier", F.col("maha_micro") > F.lit(thr))
+    )

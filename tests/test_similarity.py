@@ -695,3 +695,22 @@ def test_pca_project2d_matches_single_projections(spark):
                         (3, (-1, -2))):
         assert abs(abs(out[v][0]) - abs(x1) * 1_000_000) <= 200
         assert abs(abs(out[v][1]) - abs(x0) * 1_000_000) <= 2_500
+
+
+def test_maha_outliers_hand_values_and_flag(spark):
+    """Hand z-scores: symmetric 1-D spread gives maha = 1.0 per vector
+    (constant dim contributes 0); the flag compares the quantized
+    score so both branches are reachable by moving the threshold."""
+    rows = [(0, [1.0, 7.0]), (1, [-1.0, 7.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.maha_outliers(df, dim=2).collect()}
+    assert out[0].maha_micro == 1_000_000
+    assert out[1].maha_micro == 1_000_000
+    assert not out[0].is_outlier  # thr = 1.02 * 2 = 2.04
+    low = {
+        r.vec_id: r.is_outlier
+        for r in similarity.maha_outliers(
+            df, dim=2, threshold_per_dim=0.4
+        ).collect()
+    }
+    assert low == {0: True, 1: True}  # thr = 0.8 < 1.0

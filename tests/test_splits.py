@@ -290,3 +290,23 @@ def test_split_leakage_hand_case(spark):
             expect[i] = (len(g), len(g & train_g))
     got = {r.doc_id: (r.n_ngrams, r.n_leaked) for r in out}
     assert got == expect and len(expect) > 0
+
+
+def test_mixture_plan_rates_and_clamp(spark):
+    """Integer plan arithmetic by hand: a source under budget clamps to
+    rate 1.0; one over budget gets target*1e6 div actual and the
+    matching expected yield."""
+    from k8stream_spark.analytics.splits import mixture_plan
+
+    rows = (
+        [(f"d0-{i}", "a b c", "src0") for i in range(2)]
+        + [(f"d19-{i}", " ".join(["w"] * 500), "src19") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {r.source: r for r in mixture_plan(df).collect()}
+    s0 = out["src0"]  # raw 20: target (100000*20)//210 = 9523
+    assert (s0.n_docs, s0.actual_tokens, s0.target_tokens) == (2, 6, 9523)
+    assert s0.rate_micro == 1_000_000 and s0.expected_tokens == 6
+    s19 = out["src19"]  # raw 1: target 476 < actual 1000
+    assert (s19.actual_tokens, s19.target_tokens) == (1000, 476)
+    assert s19.rate_micro == 476_000 and s19.expected_tokens == 476
