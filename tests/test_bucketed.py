@@ -87,3 +87,42 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert len(rows) == 500
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_snapshot_delta_on_bucketed_snapshots_no_exchange(
+    spark, no_broadcast
+):
+    """The docstring's 100 TB claim, executed: with both corpus
+    snapshots bucketed by doc_id, snapshot_delta's full-outer join
+    runs with ZERO exchanges — the md5 collapse is a per-bucket
+    projection, so the bucketed layout carries straight through."""
+    from k8stream_spark.analytics.dedup import snapshot_delta
+    from k8stream_spark.io import bucketed as bk
+
+    old = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("txt-"), (F.col("id") % 97).cast("string")).alias(
+            "text"
+        ),
+    )
+    new = spark.range(500, 2500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("txt-"), ((F.col("id") + (F.col("id") % 5 == 0).cast("int"))
+                            % 97).cast("string")
+        ).alias("text"),
+    )
+    bk.write_bucketed(old, "tb_snap_old", "doc_id", 4)
+    bk.write_bucketed(new, "tb_snap_new", "doc_id", 4)
+    try:
+        delta = snapshot_delta(
+            spark.table("tb_snap_old"), spark.table("tb_snap_new")
+        )
+        n = delta.count()
+        assert n >= 1000  # 500 removed + 500 added + changed tail
+        plan = delta._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_snap_old")
+        spark.sql("DROP TABLE IF EXISTS tb_snap_new")
