@@ -5502,13 +5502,13 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
         "docs_snapshot_delta": """
             WITH old AS (
               SELECT doc_id,
-                     md5(CASE WHEN doc_id % 5 = 0
-                              THEN substring(text, 1,
-                                     greatest(length(text) - 7, 0))
-                              ELSE text END) AS oh
+                     md5(coalesce(CASE WHEN doc_id % 5 = 0
+                                  THEN substring(text, 1,
+                                         greatest(length(text) - 7, 0))
+                                  ELSE text END, '')) AS oh
               FROM documents WHERE doc_id % 7 <> 3
             ), new AS (
-              SELECT doc_id, md5(text) AS nh
+              SELECT doc_id, md5(coalesce(text, '')) AS nh
               FROM documents WHERE doc_id % 11 <> 5
             )
             SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
@@ -5524,13 +5524,13 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
         "docs_reembed_worklist": """
             WITH old AS (
               SELECT doc_id,
-                     md5(CASE WHEN doc_id % 5 = 0
-                              THEN substring(text, 1,
-                                     greatest(length(text) - 7, 0))
-                              ELSE text END) AS oh
+                     md5(coalesce(CASE WHEN doc_id % 5 = 0
+                                  THEN substring(text, 1,
+                                         greatest(length(text) - 7, 0))
+                                  ELSE text END, '')) AS oh
               FROM documents WHERE doc_id % 7 <> 3
             ), new AS (
-              SELECT doc_id, md5(text) AS nh
+              SELECT doc_id, md5(coalesce(text, '')) AS nh
               FROM documents WHERE doc_id % 11 <> 5
             ), delta AS (
               SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,

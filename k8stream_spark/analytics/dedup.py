@@ -1552,13 +1552,18 @@ def snapshot_delta(
     corpus.  ``unchanged`` rows are dropped before the join output ever
     materializes downstream operators' input.
     """
+    # NULL text coalesces to '' BEFORE hashing: md5(NULL) is NULL in
+    # both engines, which would misread a present-but-null doc as
+    # forever-churning ('added' each refresh) — and the streaming twin
+    # (content_change_gate_stateful) already hashes None as b"" — the
+    # batch/stream symmetry test pins this.
     o = old.select(
         F.col(id_col).alias(id_col),
-        F.md5(F.col(text_col)).alias("__oh"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__oh"),
     )
     n = new.select(
         F.col(id_col).alias(id_col),
-        F.md5(F.col(text_col)).alias("__nh"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__nh"),
     )
     j = o.join(n, id_col, "full_outer")
     status = (

@@ -542,7 +542,6 @@ def mixture_plan(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(toks).cast("bigint").alias("actual_tokens"),
     )
-    idx = F.regexp_replace(F.col(source_col), "^src", "").cast("bigint")
     g = g.withColumn(
         "target_tokens",
         F.expr(

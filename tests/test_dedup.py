@@ -493,3 +493,21 @@ def test_reembed_worklist_statuses_and_precedence(spark):
         4: "added",
         5: "added",
     }
+
+
+def test_snapshot_delta_null_text_symmetry(spark):
+    """A present doc with NULL text must hash like the streaming twin
+    (md5 of empty bytes), not to NULL: NULL-vs-NULL would misread an
+    unchanged null doc as changed churn every refresh."""
+    from k8stream_spark.analytics.dedup import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.status for r in snapshot_delta(old, new).collect()}
+    # doc 1: null -> null is UNCHANGED (suppressed); doc 2: text -> null
+    # is a real change.
+    assert out == {2: "changed"}
