@@ -502,3 +502,63 @@ def content_change_gate_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def quota_gate_stateful(
+    df: DataFrame,
+    quota: int = 50,
+    key: str = "source",
+) -> DataFrame:
+    """Streaming per-source admission cap — the enforcement twin of
+    ``analytics.splits.source_quota_cap``.  Emits each admitted row
+    with its ``admit_rank`` (1..quota per key) and silently drops
+    everything past the cap.
+
+    Contract DIVERGENCE from the batch twin, pinned here and in the
+    symmetry test: the batch cap keeps the hash-least ``quota`` rows —
+    an order-free, revocable membership a one-pass stream cannot
+    provide (admitting row 51 would require un-emitting an earlier
+    one).  The stream admits FIRST-COME in arrival order, which is the
+    correct rate-limiting semantics for live ingestion; what the two
+    twins share exactly — and what the test asserts — is the admitted
+    COUNT per source, min(quota, n_s).  A pipeline needing the batch's
+    deterministic membership runs the batch cap on the collected
+    window instead.
+
+    State per key is ONE long (admitted count) under NoTimeout —
+    |sources| longs total, the same bounded-state class as the CMS
+    counter table; the grouping shuffle is the one any keyed cap pays.
+    Within-partition arrival order follows the grouped iterator (the
+    ``keep_latest_stateful`` ordering caveat).
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("admit_rank", T.LongType())]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(
+        _key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf) or n >= quota:
+                continue
+            room = quota - n
+            take = min(room, len(pdf))
+            if take > 0:
+                out = pdf.iloc[:take][cols].copy()
+                out["admit_rank"] = range(n + 1, n + take + 1)
+                n += take
+                yield out
+        state.update((n,))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

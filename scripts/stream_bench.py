@@ -304,6 +304,34 @@ def main() -> None:
         )
     spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
 
+    # --- streaming quota gate (r10): first-come per-source admission
+    # cap, the enforcement twin of source_quota_cap (NoTimeout state =
+    # |sources| longs).  quota=50 over the 20-source doc stream admits
+    # 1,000 of the 2,500 docs; the rate includes the drop path. ---
+    from k8stream_spark.streaming.stateful import quota_gate_stateful
+
+    for warm, tag in ((False, "cold"), (True, "warm")):
+        streamq = spark.readStream.schema(new.schema).json(doc_src)
+        elapsed = timed_query(
+            lambda: quota_gate_stateful(streamq, quota=50, key="source")
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt-quota-{tag}")
+            .trigger(availableNow=True)
+            .start(),
+            f"quota-gate[{tag}]",
+        )
+        emit(
+            {
+                "metric": "stream_quota_gate_throughput",
+                "warm": warm,
+                "docs_in": n_docs,
+                "seconds": round(elapsed, 2),
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                "sf_dir": sf_dir,
+            }
+        )
+
     # --- keyed-state analytics twins (r8): per-group moment state for
     # z-score anomaly scoring and the equi-width histogram-bin state,
     # both applyInPandasWithState on the RocksDB provider — measured

@@ -485,3 +485,83 @@ def test_content_gate_folds_within_batch(
     ])
     out = _run_gate(spark, src, ckpt)
     assert out == [(1, "a", "added"), (1, "b", "changed")]
+
+
+# ---------------------------------------------------------------------------
+# quota gate — streaming enforcement twin of splits.source_quota_cap
+# ---------------------------------------------------------------------------
+
+QD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def _run_quota(spark, src: str, ckpt: str, quota: int):
+    from k8stream_spark.streaming.stateful import quota_gate_stateful
+
+    stream = spark.readStream.schema(QD_SCHEMA).json(src)
+    gated = quota_gate_stateful(stream, quota=quota, key="source")
+    emitted: list[tuple[int, str, int]] = []
+
+    def collect(batch_df, _bid):
+        emitted.extend(
+            (r.doc_id, r.source, r.admit_rank) for r in batch_df.collect()
+        )
+
+    q = (
+        gated.writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "query did not terminate"
+    return emitted
+
+
+def test_quota_gate_first_come_and_count_symmetry(spark, tmp_path):
+    """Admits first-come up to quota across micro-batches and restarts
+    (state carries the count); the admitted COUNT per source equals the
+    batch source_quota_cap's min(quota, n) — the pinned shared
+    contract (membership legitimately differs, see docstring)."""
+    from k8stream_spark.analytics.splits import source_quota_cap
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    quota = 3
+
+    _write(src, "b1.json", [
+        {"doc_id": 1, "source": "A"},
+        {"doc_id": 2, "source": "A"},
+        {"doc_id": 3, "source": "B"},
+    ])
+    out1 = _run_quota(spark, src, ckpt, quota)
+    assert sorted(out1) == [(1, "A", 1), (2, "A", 2), (3, "B", 1)]
+
+    # Second run, same checkpoint: A has room for ONE more; ranks
+    # continue from persisted state.
+    _write(src, "b2.json", [
+        {"doc_id": 4, "source": "A"},
+        {"doc_id": 5, "source": "A"},
+        {"doc_id": 6, "source": "B"},
+    ])
+    out2 = _run_quota(spark, src, ckpt, quota)
+    a_rows = [r for r in out2 if r[1] == "A"]
+    assert len(a_rows) == 1 and a_rows[0][2] == 3
+    assert [r for r in out2 if r[1] == "B"] == [(6, "B", 2)]
+
+    # Count symmetry vs the batch twin over the full window.
+    all_rows = [(1, "A"), (2, "A"), (3, "B"), (4, "A"), (5, "A"),
+                (6, "B")]
+    batch = source_quota_cap(
+        spark.createDataFrame(all_rows, "doc_id bigint, source string"),
+        quota=quota,
+    )
+    from collections import Counter
+
+    batch_counts = Counter(r.source for r in batch.collect())
+    stream_counts = Counter(s for _, s, _ in out1 + out2)
+    assert batch_counts == stream_counts == Counter({"A": 3, "B": 2})
