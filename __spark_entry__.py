@@ -2413,6 +2413,12 @@ def _q_maha_outliers(spark, sf_dir):
     )
 
 
+def _q_pca_by_label(spark, sf_dir):
+    return similarity.pca_by_label(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_snapshot_delta(spark, sf_dir):
     """Corpus snapshot diff over two deterministically derived versions
     of the documents table (no second table exists in the driver data):
@@ -2562,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project2d": _q_pca_project2d,
         "docs_mixture_plan": _q_mixture_plan,
         "emb_maha_outliers": _q_maha_outliers,
+        "emb_pca_by_label": _q_pca_by_label,
         "docs_snapshot_delta": _q_snapshot_delta,
         "docs_reembed_worklist": _q_reembed_worklist,
         # P — filters / projections (SURVEY §2.2)
@@ -2745,6 +2752,82 @@ def _pca_iter_ctes(cov_name: str, pfx: str, steps: int) -> list[str]:
         )
         prev = f"{pfx}v{k}"
     return parts
+
+
+def _pca_label_oracle(steps: int = _PCA_STEPS) -> str:
+    """Label-keyed replay of similarity.pca_by_label: the covariance
+    chain of _pca_oracle with every CTE additionally keyed by label,
+    the iteration joining on (label, d)."""
+    parts = [
+        """ex AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS lbl, i.i - 1 AS d,
+                 CAST(embedding[i.i] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+        )""",
+        """pairs AS (
+          SELECT a.lbl, a.d AS i, b.d AS j, a.x AS xi, b.x AS xj
+          FROM ex a JOIN ex b USING (vec_id)
+        )""",
+        """g AS (
+          SELECT lbl, i, j,
+            ROUND(CAST(SUM(CAST(xi * xj AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS e,
+            ROUND(CAST(SUM(CAST(xi AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS mi,
+            ROUND(CAST(SUM(CAST(xj AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS mj
+          FROM pairs GROUP BY lbl, i, j
+        )""",
+        """cov AS MATERIALIZED (
+          SELECT lbl, i, j,
+                 CAST(ROUND(1000000.0 * ROUND(e - mi * mj, 6)) AS BIGINT)
+                   AS c
+          FROM g
+        )""",
+        """v0 AS (
+          SELECT ls.lbl, dd.d,
+                 CAST(FLOOR(1000000.0 / sqrt(64) + 0.5) AS BIGINT) AS v
+          FROM (SELECT DISTINCT lbl FROM ex) ls,
+               (SELECT unnest(generate_series(0, 63)) AS d) dd
+        )""",
+    ]
+    prev = "v0"
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+          SELECT cov.lbl, cov.i AS d,
+                 CAST(FLOOR((SUM(cov.c * {prev}.v) + 500000)
+                            / 1000000.0) AS BIGINT) AS w
+          FROM cov JOIN {prev}
+            ON cov.lbl = {prev}.lbl AND cov.j = {prev}.d
+          GROUP BY cov.lbl, cov.i
+        )"""
+        )
+        parts.append(
+            f"""n{k} AS MATERIALIZED (
+          SELECT lbl, CAST(SUM(w * w) AS DOUBLE) AS norm2
+          FROM w{k} GROUP BY lbl
+        )"""
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+          SELECT w{k}.lbl, d,
+                 CASE WHEN norm2 > 0
+                      THEN CAST(FLOOR(1000000.0 * w / sqrt(norm2)
+                                      + 0.5) AS BIGINT)
+                      ELSE 0 END AS v
+          FROM w{k} JOIN n{k} ON w{k}.lbl = n{k}.lbl
+        )"""
+        )
+        prev = f"v{k}"
+    final = f"""SELECT v{steps}.lbl AS label, v{steps}.d AS d,
+                   v{steps}.v AS v_micro,
+                   CASE WHEN n{steps}.norm2 > 0
+                        THEN CAST(FLOOR(sqrt(n{steps}.norm2) + 0.5)
+                                  AS BIGINT)
+                        ELSE 0 END AS lambda_micro
+            FROM v{steps} JOIN n{steps} ON v{steps}.lbl = n{steps}.lbl"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 _PCA_TOP2_TAIL = (
@@ -5431,6 +5514,8 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
             JOIN comps ON comps.d = ex.d
             GROUP BY ex.vec_id"""
         ),
+        # Label-keyed PCA chain (per-class spectra).
+        "emb_pca_by_label": _pca_label_oracle(),
         # Mirrors splits.mixture_plan: ramp weights, integer targets /
         # rates (all operands non-negative, so Spark div == DuckDB //).
         "docs_mixture_plan": """

@@ -2588,3 +2588,79 @@ def maha_outliers(
         )
         .withColumn("is_outlier", F.col("maha_micro") > F.lit(thr))
     )
+
+
+def pca_by_label(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int = 64,
+    steps: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class top principal component: (label, d, v_micro,
+    lambda_micro) — |labels|·dim rows.  The grouped form of
+    ``pca_top_component``: per-class spectra drive class-conditioned
+    curriculum ordering and flag collapsed classes (λ ≈ 0 means the
+    class's embeddings have degenerated to a point — a training-data
+    bug report, not a statistic).
+
+    Scale: the ONE corpus scan now aggregates (label, i, j) cells —
+    |labels|·d² fixed-size groups, map-side combined exactly like the
+    global covariance.  The collect is bounded by |labels|·d² int64
+    cells, which is the operator's documented applicability bound:
+    per-CLASS PCA presumes low-cardinality labels (10² classes × 64²
+    = 409,600 cells ≈ 3 MB driver state); for high-cardinality keys
+    use the global ``pca_top_component`` over a filtered frame
+    instead.  Iteration is the same integer-exact loop per label;
+    empty spectra guard to the zero vector.
+    """
+    arr = F.transform(
+        _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+    )
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    exi = embeddings.repartition(n_parts, F.col(id_col)).select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(arr).alias("i", "__xi"),
+        arr.alias("__a"),
+    )
+    pairs = exi.select(
+        "__lbl", "i", "__xi",
+        F.posexplode(F.col("__a")).alias("j", "__xj"),
+    )
+
+    def _mean6(col: Column) -> Column:
+        return F.round(
+            F.sum(col.cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    g = pairs.groupBy("__lbl", "i", "j").agg(
+        _mean6(F.col("__xi") * F.col("__xj")).alias("__e"),
+        _mean6(F.col("__xi")).alias("__mi"),
+        _mean6(F.col("__xj")).alias("__mj"),
+    )
+    cov_rows = g.select(
+        "__lbl", "i", "j",
+        F.round(
+            F.lit(1000000.0)
+            * F.round(F.col("__e") - F.col("__mi") * F.col("__mj"), 6)
+        )
+        .cast("bigint")
+        .alias("c_micro"),
+    ).collect()
+    by_label: dict = {}
+    for r in cov_rows:
+        by_label.setdefault(r["__lbl"], {})[
+            (int(r["i"]), int(r["j"]))
+        ] = int(r["c_micro"])
+    data = []
+    for lbl in sorted(by_label):
+        v, lam = _pca_power_iterate(by_label[lbl], dim, steps)
+        data.extend((lbl, d, v[d], lam) for d in range(dim))
+    return spark.createDataFrame(
+        data,
+        "label bigint, d bigint, v_micro bigint, lambda_micro bigint",
+    )

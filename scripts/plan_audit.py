@@ -129,6 +129,7 @@ AUDITED = [
     "emb_pca_project2d",
     "docs_mixture_plan",
     "emb_maha_outliers",
+    "emb_pca_by_label",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh,

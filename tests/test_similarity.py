@@ -714,3 +714,31 @@ def test_maha_outliers_hand_values_and_flag(spark):
         ).collect()
     }
     assert low == {0: True, 1: True}  # thr = 0.8 < 1.0
+
+
+def test_pca_by_label_groups_independent(spark):
+    """Two labels with variance on DIFFERENT axes: each class's
+    component is its own axis with its own eigenvalue — and a
+    collapsed (constant) class reports the zero vector, the documented
+    degenerate-class flag."""
+    rows = (
+        [(i, [float(x), 0.0], 0) for i, x in enumerate((1, -1, 2, -2))]
+        + [(10 + i, [0.0, float(x)], 1)
+           for i, x in enumerate((3, -3, 3, -3))]
+        + [(20 + i, [5.0, 5.0], 2) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    )
+    out = {
+        (r.label, r.d): (r.v_micro, r.lambda_micro)
+        for r in similarity.pca_by_label(spark, df, dim=2).collect()
+    }
+    assert len(out) == 6
+    # label 0: var on dim0 = 2.5; label 1: var on dim1 = 9.0
+    assert out[(0, 0)] == (1_000_000, 2_500_000)
+    assert out[(0, 1)] == (0, 2_500_000)
+    assert out[(1, 0)] == (0, 9_000_000)
+    assert out[(1, 1)] == (1_000_000, 9_000_000)
+    # label 2 collapsed to a point: zero spectrum
+    assert out[(2, 0)] == (0, 0) and out[(2, 1)] == (0, 0)
