@@ -459,3 +459,84 @@ def test_raw_kind_passes_map_values_untouched():
 
     assert _coerce({"app": "web"}, "raw") == {"app": "web"}
     assert _coerce(None, "raw") is None
+
+
+def test_fast_path_identity_and_fallback(tmp_path):
+    """The vectorized pa.json range parse must deliver EXACTLY the row
+    path's tuples on clean spools (beyond one offset stride, so byte
+    seek + end-byte slicing both engage), and must decline (None ->
+    row-path fallback) on content it cannot reproduce bit-for-bit:
+    malformed lines and epoch-number timestamps."""
+    src = str(tmp_path / "spool")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(2500):
+            f.write(
+                json.dumps(
+                    {
+                        "uid": f"e{i}",
+                        "creation_ts": "2026-08-15T01:02:%02d.5" % (i % 60),
+                        "reason": "click",
+                    }
+                )
+                + "\n"
+            )
+
+    r = _reader(src)
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    rows_fast = _rows(r, parts)
+    assert len(rows_fast) == 2500
+
+    from k8stream_spark.sources.informer import InformerStreamReader
+
+    orig = InformerStreamReader._read_range_fast
+    try:
+        InformerStreamReader._read_range_fast = (
+            lambda self, p, schema: None
+        )
+        rows_slow = _rows(r, parts)
+    finally:
+        InformerStreamReader._read_range_fast = orig
+    assert rows_fast == rows_slow
+
+    # malformed line -> the fast parse declines the range entirely
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(json.dumps({"uid": "ok1"}) + "\n")
+        f.write("not json\n")
+        f.write(json.dumps({"uid": "ok2"}) + "\n")
+    r2 = _reader(src)
+    parts2 = [
+        p
+        for p in r2.partitions(r2.initialOffset(), r2.latestOffset())
+    ]
+    sch = r2._arrow_schema()
+    bad = [
+        p
+        for p in parts2
+        if getattr(p, "path", "").endswith("b.json")
+        or any(
+            s.path.endswith("b.json")
+            for s in getattr(p, "slices", [])
+        )
+    ]
+    assert bad
+    for p in bad:
+        for s in getattr(p, "slices", [p]):
+            if s.path.endswith("b.json"):
+                assert r2._read_range_fast(s, sch) is None
+    # ...and the row path still delivers the two good rows permissively
+    uids = {row[0] for row in _rows(r2, parts2)}
+    assert {"ok1", "ok2"} <= uids
+
+    # epoch-number timestamp -> fast declines, _coerce handles it
+    src3 = str(tmp_path / "spool3")
+    os.makedirs(src3)
+    with open(os.path.join(src3, "c.json"), "w") as f:
+        f.write(json.dumps({"uid": "t1", "creation_ts": 1755219723}) + "\n")
+    r3 = _reader(src3)
+    parts3 = r3.partitions(r3.initialOffset(), r3.latestOffset())
+    for p in parts3:
+        for s in getattr(p, "slices", [p]):
+            assert r3._read_range_fast(s, r3._arrow_schema()) is None
+    rows3 = _rows(r3, parts3)
+    assert rows3[0][0] == "t1" and rows3[0][1].year == 2025
