@@ -259,3 +259,145 @@ def test_containment_roots_invariants(spark, spans, seed):
             assert r.root_id == i                                  # (2)
         assert r.root_id in kept_ids                               # (3)
         assert dd[i].kept == r.kept                                # (4)
+
+
+# ---------------------------------------------------------------------------
+# r10 integer-exactness recipes: the driver-side PCA loop and the
+# sign-symmetric deflation must agree with a DuckDB replay of the SAME
+# formulas on adversarial values nobody hand-picked.  Pure DuckDB —
+# no Spark job per example — so these afford many examples.
+# ---------------------------------------------------------------------------
+
+FAST = settings(max_examples=40, deadline=None)
+
+
+@FAST
+@given(
+    cells=st.lists(
+        st.integers(-3_000_000, 3_000_000), min_size=16, max_size=16
+    ),
+    steps=st.integers(1, 6),
+)
+def test_pca_power_iterate_matches_duckdb_chain(cells, steps):
+    """_pca_power_iterate vs a DuckDB unrolled chain over a literal 4x4
+    integer covariance: every w/norm/v value must agree bit-for-bit —
+    the exactness argument (int64 sums + floor(x+0.5) single IEEE
+    steps) tested on random signed matrices, not just the fixture."""
+    import duckdb
+
+    from k8stream_spark.analytics.similarity import _pca_power_iterate
+
+    dim = 4
+    cov = {
+        (i, j): cells[i * dim + j] for i in range(dim) for j in range(dim)
+    }
+    v, lam = _pca_power_iterate(cov, dim, steps)
+
+    values = ", ".join(
+        f"({i}, {j}, {c})" for (i, j), c in sorted(cov.items())
+    )
+    parts = [
+        f"cov(i, j, c) AS (SELECT * FROM (VALUES {values}))",
+        f"""v0 AS (
+          SELECT dd.d, CAST(FLOOR(1000000.0 / sqrt({dim}) + 0.5) AS BIGINT)
+                   AS v
+          FROM (SELECT unnest(generate_series(0, {dim - 1})) AS d) dd
+        )""",
+    ]
+    prev = "v0"
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+          SELECT cov.i AS d,
+                 CAST(FLOOR((SUM(cov.c * {prev}.v) + 500000)
+                            / 1000000.0) AS BIGINT) AS w
+          FROM cov JOIN {prev} ON cov.j = {prev}.d GROUP BY cov.i
+        )"""
+        )
+        parts.append(
+            f"""n{k} AS MATERIALIZED (
+          SELECT CAST(SUM(w * w) AS DOUBLE) AS norm2 FROM w{k}
+        )"""
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+          SELECT d, CASE WHEN norm2 > 0
+                         THEN CAST(FLOOR(1000000.0 * w / sqrt(norm2)
+                                         + 0.5) AS BIGINT)
+                         ELSE 0 END AS v
+          FROM w{k}, n{k}
+        )"""
+        )
+        prev = f"v{k}"
+    sql = (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT v{steps}.d, v{steps}.v,
+               CASE WHEN n{steps}.norm2 > 0
+                    THEN CAST(FLOOR(sqrt(n{steps}.norm2) + 0.5) AS BIGINT)
+                    ELSE 0 END
+        FROM v{steps}, n{steps} ORDER BY 1"""
+    )
+    rows = duckdb.sql(sql).fetchall()
+    assert [r[1] for r in rows] == v
+    assert {r[2] for r in rows} == {lam}
+
+
+@FAST
+@given(
+    lam=st.integers(0, 200_000_000),
+    vi=st.integers(-1_000_000, 1_000_000),
+    vj=st.integers(-1_000_000, 1_000_000),
+    c=st.integers(-3_000_000, 3_000_000),
+)
+def test_pca_deflate_division_matches_duckdb(lam, vi, vj, c):
+    """The sign-symmetric integer division (DuckDB // truncates toward
+    zero, Python // floors — the formula must mask the difference) on
+    random signed products up to ~2e20."""
+    import duckdb
+
+    from k8stream_spark.analytics.similarity import _pca_deflate
+
+    out = _pca_deflate({(0, 0): c}, [vi, vj], lam, 1)[(0, 0)]
+    sql = f"""
+        SELECT {c} - (CASE WHEN p >= 0
+                           THEN (p + 500000000000) // 1000000000000
+                           ELSE -((-p + 500000000000) // 1000000000000)
+                      END)
+        FROM (SELECT CAST({lam} AS HUGEINT) * {vi} * {vi} AS p)
+    """
+    assert duckdb.sql(sql).fetchone()[0] == out
+
+
+@FAST
+@given(
+    budget=st.integers(1, 10_000_000),
+    actual=st.integers(0, 5_000_000),
+    raw=st.integers(1, 20),
+)
+def test_mixture_plan_arithmetic_matches_duckdb(budget, actual, raw):
+    """target/rate/expected integer chain on random non-negative values
+    (Spark div == DuckDB // == Python // holds only on non-negatives —
+    that precondition is the operator's documented contract)."""
+    import duckdb
+
+    target = (budget * raw) // 210
+    rate = (
+        min(1_000_000, (target * 1_000_000) // actual) if actual > 0 else 0
+    )
+    expected = (actual * rate) // 1_000_000
+    # BIGINT casts mirror the real oracle's column types — bare DuckDB
+    # literals are INT32 and (target * 1000000) would overflow.
+    t = f"((CAST({budget} AS BIGINT) * {raw}) // 210)"
+    r = (
+        f"(CASE WHEN {actual} > 0 THEN least(1000000, "
+        f"({t} * CAST(1000000 AS BIGINT)) // {actual}) ELSE 0 END)"
+    )
+    row = duckdb.sql(
+        f"""
+        SELECT {t} AS target, {r} AS rate,
+               (CAST({actual} AS BIGINT) * {r}) // 1000000 AS expected
+        """
+    ).fetchone()
+    assert row == (target, rate, expected)
