@@ -140,3 +140,36 @@ def test_plan_has_no_antipatterns(spark, lazy_cache, name):
     assert bnlj <= max_bnlj, (
         f"{name}: {bnlj} BroadcastNestedLoopJoin (documented {max_bnlj})"
     )
+
+
+def test_plan_gate_negative_controls(spark):
+    """The gate's plan-node regexes must still MATCH what Spark prints —
+    a Spark upgrade renaming a node would otherwise make every
+    assertion above vacuously green.  Build one deliberately bad plan
+    per anti-pattern and assert the detector fires."""
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 50)
+        b = spark.range(0, 40).withColumnRenamed("id", "id2")
+        cart = _executed_plan(a.crossJoin(b))
+        assert re.search(r"CartesianProduct", cart), cart
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+    # a global scalar agg is the canonical SinglePartition producer (a
+    # tiny global orderBy is NOT a reliable control — AQE folds it)
+    import pyspark.sql.functions as F
+
+    onep2 = _executed_plan(spark.range(0, 1000, 1, 8).agg(F.sum("id")))
+    assert re.search(r"Exchange SinglePartition", onep2), onep2
+
+    bnlj = _executed_plan(
+        spark.range(0, 50).join(
+            spark.range(0, 4).withColumnRenamed("id", "id2").hint(
+                "broadcast"
+            ),
+            F.col("id") > F.col("id2"),
+        )
+    )
+    assert re.search(r"BroadcastNestedLoopJoin", bnlj), bnlj
