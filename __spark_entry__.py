@@ -2419,6 +2419,12 @@ def _q_pca_by_label(spark, sf_dir):
     )
 
 
+def _q_pca_project_by_label(spark, sf_dir):
+    return similarity.pca_project_by_label(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_snapshot_delta(spark, sf_dir):
     """Corpus snapshot diff over two deterministically derived versions
     of the documents table (no second table exists in the driver data):
@@ -2569,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_plan": _q_mixture_plan,
         "emb_maha_outliers": _q_maha_outliers,
         "emb_pca_by_label": _q_pca_by_label,
+        "emb_pca_project_by_label": _q_pca_project_by_label,
         "docs_snapshot_delta": _q_snapshot_delta,
         "docs_reembed_worklist": _q_reembed_worklist,
         # P — filters / projections (SURVEY §2.2)
@@ -2828,6 +2835,32 @@ def _pca_label_oracle(steps: int = _PCA_STEPS) -> str:
                         ELSE 0 END AS lambda_micro
             FROM v{steps} JOIN n{steps} ON v{steps}.lbl = n{steps}.lbl"""
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _pca_label_oracle_project(steps: int = _PCA_STEPS) -> str:
+    """pca_project_by_label replay: the label-keyed chain WITHOUT its
+    final select, plus per-label means and the per-vector grouped
+    decimal score on the own-class component."""
+    chain = _pca_label_oracle(steps)
+    head, _final = chain.rsplit("SELECT", 1)
+    return (
+        head
+        + f""", m AS (
+          SELECT lbl, d,
+                 ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 6) AS m
+          FROM ex GROUP BY lbl, d
+        )
+        SELECT ex.vec_id, ex.lbl AS label,
+               CAST(ROUND(1000000.0 * CAST(SUM(CAST(
+                      (ex.x - m.m) * (v{steps}.v / 1000000.0)
+                    AS DECIMAL(28,12))) AS DOUBLE)) AS BIGINT)
+                 AS score_micro
+        FROM ex
+        JOIN m ON m.lbl = ex.lbl AND m.d = ex.d
+        JOIN v{steps} ON v{steps}.lbl = ex.lbl AND v{steps}.d = ex.d
+        GROUP BY ex.vec_id, ex.lbl"""
+    )
 
 
 _PCA_TOP2_TAIL = (
@@ -5516,6 +5549,9 @@ ORDER BY doc_freq DESC, ngram ASC LIMIT 20
         ),
         # Label-keyed PCA chain (per-class spectra).
         "emb_pca_by_label": _pca_label_oracle(),
+        # Per-class projection: the label-keyed chain's components +
+        # label-keyed mean_center recipe + one grouped decimal score.
+        "emb_pca_project_by_label": _pca_label_oracle_project(),
         # Mirrors splits.mixture_plan: ramp weights, integer targets /
         # rates (all operands non-negative, so Spark div == DuckDB //).
         "docs_mixture_plan": """

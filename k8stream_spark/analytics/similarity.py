@@ -2664,3 +2664,70 @@ def pca_by_label(
         data,
         "label bigint, d bigint, v_micro bigint, lambda_micro bigint",
     )
+
+
+def pca_project_by_label(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int = 64,
+    steps: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-vector score on its OWN class's top component, centered on
+    the class mean: (vec_id, label, score_micro) — the within-class
+    curriculum/outlier coordinate (a vector extreme for its class is
+    interesting even when globally unremarkable).
+
+    Composition of the audited parts: ``pca_by_label``'s bounded
+    driver path yields the |labels|·dim component frame; class means
+    use the ``mean_center`` recipe keyed by label; the projection is
+    one corpus scan with two broadcast joins on (label, d) and a
+    per-vector decimal partial sum — the ``pca_project`` shape with a
+    label key riding along.
+    """
+    comp = pca_by_label(
+        spark, embeddings, dim=dim, steps=steps,
+        vec_col=vec_col, id_col=id_col, label_col=label_col,
+    ).select(
+        F.col("label").alias("__lbl"), "d",
+        (F.col("v_micro") / F.lit(1000000.0)).alias("__v"),
+    )
+    ex = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).cast("bigint").alias("__lbl"),
+        F.posexplode(
+            F.transform(
+                _vec_checked(F.col(vec_col), dim),
+                lambda x: x.cast("double"),
+            )
+        ).alias("__d", "__x"),
+    ).withColumn("d", F.col("__d").cast("bigint"))
+    means = ex.groupBy("__lbl", "d").agg(
+        F.round(
+            F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__m")
+    )
+    return (
+        ex.join(F.broadcast(means), ["__lbl", "d"])
+        .join(F.broadcast(comp), ["__lbl", "d"])
+        .select(
+            F.col(id_col),
+            F.col("__lbl"),
+            ((F.col("__x") - F.col("__m")) * F.col("__v"))
+            .cast("decimal(28,12)")
+            .alias("__p"),
+        )
+        .groupBy(id_col, "__lbl")
+        .agg(
+            F.round(F.lit(1000000.0) * F.sum("__p").cast("double"))
+            .cast("bigint")
+            .alias("score_micro")
+        )
+        .select(
+            id_col, F.col("__lbl").alias("label"), "score_micro"
+        )
+    )

@@ -130,6 +130,7 @@ AUDITED = [
     "docs_mixture_plan",
     "emb_maha_outliers",
     "emb_pca_by_label",
+    "emb_pca_project_by_label",
 ]
 # docs_dedup_clusters (and docs_cluster_keep_longest, which builds on
 # it), emb_semantic_clusters, emb_semantic_clusters_lsh,

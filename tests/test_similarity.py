@@ -742,3 +742,27 @@ def test_pca_by_label_groups_independent(spark):
     assert out[(1, 1)] == (1_000_000, 9_000_000)
     # label 2 collapsed to a point: zero spectrum
     assert out[(2, 0)] == (0, 0) and out[(2, 1)] == (0, 0)
+
+
+def test_pca_project_by_label_own_class_coordinates(spark):
+    """Each vector is scored on ITS class's component, centered on the
+    class mean: for two classes with variance on different axes the
+    score is the within-class centered value on that class's axis."""
+    rows = (
+        [(i, [float(x), 9.0], 0) for i, x in enumerate((1, -1, 2, -2))]
+        + [(10 + i, [7.0, float(x)], 1)
+           for i, x in enumerate((3, -3, 3, -3))]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    )
+    out = {
+        r.vec_id: (r.label, r.score_micro)
+        for r in similarity.pca_project_by_label(spark, df, dim=2).collect()
+    }
+    # class 0: axis e0, mean 0 -> scores are the dim-0 values; the
+    # constant dim-1 (9.0) must not leak in (class-mean centered).
+    assert out[0] == (0, 1_000_000) and out[1] == (0, -1_000_000)
+    assert out[2] == (0, 2_000_000) and out[3] == (0, -2_000_000)
+    # class 1: axis e1 -> dim-1 values; constant dim-0 ignored.
+    assert out[10] == (1, 3_000_000) and out[11] == (1, -3_000_000)
