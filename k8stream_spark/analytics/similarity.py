@@ -88,6 +88,26 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _spread(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Conditionally spread a frame for a compute-heavy downstream stage
+    (O(n²) scoring, n·d² pair generation).
+
+    ``repartition(n, cols)`` ALWAYS inserts a hash Exchange, even when
+    the input already has n partitions — so an unconditional call makes
+    the 100 TB plan pay a corpus-row shuffle it doesn't need.  This
+    helper shuffles ONLY when the input's actual partition count is
+    pathologically low relative to the session's parallelism (the local
+    single-file-parquet fixture case, where the whole quadratic stage
+    would otherwise run on one core); a well-partitioned cluster-scale
+    input passes through with NO exchange in the plan.  Gated by
+    ``tests/test_plans.py::test_spread_is_conditional``.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= n_parts:
+        return df
+    return df.repartition(n_parts, *cols)
+
+
 def with_unit_vectors(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:
@@ -306,9 +326,10 @@ def cosine_near_dup_pairs(
     Same quadratic-stage discipline as ``knn_graph_mutual``: per-row
     norms (one dot per pair, not three), the unrolled codegen dot when
     ``dim`` is known (the interpreted fold otherwise — both sum left to
-    right, so the bits never differ), and an explicit stream-side
-    repartition so a single-file input doesn't run the whole O(n²)
-    stage on one core (49 s → 12 s at sf0.1 with dim=64).
+    right, so the bits never differ), and a CONDITIONAL stream-side
+    spread (``_spread``) so a single-file local input doesn't run the
+    whole O(n²) stage on one core (49 s → 12 s at sf0.1 with dim=64)
+    while a well-partitioned cluster input pays no extra exchange.
     """
     src = (
         _vec_checked(F.col(vec_col), dim)
@@ -322,8 +343,7 @@ def cosine_near_dup_pairs(
     base = embeddings.select(
         F.col(id_col).alias("__id"), vec_d.alias("__v")
     ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
-    a = base.repartition(n_parts, "__id").select(
+    a = _spread(base, "__id").select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
@@ -1809,12 +1829,10 @@ def knn_graph_mutual(
     # The O(n²) scoring parallelism is the STREAM side's partition count
     # — the fixture parquet is one file/one partition, which would run
     # the whole quadratic stage on a single core (measured: 53 s single
-    # -partition → 7.5 s spread, sf0.1).  One tiny shuffle of n
-    # id+vector rows buys scoring spread across every core; at cluster
-    # scale the input arrives already partitioned and this repartition
-    # is a no-op by count.
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
-    a = base.repartition(n_parts, "__id").select(
+    # -partition → 7.5 s spread, sf0.1).  _spread shuffles the n
+    # id+vector rows only in that starved case; a cluster-scale input
+    # that already arrives partitioned passes through with no exchange.
+    a = _spread(base, "__id").select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
@@ -2150,8 +2168,10 @@ def pca_covariance(
     centering join: ONE pass generates the (i, j) pair stream with two
     chained posexplodes (n·d² generated rows — generated, not
     shuffled), map-side combines into d² cells, and shuffles a
-    CONSTANT-size d²-cell partial per partition.  Zero data-sized
-    exchanges — at 100 TB the whole matrix costs one scan plus a
+    CONSTANT-size d²-cell partial per partition.  The only data-sized
+    exchange is ``_spread``'s one-time fix-up of a starved local input
+    (single-file parquet), SKIPPED when the input already arrives
+    partitioned — at 100 TB the whole matrix costs one scan plus a
     4096-row shuffle (d=64).
 
     Exactness (the ``mean_center`` convention): E[x_i·x_j], m_i, m_j
@@ -2165,12 +2185,10 @@ def pca_covariance(
     # The d²-fold generation parallelism is the input's partition count
     # — the fixture parquet is one file/one partition, which would run
     # the whole n·d² stage on a single core (measured ~25 s single-
-    # partition vs ~2 s spread at sf0.1).  One tiny shuffle of the n
-    # input rows buys generation spread across every core; at cluster
-    # scale the input arrives already partitioned and this repartition
-    # is a no-op by count.
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
-    exi = embeddings.repartition(n_parts, F.col(id_col)).select(
+    # partition vs ~2 s spread at sf0.1).  _spread shuffles the n input
+    # rows only in that starved case; a cluster-scale input that
+    # already arrives partitioned passes through with no exchange.
+    exi = _spread(embeddings, F.col(id_col)).select(
         F.posexplode(arr).alias("i", "__xi"), arr.alias("__a")
     )
     pairs = exi.select(
@@ -2619,8 +2637,7 @@ def pca_by_label(
     arr = F.transform(
         _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
     )
-    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
-    exi = embeddings.repartition(n_parts, F.col(id_col)).select(
+    exi = _spread(embeddings, F.col(id_col)).select(
         F.col(label_col).alias("__lbl"),
         F.posexplode(arr).alias("i", "__xi"),
         arr.alias("__a"),

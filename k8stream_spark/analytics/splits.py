@@ -514,6 +514,7 @@ def mixture_plan(
     n_sources: int = 20,
     text_col: str = "text",
     source_col: str = "source",
+    weights: Mapping[str, int] | None = None,
 ) -> DataFrame:
     """Static mixture-sampling plan: given per-source target weights
     and a total token budget, compute each source's sampling rate and
@@ -521,20 +522,48 @@ def mixture_plan(
     hand-tuned mixture pipeline runs BEFORE any sampling job, so the
     fleet is sized from a 20-row plan instead of discovered mid-run.
 
-    Weights are the deterministic ramp w(srcN) ∝ (n_sources − N)
-    (replayed verbatim in the oracle; a production caller passes its
-    own weights — the arithmetic contract is what's graded):
+    Weights: pass ``weights`` (source name → non-negative integer
+    weight) for real-world source names; sources absent from the map
+    get weight 0 (sampled out, never an error).  When ``weights`` is
+    None the deterministic ramp w(srcN) ∝ (n_sources − N) applies
+    (replayed verbatim in the oracle) — names that don't match
+    ``srcN`` or whose N ≥ n_sources get weight 0 rather than a cast
+    error or a negative target:
     target = budget·raw // Σraw, rate = min(1, target·1e6 //
     actual_tokens) in micro, expected = actual·rate // 1e6.  All
-    integer arithmetic on non-negative values, so Spark's ``div``,
-    DuckDB's ``//`` and Python agree exactly.
+    integer arithmetic on non-negative values (targets clamped at 0),
+    so Spark's ``div``, DuckDB's ``//`` and Python agree exactly.
 
     Scale: ONE groupBy(source) with map-side combine — the shuffle is
     |sources| rows of two bigints; token counting is codegen
     (split-size, the ``text_token_count`` convention, empty/null text
     counting 1 like DuckDB's string_split).
     """
-    total_raw = n_sources * (n_sources + 1) // 2
+    if weights is None:
+        total_raw = n_sources * (n_sources + 1) // 2
+        # Ramp weight, safe on arbitrary names: try_cast → NULL for
+        # non-srcN, greatest(0, …) for N ≥ n_sources; both → weight 0.
+        w_expr = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.coalesce(
+                F.lit(n_sources)
+                - F.expr(
+                    f"try_cast(regexp_replace({source_col}, '^src', '')"
+                    " AS BIGINT)"
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+    else:
+        total_raw = sum(max(int(v), 0) for v in weights.values()) or 1
+        pairs: list[Column] = []
+        for k, v in weights.items():
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(max(int(v), 0)).cast("bigint"))
+        w_expr = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(source_col)),
+            F.lit(0).cast("bigint"),
+        )
     toks = F.size(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     ).cast("bigint")
@@ -542,13 +571,9 @@ def mixture_plan(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(toks).cast("bigint").alias("actual_tokens"),
     )
-    g = g.withColumn(
+    g = g.withColumn("__w", w_expr).withColumn(
         "target_tokens",
-        F.expr(
-            f"({budget_tokens} * ({n_sources} - CAST("
-            f"regexp_replace({source_col}, '^src', '') AS BIGINT)))"
-            f" div {total_raw}"
-        ),
+        F.expr(f"({budget_tokens} * __w) div {total_raw}"),
     )
     rate = F.when(
         F.col("actual_tokens") > 0,

@@ -428,11 +428,14 @@ def content_change_gate_stateful(
         pipeline needing removals runs the batch ``snapshot_delta``
         between snapshot manifests.
       * State carries (md5, deadline); the deadline re-arms on every
-        WRITE (emit), and a key silent past ``ttl_seconds`` is
-        evicted, so state is bounded by the live churn set, not by
-        all keys ever seen.  A doc re-crawled after eviction counts
-        as ``added`` again — the same re-admission semantics as
-        ``dedup_ttl_stateful``'s mark expiry.
+        RECEIPT — changed or unchanged — so a hot-but-stable key
+        (re-crawled regularly with identical content) stays resident
+        and keeps suppressing, never spuriously re-emitting ``added``.
+        Only a key that receives NO rows at all for ``ttl_seconds``
+        is evicted, so state is bounded by the live traffic set, not
+        by all keys ever seen.  A doc re-crawled after eviction
+        counts as ``added`` again — the same re-admission semantics
+        as ``dedup_ttl_stateful``'s mark expiry.
 
     The hash is computed INSIDE the pandas fn (hashlib.md5 over the
     utf-8 text), matching F.md5/DuckDB md5 byte-for-byte — the
@@ -464,9 +467,11 @@ def content_change_gate_stateful(
             if now_ms < deadline_ms:
                 last = stored
         emitted = False
+        saw_rows = False
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            saw_rows = True
             keep, status = [], []
             for t in pdf[text_col]:
                 h = hashlib.md5(
@@ -488,7 +493,10 @@ def content_change_gate_stateful(
                 out["status"] = [s for s in status if s]
                 emitted = True
                 yield out
-        if emitted:
+        if saw_rows:
+            # Re-arm on every receipt (emit or suppressed-unchanged):
+            # a hot-but-stable key must stay resident, else its next
+            # unchanged crawl would spuriously re-emit as "added".
             state.update((last, now_ms + ttl_ms))
             state.setTimeoutDuration(ttl_ms)
         elif state.exists:

@@ -173,3 +173,26 @@ def test_plan_gate_negative_controls(spark):
         )
     )
     assert re.search(r"BroadcastNestedLoopJoin", bnlj), bnlj
+
+
+def test_spread_is_conditional(spark):
+    """``similarity._spread`` must be a NO-OP (no Exchange inserted)
+    when the input already arrives well-partitioned — the 100 TB case —
+    and must spread a starved single-partition local input.  Regression
+    test for the unconditional ``repartition(n, id)`` corpus shuffle
+    (ADVICE r10/r11)."""
+    from k8stream_spark.analytics.similarity import _spread
+
+    par = spark.sparkContext.defaultParallelism
+
+    wide = spark.range(0, 1000, 1, par)
+    out = _spread(wide, "id")
+    assert out is wide  # pass-through: zero plan change, zero exchange
+
+    narrow = spark.range(0, 1000, 1, 1)
+    out2 = _spread(narrow, "id")
+    assert out2 is not narrow
+    assert out2.rdd.getNumPartitions() == par
+    assert "Exchange hashpartitioning" in (
+        out2._jdf.queryExecution().sparkPlan().toString()
+    )

@@ -310,3 +310,54 @@ def test_mixture_plan_rates_and_clamp(spark):
     s19 = out["src19"]  # raw 1: target 476 < actual 1000
     assert (s19.actual_tokens, s19.target_tokens) == (1000, 476)
     assert s19.rate_micro == 476_000 and s19.expected_tokens == 476
+
+
+def test_mixture_plan_safe_on_real_world_source_names(spark):
+    """Non-srcN names and N >= n_sources must yield weight 0 (target 0,
+    rate 0) — never a cast error or a negative target."""
+    from k8stream_spark.analytics.splits import mixture_plan
+
+    rows = [
+        ("a", "x y z", "common-crawl"),  # no srcN match → weight 0
+        ("b", "x y", "src99"),  # 20 - 99 < 0 → clamp to 0
+        ("c", "x y z w", "src1"),  # ramp weight 19, unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {r.source: r for r in mixture_plan(df).collect()}
+    for name in ("common-crawl", "src99"):
+        r = out[name]
+        assert r.target_tokens == 0 and r.rate_micro == 0
+        assert r.expected_tokens == 0
+    s1 = out["src1"]
+    assert s1.target_tokens == (100_000 * 19) // 210
+    assert s1.rate_micro == 1_000_000  # 4 tokens << target
+
+
+def test_mixture_plan_explicit_weights(spark):
+    """Caller-supplied weights map: named sources get budget*w//Σw,
+    unnamed sources get 0; negative weights clamp to 0."""
+    from k8stream_spark.analytics.splits import mixture_plan
+
+    rows = [
+        ("a", " ".join(["t"] * 900), "web"),
+        ("b", " ".join(["t"] * 100), "books"),
+        ("c", "x y", "junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {
+        r.source: r
+        for r in mixture_plan(
+            df,
+            budget_tokens=1000,
+            weights={"web": 1, "books": 3, "bad": -5},
+        ).collect()
+    }
+    assert out["web"].target_tokens == 250  # 1000*1//4
+    assert out["books"].target_tokens == 750  # 1000*3//4
+    assert out["junk"].target_tokens == 0 and out["junk"].rate_micro == 0
+    # books: target 750 > actual 100 → rate clamps to 1.0
+    assert out["books"].rate_micro == 1_000_000
+    assert out["books"].expected_tokens == 100
+    # web: 250*1e6 // 900 = 277777 micro → expected 900*277777//1e6 = 249
+    assert out["web"].rate_micro == 277_777
+    assert out["web"].expected_tokens == 249

@@ -412,11 +412,14 @@ DOC_SCHEMA = T.StructType(
 )
 
 
-def _run_gate(spark, src: str, ckpt: str) -> list[tuple[int, str, str]]:
+def _run_gate(
+    spark, src: str, ckpt: str, ttl_seconds: int | None = None
+) -> list[tuple[int, str, str]]:
     from k8stream_spark.streaming.stateful import content_change_gate_stateful
 
     stream = spark.readStream.schema(DOC_SCHEMA).json(src)
-    gated = content_change_gate_stateful(stream, key="doc_id")
+    kw = {} if ttl_seconds is None else {"ttl_seconds": ttl_seconds}
+    gated = content_change_gate_stateful(stream, key="doc_id", **kw)
     emitted: list[tuple[int, str, str]] = []
 
     def collect(batch_df, _batch_id):
@@ -485,6 +488,43 @@ def test_content_gate_folds_within_batch(
     ])
     out = _run_gate(spark, src, ckpt)
     assert out == [(1, "a", "added"), (1, "b", "changed")]
+
+
+def test_content_gate_ttl_rearms_on_unchanged_receipt(
+    spark, tmp_path, no_data_batches_off
+):
+    """A hot-but-STABLE key — re-crawled regularly with identical
+    content — must stay resident: each receipt (even a suppressed
+    unchanged one) re-arms the TTL deadline, so a third unchanged
+    crawl arriving past ttl-from-first-sight but within
+    ttl-from-last-receipt is still suppressed, never spuriously
+    re-emitted as 'added'.  Regression test for the emit-only re-arm
+    defect (ADVICE r10/r11)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ttl = 20
+
+    _write(src, "b1.json", [{"doc_id": 1, "text": "stable"}])
+    out1 = _run_gate(spark, src, ckpt, ttl_seconds=ttl)
+    assert out1 == [(1, "stable", "added")]
+    t_run1 = time.time()
+
+    # Second unchanged crawl well inside ttl: suppressed, and (the
+    # fix) the deadline re-arms from NOW, not from first sight.
+    time.sleep(8)
+    _write(src, "b2.json", [{"doc_id": 1, "text": "stable"}])
+    out2 = _run_gate(spark, src, ckpt, ttl_seconds=ttl)
+    assert out2 == []
+    t_run2 = time.time()
+
+    # Third unchanged crawl: past ttl measured from run 1, inside ttl
+    # measured from run 2.  Pre-fix code only re-armed on emit, so the
+    # key was evicted here and this crawl re-emitted 'added'.
+    time.sleep(max(0.0, (t_run1 + ttl + 1) - time.time()))
+    assert time.time() - t_run2 < ttl - 6, "box too slow for timing test"
+    _write(src, "b3.json", [{"doc_id": 1, "text": "stable"}])
+    out3 = _run_gate(spark, src, ckpt, ttl_seconds=ttl)
+    assert out3 == []
 
 
 # ---------------------------------------------------------------------------
