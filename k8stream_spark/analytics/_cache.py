@@ -30,6 +30,34 @@ from pyspark.sql import DataFrame
 EAGER = True
 
 
+#: Iterative-fixpoint plan capture (r10 task 4 / r11 verdict item 4):
+#: the CI plan gate executes every non-iterative query's returned
+#: frame, but a driver-loop engine's returned frame is the
+#: post-fixpoint tail — an inner-iteration regression (say, a lost
+#: broadcast in the CC label-exchange join) would ship invisible.
+#: When a test arms this with a list, the loop engines append
+#: (family, executedPlan string) for ONE representative inner
+#: iteration per family; production leaves it None (zero overhead —
+#: one ``is None`` check per iteration).
+PLAN_CAPTURE: list[tuple[str, str]] | None = None
+
+
+def capture_iteration_plan(family: str, df: DataFrame) -> None:
+    """Record ``df``'s executed plan under ``family`` when capture is
+    armed.  Call AFTER the frame has executed (post-localCheckpoint /
+    post-collect) so the string is the AQE FINAL plan.  First call per
+    family wins — one representative iteration is the contract."""
+    if PLAN_CAPTURE is None:
+        return
+    if any(f == family for f, _ in PLAN_CAPTURE):
+        return
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # pragma: no cover — introspection best-effort
+        return
+    PLAN_CAPTURE.append((family, plan))
+
+
 def finalize(out: DataFrame, *caches: DataFrame) -> DataFrame:
     """Materialize ``out`` eagerly (localCheckpoint), then unpersist
     every frame in ``caches``.  Returns the checkpointed frame — safe

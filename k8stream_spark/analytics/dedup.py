@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from k8stream_spark.analytics import _cache
+
 
 def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
     """Distinct n-word shingles of a space-tokenized text column.
@@ -682,11 +684,11 @@ def containment_roots(
         )
         # Kept roots map to themselves (coalesce above), so jumping an
         # already-resolved doc is a no-op — the join stays total.
-        labels = (
-            labels.join(hop, "root")
-            .select("doc_id", "kept", F.col("__r2").alias("root"))
-            .localCheckpoint()
+        jump_lazy = labels.join(hop, "root").select(
+            "doc_id", "kept", F.col("__r2").alias("root")
         )
+        labels = jump_lazy.localCheckpoint()
+        _cache.capture_iteration_plan("containment_roots.jump", jump_lazy)
     else:
         raise RuntimeError(
             f"containment_roots did not converge in {max_iter} rounds"
@@ -971,12 +973,13 @@ def connected_components(
         )
         # Checkpointed: merged feeds both sides of the halving join below
         # and must not re-derive (or re-nest) the round's plan.
-        merged = (
+        merged_lazy = (
             labels.unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        merged = merged_lazy.localCheckpoint()
+        _cache.capture_iteration_plan("connected_components.merge", merged_lazy)
         # Path halving: follow the label's own label one hop.  Labels are
         # min-monotone (every label IS some doc's id and label[x] <= x),
         # so the jump only ever lowers the label — correctness unchanged,
@@ -984,11 +987,11 @@ def connected_components(
         hop = merged.select(
             F.col("doc_id").alias("label"), F.col("label").alias("__label2")
         )
-        new_labels = (
-            merged.join(hop, "label")
-            .select("doc_id", F.col("__label2").alias("label"))
-            .localCheckpoint()
+        hop_lazy = merged.join(hop, "label").select(
+            "doc_id", F.col("__label2").alias("label")
         )
+        new_labels = hop_lazy.localCheckpoint()
+        _cache.capture_iteration_plan("connected_components.hop", hop_lazy)
         new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from k8stream_spark.analytics import _cache
+
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 # Deliberately small and hard-pinned so the DuckDB oracle can repeat them.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -993,14 +995,15 @@ def bpe_apply(
         pairs = F.when(F.size(arr) >= 2, pair_arr).otherwise(
             F.array().cast("array<string>")
         )
-        top = (
+        top_df = (
             vocab.select(F.explode(pairs).alias("__p"), "__wf")
             .groupBy("__p")
             .agg(F.sum("__wf").alias("__c"))
             .orderBy(F.col("__c").desc(), F.col("__p").asc())
             .limit(1)
-            .collect()
         )
+        top = top_df.collect()
+        _cache.capture_iteration_plan("bpe_train.pair_count", top_df)
         if not top:
             break
         merged_pair = top[0]["__p"]
@@ -1025,11 +1028,13 @@ def bpe_apply(
         for _pass in range(_BPE_MERGE_PASSES):
             s = F.replace(s, anchored, collapsed)
         s = s.substr(F.lit(2), F.length(s) - 2)
-        nxt = vocab.select(
+        nxt_lazy = vocab.select(
             "__w",
             "__wf",
             s.alias("__s"),
-        ).localCheckpoint(eager=True)
+        )
+        nxt = nxt_lazy.localCheckpoint(eager=True)
+        _cache.capture_iteration_plan("bpe_train.merge_apply", nxt_lazy)
         # No explicit release: localCheckpointed frames have no
         # CacheManager entry (unpersist would be a no-op) — dropping
         # the reference lets ContextCleaner reap the round's blocks

@@ -175,6 +175,61 @@ def test_plan_gate_negative_controls(spark):
     assert re.search(r"BroadcastNestedLoopJoin", bnlj), bnlj
 
 
+#: Loop family → (max SinglePartition exchanges, max BNLJ) for ONE
+#: representative inner iteration.  bpe_train.pair_count's global
+#: top-1 is TakeOrderedAndProject (driver-side per-partition top-k
+#: combine) — no SinglePartition exchange, so everything is 0/0.
+ITER_FAMILIES: dict[str, tuple[int, int]] = {
+    "connected_components.merge": (0, 0),
+    "connected_components.hop": (0, 0),
+    "containment_roots.jump": (0, 0),
+    "bpe_train.pair_count": (0, 0),
+    "bpe_train.merge_apply": (0, 0),
+}
+
+
+def test_iterative_fixpoint_inner_plans(spark, lazy_cache):
+    """The parametrized gate above skips driver-loop queries (their
+    returned frame is the post-fixpoint tail).  This closes that blind
+    spot (r10 task 4): arm ``_cache.PLAN_CAPTURE``, run one
+    representative query per loop family at sf0.001, and assert the
+    captured INNER-iteration executed plans carry no CartesianProduct
+    and stay within the documented SinglePartition/BNLJ budgets — a
+    lost broadcast or accidental cartesian inside the loop now fails
+    CI instead of shipping invisible."""
+    import __spark_entry__ as entrymod
+    from k8stream_spark.analytics import _cache
+
+    qs = entrymod.queries()
+    _cache.PLAN_CAPTURE = []
+    try:
+        for name in (
+            "docs_dedup_clusters",      # connected_components engine
+            "docs_containment_roots",   # pointer-jump engine
+            "text_bpe_apply",           # BPE merge-training loop
+        ):
+            qs[name](spark, SF_DIR).collect()
+            spark.catalog.clearCache()
+        captured = dict(_cache.PLAN_CAPTURE)
+    finally:
+        _cache.PLAN_CAPTURE = None
+    missing = sorted(set(ITER_FAMILIES) - set(captured))
+    assert not missing, f"loop families not captured: {missing}"
+    for family, plan in captured.items():
+        max_onep, max_bnlj = ITER_FAMILIES.get(family, (0, 0))
+        cart = len(re.findall(r"CartesianProduct", plan))
+        onep = len(re.findall(r"Exchange SinglePartition", plan))
+        bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+        assert cart == 0, f"{family}: CartesianProduct in inner iteration"
+        assert onep <= max_onep, (
+            f"{family}: {onep} SinglePartition exchanges "
+            f"(documented {max_onep})"
+        )
+        assert bnlj <= max_bnlj, (
+            f"{family}: {bnlj} BroadcastNestedLoopJoin (documented {max_bnlj})"
+        )
+
+
 def test_spread_is_conditional(spark):
     """``similarity._spread`` must be a NO-OP (no Exchange inserted)
     when the input already arrives well-partitioned — the 100 TB case —
