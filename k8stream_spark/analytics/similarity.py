@@ -484,6 +484,50 @@ _IVF_ITERS = 4
 #: a bounded sample however big the table).
 _IVF_MAX_TRAIN = 20000
 
+#: Hard ceiling on any quantizer-training sample collected to the
+#: driver (k-means / PQ codebooks).  ``limit(max_train)`` already
+#: bounds the collect to what the CALLER asked for; this bounds what a
+#: caller may ask for: 200k rows × 64 dims × 8 B ≈ 100 MB of sample is
+#: the documented driver budget, and a max_train above it raises
+#: instead of OOMing a shared driver.  Runtime-enforced (r10 task 6).
+_MAX_TRAIN_CEILING = 200_000
+
+#: Documented applicability bound of the per-label PCA family: the
+#: driver holds |labels|·d² int64 cells, so labels must be
+#: LOW-cardinality (classes, buckets, shards — not ids).  256 labels
+#: × 64² = 1,048,576 cells ≈ 8 MB is the budget; beyond it the right
+#: tool is the global ``pca_top_component`` over a filtered frame.
+#: Runtime-enforced with one cheap label-column pre-scan (r10 task 6).
+_MAX_PCA_LABELS = 256
+
+
+def _check_max_train(max_train: int) -> None:
+    if max_train > _MAX_TRAIN_CEILING:
+        raise ValueError(
+            f"max_train={max_train} exceeds the documented driver-state "
+            f"ceiling {_MAX_TRAIN_CEILING} (~100 MB of sample vectors); "
+            "train on a bounded sample or raise the ceiling deliberately"
+        )
+
+
+def _check_label_cardinality(
+    embeddings: DataFrame, label_col: str, dim: int
+) -> None:
+    """One narrow-column pre-scan (approx_count_distinct) enforcing the
+    per-label PCA driver bound BEFORE the d²-cell aggregation runs."""
+    n_labels = int(
+        embeddings.agg(
+            F.approx_count_distinct(F.col(label_col)).alias("n")
+        ).collect()[0][0]
+    )
+    if n_labels > _MAX_PCA_LABELS:
+        raise ValueError(
+            f"{label_col} has ~{n_labels} distinct values; per-label PCA "
+            f"holds |labels|*{dim}^2 int64 cells on the driver and is "
+            f"documented for <= {_MAX_PCA_LABELS} labels — filter or "
+            "bucket the label, or use the global pca_top_component"
+        )
+
 
 def _quantize_ivf(X: np.ndarray) -> np.ndarray:
     """floor(x*1e4 + 0.5) per coordinate as int64 — the same IEEE double
@@ -544,6 +588,7 @@ def _sample_kmeans_int(
     own norm, so normalization never enters the integer path).  Returns
     the (nlist × dim) int64 centroid matrix — the only driver-side state.
     """
+    _check_max_train(max_train)
     permille = max(1, min(1000, max_train * 1000 // max(1, n_rows)))
     hcol = F.conv(
         F.substring(F.sha2(F.col("__id").cast("string"), 256), 1, 15), 16, 10
@@ -631,6 +676,7 @@ def _sample_kmeans(
     # sampled rows (and therefore the C = X[:nlist] init) are identical
     # on any partitioning — hash buckets alone have only 1000 distinct
     # values, which would leave tie order partition-dependent.
+    _check_max_train(max_train)
     frac_permille = max(1, min(1000, int(max_train * 1000 / max(1, n_rows))))
     sample = norm_d.select(
         "__id",
@@ -1372,6 +1418,7 @@ def _pq_codebooks(
     Returns the (m × k × dim/m) int64 codebook tensor — the only
     driver-side state; at any corpus size the driver work is O(sample).
     """
+    _check_max_train(max_train)
     permille = max(1, min(1000, max_train * 1000 // max(1, n_rows)))
     hcol = F.conv(
         F.substring(F.sha2(F.col("__id").cast("string"), 256), 1, 15), 16, 10
@@ -2632,8 +2679,11 @@ def pca_by_label(
     = 409,600 cells ≈ 3 MB driver state); for high-cardinality keys
     use the global ``pca_top_component`` over a filtered frame
     instead.  Iteration is the same integer-exact loop per label;
-    empty spectra guard to the zero vector.
+    empty spectra guard to the zero vector.  The bound is ENFORCED:
+    ``_check_label_cardinality`` pre-scans the label column and raises
+    past ``_MAX_PCA_LABELS`` instead of silently collecting gigabytes.
     """
+    _check_label_cardinality(embeddings, label_col, dim)
     arr = F.transform(
         _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
     )

@@ -766,3 +766,40 @@ def test_pca_project_by_label_own_class_coordinates(spark):
     assert out[2] == (0, 2_000_000) and out[3] == (0, -2_000_000)
     # class 1: axis e1 -> dim-1 values; constant dim-0 ignored.
     assert out[10] == (1, 3_000_000) and out[11] == (1, -3_000_000)
+
+
+def test_driver_state_bounds_are_enforced(spark):
+    """The documented driver-state bounds are runtime guards, not prose
+    (r10 task 6): per-label PCA raises past _MAX_PCA_LABELS distinct
+    labels BEFORE the d^2-cell aggregation; quantizer training raises
+    on max_train above _MAX_TRAIN_CEILING before collecting anything."""
+    from k8stream_spark.analytics.similarity import (
+        _MAX_PCA_LABELS,
+        _MAX_TRAIN_CEILING,
+        pca_by_label,
+    )
+
+    # |labels| = rows (id-as-label): the canonical misuse.
+    n = _MAX_PCA_LABELS + 16
+    df = spark.range(n).selectExpr(
+        "id as vec_id",
+        "array(cast(id as float), 1.0f) as embedding",
+        "id as label",
+    )
+    with pytest.raises(ValueError, match="per-label PCA"):
+        pca_by_label(spark, df, dim=2)
+
+    # Within-bound path still works (regression: guard must not false-
+    # positive on legitimate low-cardinality labels).
+    ok = spark.range(8).selectExpr(
+        "id as vec_id",
+        "array(cast(id as float), 1.0f) as embedding",
+        "id % 2 as label",
+    )
+    assert pca_by_label(spark, ok, dim=2).count() == 2 * 2
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="ceiling"):
+        similarity.pq_encode(
+            emb, max_train=_MAX_TRAIN_CEILING + 1
+        ).collect()
