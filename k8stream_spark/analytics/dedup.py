@@ -1178,6 +1178,33 @@ def cluster_keep_longest(
     )
 
 
+def minhash_band_table(
+    sigframe: DataFrame,
+    id_alias: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """(id, band_idx, band_hash) banding of a minhash signature frame —
+    the LSH join key table.  Exposed so per-corpus-version callers (the
+    streaming near-dup gate) can compute AND persist it once: the
+    banding is ~bands rows/doc of pure codegen hashing, but recomputing
+    it for the whole reference corpus on every micro-batch made the
+    banding, not the batch, the per-trigger cost."""
+    r = num_hashes // bands
+    with_sig = sigframe.where(F.col("sig").isNotNull())
+    return with_sig.select(
+        F.col("doc_id").alias(id_alias),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     ref_docs: DataFrame,
@@ -1188,6 +1215,8 @@ def incremental_dedup(
     shingle_n: int = 3,
     ref_sigs: DataFrame | None = None,
     ref_hashes: DataFrame | None = None,
+    ref_bands: DataFrame | None = None,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing REFERENCE corpus — the
     production shape of continuous ingestion (every crawl round dedups
@@ -1211,32 +1240,25 @@ def incremental_dedup(
     then candidate verification on (id, id) rows + shingle-hash lookup
     joins — text bytes never cross an exchange.
 
-    ``ref_sigs`` / ``ref_hashes`` (r9): the persist-once-per-corpus-
-    version artifacts, precomputed by callers that audit many new
-    batches against one corpus version — the streaming gate
-    (``pipeline.near_dup_gate_sink``) would otherwise re-shingle the
-    whole reference every micro-batch.  Pass the frames returned by
-    ``minhash_signature(ref_docs, ...)`` and the distinct
-    ``md5(text) AS __h`` projection respectively; when supplied they
-    are treated as caller-owned (not unpersisted here).
+    ``ref_sigs`` / ``ref_hashes`` (r9) / ``ref_bands`` (r12): the
+    persist-once-per-corpus-version artifacts, precomputed by callers
+    that audit many new batches against one corpus version — the
+    streaming gate (``pipeline.near_dup_gate_sink``) would otherwise
+    re-shingle (and re-band) the whole reference every micro-batch.
+    Pass the frames returned by ``minhash_signature(ref_docs, ...)``,
+    the distinct ``md5(text) AS __h`` projection, and
+    ``minhash_band_table(ref_sigs, "ref_id", ...)`` respectively; when
+    supplied they are treated as caller-owned (not unpersisted here).
+
+    ``broadcast_new``: set by per-micro-batch callers whose new side
+    is tiny relative to the corpus — broadcasts the new-side band and
+    signature frames into the candidate/verification joins so the
+    corpus-sized reference never shuffles per trigger (identical
+    admissions, pinned by the batch/stream symmetry test).
     """
-    r = num_hashes // bands
 
     def banded(sigframe: DataFrame, id_alias: str) -> DataFrame:
-        with_sig = sigframe.where(F.col("sig").isNotNull())
-        return with_sig.select(
-            F.col("doc_id").alias(id_alias),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            *[F.col("sig")[b * r + j] for j in range(r)]
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_idx", "band_hash"),
-        )
+        return minhash_band_table(sigframe, id_alias, num_hashes, bands)
 
     # Exact check: reference md5 set is (hash)-only — at 100 TB this is
     # the incremental bloom/anti-join everybody runs first.
@@ -1266,20 +1288,27 @@ def incremental_dedup(
         ref_sigs = ref_sigs.persist()
         ref_sigs.count()
 
+    if ref_bands is None:
+        ref_bands = banded(ref_sigs, "ref_id")
+    new_bands = banded(new_sigs, "new_id")
+    new_sig_proj = new_sigs.select(
+        F.col("doc_id").alias("new_id"), F.col("__sh64").alias("__sa")
+    )
+    if broadcast_new:
+        new_bands = F.broadcast(new_bands)
     candidates = (
-        banded(new_sigs, "new_id")
-        .join(banded(ref_sigs, "ref_id"), ["band_idx", "band_hash"])
+        new_bands.join(ref_bands, ["band_idx", "band_hash"])
         .select("new_id", "ref_id")
         .distinct()
     )
+    cand_with_new = candidates.join(new_sig_proj, "new_id")
+    if broadcast_new:
+        # The candidate set is bounded by the (tiny) new side's band
+        # collisions — broadcast it so the corpus-sized ref_sigs
+        # lookup below is a shuffle-free broadcast join too.
+        cand_with_new = F.broadcast(cand_with_new)
     verified = (
-        candidates.join(
-            new_sigs.select(
-                F.col("doc_id").alias("new_id"), F.col("__sh64").alias("__sa")
-            ),
-            "new_id",
-        )
-        .join(
+        cand_with_new.join(
             ref_sigs.select(
                 F.col("doc_id").alias("ref_id"), F.col("__sh64").alias("__sb")
             ),

@@ -300,6 +300,7 @@ def near_dup_gate_sink(
     """
     from k8stream_spark.analytics.dedup import (
         incremental_dedup,
+        minhash_band_table,
         minhash_signature,
     )
     from pyspark.sql import functions as F
@@ -314,6 +315,13 @@ def near_dup_gate_sink(
         .persist()
     )
     ref_hashes.count()
+    # Banding is per-corpus-version too (r12): recomputing the 32-band
+    # explode + xxhash over the whole reference every micro-batch made
+    # the banding, not the batch, the per-trigger cost.
+    ref_bands = minhash_band_table(
+        ref_sigs, "ref_id", num_hashes, bands
+    ).persist()
+    ref_bands.count()
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         audited = incremental_dedup(
@@ -326,6 +334,10 @@ def near_dup_gate_sink(
             shingle_n=shingle_n,
             ref_sigs=ref_sigs,
             ref_hashes=ref_hashes,
+            ref_bands=ref_bands,
+            # A micro-batch is tiny next to the corpus: broadcast the
+            # new side so the reference never shuffles per trigger.
+            broadcast_new=True,
         )
         sink_fn(audited, batch_id)
 
