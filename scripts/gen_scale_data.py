@@ -140,8 +140,11 @@ def gen_tpch(rng: np.random.Generator, out_dir: str, mult: int) -> None:
             }
         ),
     )
-    adjectives = ["large", "hot", "blue", "dim", "spring", "steel"]
-    nouns = ["ring", "bolt", "cog", "drum", "plate", "wire"]
+    # The measured sf0.1 p_name vocabulary (8 adjectives x 7 nouns):
+    # q9 filters '%widget%' and q20 'small%', so the word sets are part
+    # of the query surface, not decoration.
+    adjectives = ["blue", "hot", "small", "cold", "new", "old", "red", "large"]
+    nouns = ["ring", "rod", "bolt", "anvil", "widget", "gear", "plate"]
     _write(
         out_dir,
         "part",
@@ -149,7 +152,7 @@ def gen_tpch(rng: np.random.Generator, out_dir: str, mult: int) -> None:
             {
                 "p_partkey": np.arange(n_part, dtype=np.int64),
                 "p_name": [
-                    f"{adjectives[i % 6]} {nouns[(i // 6) % 6]}"
+                    f"{adjectives[i % 8]} {nouns[(i // 8) % 7]}"
                     for i in range(n_part)
                 ],
                 "p_brand": [f"Brand#{1 + i % 25}" for i in range(n_part)],
