@@ -88,6 +88,55 @@ def _norm(a: Column) -> Column:
     )
 
 
+def suggest_lsh_params(
+    n_rows: int,
+    target_cosine: float = 0.45,
+    target_bucket: int = 512,
+    min_recall: float = 0.8,
+    max_tables: int = 256,
+) -> tuple[int, int]:
+    """(bits, tables) for hyperplane LSH that hold per-bucket occupancy
+    and recall as the corpus grows — the 100 TB tuning law the sf1
+    measurement pinned (SCALE.md r12: fixed bits=6/tables=24 gave
+    candidate pairs ~n²·tables/2^bits on isotropic vectors, 68× cost
+    for 10× data on the mutual-kNN path).
+
+    * ``bits = ceil(log2(n / target_bucket))`` keeps expected bucket
+      size ~target_bucket, so per-table candidate work is
+      ~n·target_bucket — linear in n, not quadratic.
+    * per-hyperplane agreement for a pair at ``target_cosine`` t is
+      p = 1 − arccos(t)/π (Goemans–Williamson); one table catches the
+      pair with p^bits, so ``tables = ceil(ln(1−min_recall) /
+      ln(1−p^bits))`` restores recall that extra bits destroyed,
+      capped at ``max_tables`` (cost grows linearly with tables; past
+      the cap, fall back to IVF or lower min_recall explicitly).
+
+    Pure driver-side arithmetic — callers at real scale pass the
+    result straight into ``cosine_near_dup_lsh`` / ``cosine_topk_lsh``
+    ``(tables=, bits=)``.  The fixture defaults (6, 24) are what this
+    returns near n≈30k at the test thresholds, so small-SF behavior is
+    unchanged unless a caller opts in with its corpus size.
+    """
+    import math
+
+    if n_rows <= 0:
+        raise ValueError("n_rows must be positive")
+    if not 0.0 < target_cosine < 1.0:
+        raise ValueError("target_cosine must be in (0, 1)")
+    if not 0.0 < min_recall < 1.0:
+        raise ValueError("min_recall must be in (0, 1)")
+    bits = max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    p = 1.0 - math.acos(target_cosine) / math.pi
+    p_table = p**bits
+    if p_table >= 1.0:
+        tables = 1
+    else:
+        tables = math.ceil(
+            math.log(1.0 - min_recall) / math.log(1.0 - p_table)
+        )
+    return bits, max(1, min(max_tables, tables))
+
+
 def _spread(df: DataFrame, *cols: Column | str) -> DataFrame:
     """Conditionally spread a frame for a compute-heavy downstream stage
     (O(n²) scoring, n·d² pair generation).

@@ -803,3 +803,40 @@ def test_driver_state_bounds_are_enforced(spark):
         similarity.pq_encode(
             emb, max_train=_MAX_TRAIN_CEILING + 1
         ).collect()
+
+
+def test_suggest_lsh_params_scaling_law():
+    """The sf1 measurement's tuning law (SCALE.md r12): bits grow with
+    log2(n) holding bucket occupancy ~constant, tables restore recall.
+    Checks the closed-form recall and occupancy properties directly."""
+    import math
+
+    from k8stream_spark.analytics.similarity import suggest_lsh_params
+
+    # Near the fixture scale the suggestion matches the shipped
+    # defaults' ballpark (6 bits; tables within a few of 24).
+    bits, tables = suggest_lsh_params(30000)
+    assert bits == 6 and 15 <= tables <= 30
+
+    # Occupancy invariant: expected bucket size n/2^bits stays within
+    # [target/2, 2*target] across 5 orders of magnitude.
+    for n in (10_000, 100_000, 1_000_000, 10_000_000, 100_000_000):
+        b, t = suggest_lsh_params(n, target_bucket=512)
+        assert 256 <= n / 2**b <= 1024, (n, b)
+
+    # Recall invariant: the closed-form recall at the target cosine
+    # meets min_recall whenever the tables cap doesn't bind.
+    for n in (10_000, 300_000):
+        b, t = suggest_lsh_params(n, min_recall=0.8, max_tables=10_000)
+        p = 1.0 - math.acos(0.45) / math.pi
+        recall = 1.0 - (1.0 - p**b) ** t
+        assert recall >= 0.8, (n, b, t, recall)
+
+    # Monotone: more rows never means fewer bits.
+    seq = [suggest_lsh_params(n)[0] for n in (1e4, 1e5, 1e6, 1e7)]
+    assert seq == sorted(seq)
+
+    with pytest.raises(ValueError):
+        suggest_lsh_params(0)
+    with pytest.raises(ValueError):
+        suggest_lsh_params(100, target_cosine=1.5)
