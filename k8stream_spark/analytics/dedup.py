@@ -121,15 +121,48 @@ def minhash_signature(
 
     @pandas_udf("array<long>")
     def sig_udf(sh64: pd.Series) -> pd.Series:
-        out = []
+        # Whole-batch vectorization (r12): the per-doc loop paid one
+        # numpy dispatch per document (~350 µs/doc measured on the
+        # 2500-doc streaming micro-batch).  Flatten every doc's shingle
+        # hashes into ONE array, compute the (num_hashes × total) hash
+        # matrix in chunks, and take per-doc minima with
+        # np.minimum.reduceat — bit-identical results (uint64 wraparound
+        # and min are chunking-invariant), ~6× fewer Python-side ops.
+        n = len(sh64)
+        arrs = [
+            None if a is None or len(a) == 0 else np.asarray(a, np.int64)
+            for a in sh64
+        ]
+        lens = np.array(
+            [0 if a is None else len(a) for a in arrs], dtype=np.int64
+        )
+        out = np.empty(n, dtype=object)
+        if not (lens > 0).any():
+            return pd.Series([None] * n, dtype=object)
+        # Chunk by ~32k shingles: the temp matrix is num_hashes×chunk
+        # (~32 MB at 128 hashes), bounding executor memory per batch.
+        CHUNK = 32768
+        i = 0
         with np.errstate(over="ignore"):
-            for arr in sh64:
-                if arr is None or len(arr) == 0:
-                    out.append(None)
-                    continue
-                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                mins = (A[:, None] * h[None, :] + B[:, None]).min(axis=1)
-                out.append(mins.view(np.int64))
+            while i < n:
+                j = i
+                tot = 0
+                while j < n and (tot == 0 or tot + lens[j] <= CHUNK):
+                    tot += lens[j]
+                    j += 1
+                idx = [k for k in range(i, j) if lens[k] > 0]
+                if idx:
+                    flat = np.concatenate([arrs[k] for k in idx]).view(
+                        np.uint64
+                    )
+                    seg = np.zeros(len(idx), dtype=np.int64)
+                    np.cumsum(lens[idx][:-1], out=seg[1:])
+                    prod = A[:, None] * flat[None, :] + B[:, None]
+                    mins = np.minimum.reduceat(prod, seg, axis=1)
+                    mins = np.ascontiguousarray(mins.T).view(np.int64)
+                    for pos, k in enumerate(idx):
+                        out[k] = mins[pos]
+                i = j
         return pd.Series(out, dtype=object)
 
     sh = word_shingles(text_col, shingle_n)
@@ -1279,12 +1312,27 @@ def incremental_dedup(
 
     # Near-dup check: signatures on both sides (the ref side is the
     # persist-once artifact), band join new→ref only.
-    new_sigs = minhash_signature(new_docs, text_col, num_hashes, shingle_n)
+    # A micro-batch (or a single-file parquet side) arrives in ONE
+    # partition, which runs the whole shingle+xxhash+minhash stage on
+    # one core (measured 0.66 s of the ~2 s warm gate trigger at 2500
+    # docs).  _spread is conditional: a well-partitioned corpus-scale
+    # input passes through with no exchange.
+    from k8stream_spark.analytics.similarity import _spread
+
+    new_docs = _spread(new_docs, "doc_id")
+    # Prune to the columns this audit reads (id, hashed shingles, sig)
+    # BEFORE persisting: the signature frame also carries the shingle
+    # STRINGS, which nothing downstream of this audit touches.
+    new_sigs = minhash_signature(
+        new_docs, text_col, num_hashes, shingle_n
+    ).select("doc_id", "__sh64", "sig")
     new_sigs = new_sigs.persist()
     new_sigs.count()
     caller_owns_ref = ref_sigs is not None
     if ref_sigs is None:
-        ref_sigs = minhash_signature(ref_docs, text_col, num_hashes, shingle_n)
+        ref_sigs = minhash_signature(
+            ref_docs, text_col, num_hashes, shingle_n
+        ).select("doc_id", "__sh64", "sig")
         ref_sigs = ref_sigs.persist()
         ref_sigs.count()
 

@@ -305,9 +305,16 @@ def near_dup_gate_sink(
     )
     from pyspark.sql import functions as F
 
+    # Prune the shingle strings before persisting — the gate only reads
+    # (doc_id, __sh64, sig); see the matching prune in incremental_dedup.
+    # _spread: a single-file local reference would otherwise compute
+    # every signature on one core (conditional — no exchange when the
+    # corpus already arrives partitioned).
+    from k8stream_spark.analytics.similarity import _spread
+
     ref_sigs = minhash_signature(
-        ref_docs, text_col, num_hashes, shingle_n
-    ).persist()
+        _spread(ref_docs, "doc_id"), text_col, num_hashes, shingle_n
+    ).select("doc_id", "__sh64", "sig").persist()
     ref_sigs.count()
     ref_hashes = (
         ref_docs.select(F.md5(F.col(text_col)).alias("__h"))
