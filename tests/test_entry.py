@@ -42,6 +42,10 @@ NOT_OPERATORS = {
     # (the graded events_approx_user_counts surface is the replayable
     # hll_user_counts since r8)
     "dedup.minhash_signature",  # signature stage of minhash_lsh_pairs
+    "dedup.minhash_band_table",  # banding stage, persisted per corpus
+    # version by the streaming gate (r12)
+    "similarity.suggest_lsh_params",  # driver-side (bits, tables)
+    # arithmetic — no DataFrame surface to grade (r12)
     "dedup.simhash",  # signature stage of simhash_pairs
     "dedup.word_shingles",  # shingling helper for minhash/jaccard
     "multimodal.byte_histogram_features",  # codec-free feature helper
