@@ -274,13 +274,13 @@ def _j4_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shingle CTE shared by the near-dup oracles (3-word shingles, distinct).
 # Bit-exact mirror of similarity._plane_weights + bucket_keys for the
-# hyperplane-LSH queries (tables=24, bits=6, dim=64): integer plane
-# weights derived from sha256("t:b:d") (DuckDB's sha256 == hashlib's),
-# vectors quantized with the same IEEE double ops floor(x*1e6+0.5), sign
-# of the exact int64 dot product, key = t*2^bits + Σ s_b·2^(bits-1-b).
-# Everything integer → no float summation-order dependence, so the
-# candidate sets match Spark's exactly and the approximate pipeline is
-# hash-checkable end to end.
+# hyperplane-LSH queries (dim=64, params auto-tuned from the corpus
+# count — see _LSH_CTE): integer plane weights derived from
+# sha256("t:b:d") (DuckDB's sha256 == hashlib's), vectors quantized with
+# the same IEEE double ops floor(x*1e6+0.5), sign of the exact int64 dot
+# product, key = t*2^bits + Σ s_b·2^(bits-1-b).  Everything integer → no
+# float summation-order dependence, so the candidate sets match Spark's
+# exactly and the approximate pipeline is hash-checkable end to end.
 # Shared body for the containment oracles (docs_containment_pairs /
 # docs_containment_dedup): mod-4 sampled 8-char-gram md5 fingerprints,
 # df<=50 prune, inverted-index pair join, integer containment compare.
@@ -318,14 +318,52 @@ WITH d AS (
 )
 """
 
-_LSH_CTE = """
-WITH planes AS (
+def _lsh_param_lookup_rows() -> str:
+    """(bits, tables) VALUES rows for bits 1..32, generated by the SAME
+    Python closed form the Spark operators auto-tune with
+    (``similarity._lsh_tables_for_bits`` at the ``_AUTO_*`` defaults) —
+    embedding the values keeps the two engines on identical floats, so
+    a ceil boundary can never flip between DuckDB's and Python's libm."""
+    return ", ".join(
+        "({b}, {t})".format(
+            b=b,
+            t=similarity._lsh_tables_for_bits(
+                b,
+                target_cosine=similarity._AUTO_TARGET_COSINE,
+                min_recall=similarity._AUTO_MIN_RECALL,
+                max_tables=similarity._AUTO_MAX_TABLES,
+            ),
+        )
+        for b in range(1, 33)
+    )
+
+
+# Since r13 the LSH params are auto-tuned from the corpus count, and the
+# oracle replays the SAME rule: bits = smallest b >= 1 with
+# target_bucket(32)·2^b >= n (exact integer compare — the integer-exact
+# form of ceil(log2(n/32)) that similarity._lsh_bits_for_n computes),
+# tables from the embedded Python-computed lookup above.  planes are
+# generated over the max ranges (256 tables × 32 bits) and filtered by
+# the 1-row lshp frame before any sha256 is evaluated.
+_LSH_CTE = f"""
+WITH lshn AS (
+  SELECT GREATEST(COUNT(*), 1) AS n FROM embeddings
+), lshb AS (
+  SELECT MIN(r.b) AS bits
+  FROM range(1, 33) r(b), lshn
+  WHERE 32 * (CAST(1 AS BIGINT) << r.b) >= lshn.n
+), lshp AS (
+  SELECT lshb.bits, lut.tables
+  FROM lshb JOIN (VALUES {_lsh_param_lookup_rows()}) lut(bits, tables)
+    ON lut.bits = lshb.bits
+), planes AS (
   SELECT t.t AS t, b.b AS b, d.d AS d,
          CAST(CAST('0x' || substr(sha256(CAST(t.t AS VARCHAR)||':'||
                                          CAST(b.b AS VARCHAR)||':'||
                                          CAST(d.d AS VARCHAR)), 1, 16)
                    AS UBIGINT) % 100000 AS BIGINT) - 50000 AS w
-  FROM range(24) t(t), range(6) b(b), range(64) d(d)
+  FROM range(256) t(t), range(32) b(b), range(64) d(d), lshp p
+  WHERE t.t < p.tables AND b.b < p.bits
 ), vq AS (
   SELECT e.vec_id AS vid, d.d AS d,
          CAST(FLOOR(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1000000.0 + 0.5)
@@ -337,8 +375,11 @@ WITH planes AS (
   FROM vq v JOIN planes p ON p.d = v.d
   GROUP BY v.vid, p.t, p.b
 ), bkey AS (
-  SELECT vid, t, CAST(t * 64 + SUM(s * (1 << (5 - b))) AS BIGINT) AS bkt
-  FROM sig GROUP BY vid, t
+  SELECT vid, t,
+         CAST(t * (CAST(1 AS BIGINT) << p.bits)
+              + SUM(s * (CAST(1 AS BIGINT) << (p.bits - 1 - b)))
+           AS BIGINT) AS bkt
+  FROM sig, lshp p GROUP BY vid, t, p.bits
 )
 """
 
@@ -4383,7 +4424,7 @@ def oracle_sql() -> dict[str, str]:
         # graph replay above + the same recursive min-label reachability
         # the exact emb_semantic_clusters oracle runs.
         "emb_semantic_clusters_lsh": _LSH_CTE.replace(
-            "WITH planes", "WITH RECURSIVE planes", 1
+            "WITH lshn", "WITH RECURSIVE lshn", 1
         )
         + """
             , cand AS (

@@ -88,6 +88,42 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _lsh_bits_for_n(n_rows: int, target_bucket: int) -> int:
+    """Smallest ``bits >= 1`` with ``target_bucket * 2**bits >= n`` —
+    the integer-exact form of ``ceil(log2(n / target_bucket))``.  Pure
+    integer compare (no float log2 whose rounding could flip the ceil
+    near a power of two), so the DuckDB oracle replays it bit-for-bit
+    with the same MIN-over-range comparison."""
+    bits = 1
+    while target_bucket * (1 << bits) < n_rows and bits < 32:
+        bits += 1
+    return bits
+
+
+def _lsh_tables_for_bits(
+    bits: int,
+    target_cosine: float = 0.45,
+    min_recall: float = 0.8,
+    max_tables: int = 256,
+) -> int:
+    """Tables needed for ``min_recall`` at ``target_cosine`` given
+    ``bits`` hyperplanes per table (Goemans–Williamson agreement
+    probability p = 1 − arccos(t)/π; one table catches a pair with
+    p^bits).  Shared closed form: the Spark operators call it at
+    auto-tune time and ``__spark_entry__`` embeds its values for
+    bits 1..32 into the oracle SQL as a lookup table, so the two
+    engines compute tables from the SAME Python floats and can never
+    drift on a ceil boundary."""
+    p = 1.0 - math.acos(target_cosine) / math.pi
+    p_table = p**bits
+    if p_table >= 1.0:
+        return 1
+    tables = math.ceil(
+        math.log(1.0 - min_recall) / math.log(1.0 - p_table)
+    )
+    return max(1, min(max_tables, tables))
+
+
 def suggest_lsh_params(
     n_rows: int,
     target_cosine: float = 0.45,
@@ -111,30 +147,56 @@ def suggest_lsh_params(
       capped at ``max_tables`` (cost grows linearly with tables; past
       the cap, fall back to IVF or lower min_recall explicitly).
 
-    Pure driver-side arithmetic — callers at real scale pass the
-    result straight into ``cosine_near_dup_lsh`` / ``cosine_topk_lsh``
-    ``(tables=, bits=)``.  The fixture defaults (6, 24) are what this
-    returns near n≈30k at the test thresholds, so small-SF behavior is
-    unchanged unless a caller opts in with its corpus size.
+    Pure driver-side arithmetic.  Since r13 this IS the LSH operators'
+    default path: ``cosine_near_dup_lsh`` / ``cosine_topk_lsh`` /
+    ``knn_graph_mutual_lsh`` / ``semantic_clusters_knn_lsh`` auto-tune
+    from a corpus count when the caller doesn't pass ``(tables=,
+    bits=)`` (see ``_auto_lsh_params``), and the DuckDB oracle replays
+    the same rule (integer bits comparison + a lookup of
+    ``_lsh_tables_for_bits`` values embedded at SQL-build time).
     """
-    import math
-
     if n_rows <= 0:
         raise ValueError("n_rows must be positive")
     if not 0.0 < target_cosine < 1.0:
         raise ValueError("target_cosine must be in (0, 1)")
     if not 0.0 < min_recall < 1.0:
         raise ValueError("min_recall must be in (0, 1)")
-    bits = max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
-    p = 1.0 - math.acos(target_cosine) / math.pi
-    p_table = p**bits
-    if p_table >= 1.0:
-        tables = 1
-    else:
-        tables = math.ceil(
-            math.log(1.0 - min_recall) / math.log(1.0 - p_table)
-        )
-    return bits, max(1, min(max_tables, tables))
+    bits = _lsh_bits_for_n(n_rows, target_bucket)
+    tables = _lsh_tables_for_bits(
+        bits, target_cosine, min_recall, max_tables
+    )
+    return bits, tables
+
+
+#: Auto-tune defaults for the LSH operators (r13, VERDICT r12 task 1).
+#: ``target_bucket=32`` is the measured sweet spot on the fixtures: at
+#: sf0.1 (n=2000) it reproduces the old hand-fixed regime almost exactly
+#: (bits=6, tables=21 vs the old 6/24), while at sf1 (n=20000) it yields
+#: (bits=10, tables=122) — ~3× fewer candidate pairs than the fixed
+#: params that measured 25–68× cost for 10× data (SCALE.md r12).
+#: Candidate work scales ~n^(1+ρ) with ρ = ln(1/p)/ln2 ≈ 0.625 at
+#: cosine 0.45 — the hyperplane-LSH exponent; sub-that needs IVF.
+#: At very large n the 256-table cap binds and recall degrades below
+#: ``min_recall`` — past the cap, raise target_bucket or use the IVF
+#: family (the suggest_lsh_params docstring's standing advice).
+_AUTO_TARGET_BUCKET = 32
+_AUTO_TARGET_COSINE = 0.45
+_AUTO_MIN_RECALL = 0.8
+_AUTO_MAX_TABLES = 256
+
+
+def _auto_lsh_params(n_rows: int) -> tuple[int, int]:
+    """(bits, tables) the LSH operators use when the caller passes
+    ``tables=None, bits=None`` — ``suggest_lsh_params`` at the module
+    auto-tune defaults, total-function on n=0 (empty corpus → (1, 1),
+    the result frame is empty regardless)."""
+    return suggest_lsh_params(
+        max(1, n_rows),
+        target_cosine=_AUTO_TARGET_COSINE,
+        target_bucket=_AUTO_TARGET_BUCKET,
+        min_recall=_AUTO_MIN_RECALL,
+        max_tables=_AUTO_MAX_TABLES,
+    )
 
 
 def _spread(df: DataFrame, *cols: Column | str) -> DataFrame:
@@ -150,9 +212,21 @@ def _spread(df: DataFrame, *cols: Column | str) -> DataFrame:
     would otherwise run on one core); a well-partitioned cluster-scale
     input passes through with NO exchange in the plan.  Gated by
     ``tests/test_plans.py::test_spread_is_conditional``.
+
+    The partition-count probe (``.rdd.getNumPartitions()``) forces
+    physical planning of the input, so its result is memoized on the
+    DataFrame object — repeated ``_spread`` calls over the same frame
+    (multi-stage operators, retries) plan it once (ADVICE r12).
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 >= n_parts:
+    cached = getattr(df, "_k8s_spread_parts", None)
+    if cached is None:
+        cached = df.rdd.getNumPartitions()
+        try:
+            df._k8s_spread_parts = cached
+        except AttributeError:  # pragma: no cover - slotted DataFrame
+            pass
+    if cached * 2 >= n_parts:
         return df
     return df.repartition(n_parts, *cols)
 
@@ -304,23 +378,30 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    tables: int = 24,
-    bits: int = 6,
+    tables: int | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH-bucketed candidate generation + exact
     rerank.  Same output columns as ``cosine_topk`` (ranks may differ when
     recall < 1 — pytest checks recall against the brute-force baseline).
 
-    Default (24 tables × 6 bits) targets ~0.8 recall@10 on the driver
-    embeddings while scanning ~35% of the table per query — these vectors
-    are near-uniform (no cluster structure), the worst case for LSH; on
-    clustered real-world embeddings the same setting prunes far harder.
-    At 100 TB, ``bits`` scales with log2(n/target_bucket_size).
+    ``tables``/``bits`` default to the corpus-size auto-tune
+    (``suggest_lsh_params`` at the ``_AUTO_*`` thresholds, from one
+    count of the persisted base): bits ≈ log2(n/32) holds per-bucket
+    occupancy as the corpus grows, tables restores ~0.8 recall at
+    cosine 0.45 — the 100 TB tuning law the sf1 measurement pinned
+    (SCALE.md r12: fixed params went 25–68× for 10× data).  Pass both
+    explicitly to pin a regime (the DuckDB oracle replays the same
+    auto-tune rule, so the defaults stay hash-checkable at any SF).
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(
         F.col(id_col).alias("__id"), vec_d.alias("__v")
     ).persist()
+    if tables is None or bits is None:
+        # one action on the persisted base — warms the cache the
+        # downstream self-join needs materialized anyway
+        bits, tables = _auto_lsh_params(base.count())
     bucketed = base.select(
         "__id",
         F.explode(bucket_keys(F.col("__v"), dim, tables, bits)).alias("__bkt"),
@@ -418,13 +499,17 @@ def cosine_near_dup_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    tables: int = 24,
-    bits: int = 6,
+    tables: int | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup: LSH-bucketed candidate pairs
     (self-join on bucket key, never all-pairs) + exact-cosine verification.
     Same output columns as ``cosine_near_dup_pairs``; recall < 1 by design
     (pytest measures it against the exact baseline).
+
+    ``tables``/``bits`` default to the corpus-size auto-tune (see
+    ``cosine_topk_lsh`` — same ``_auto_lsh_params`` law, same oracle
+    replay), keyed off one count of the persisted unit-vector base.
 
     Shuffle discipline for the candidate set (the part that explodes at
     scale): the pair dedup runs on (id_a, id_b) ONLY — 16 bytes per row —
@@ -437,6 +522,8 @@ def cosine_near_dup_lsh(
     norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
         F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
     ).persist()
+    if tables is None or bits is None:
+        bits, tables = _auto_lsh_params(norm_d.count())
     # Bucket the RAW vector (hyperplane signs are scale-invariant, so the
     # buckets are the same as for the unit vector) — the raw doubles are
     # exactly what the DuckDB oracle quantizes, keeping candidate
@@ -562,16 +649,20 @@ def _check_max_train(max_train: int) -> None:
 def _check_label_cardinality(
     embeddings: DataFrame, label_col: str, dim: int
 ) -> None:
-    """One narrow-column pre-scan (approx_count_distinct) enforcing the
-    per-label PCA driver bound BEFORE the d²-cell aggregation runs."""
+    """One narrow-column pre-scan (exact countDistinct) enforcing the
+    per-label PCA driver bound BEFORE the d²-cell aggregation runs.
+    Exact, not approx_count_distinct: the HLL's ~2% error could admit a
+    label column slightly over the bound (or spuriously reject one just
+    under it), and the scan is a single narrow column either way
+    (ADVICE r12)."""
     n_labels = int(
         embeddings.agg(
-            F.approx_count_distinct(F.col(label_col)).alias("n")
+            F.countDistinct(F.col(label_col)).alias("n")
         ).collect()[0][0]
     )
     if n_labels > _MAX_PCA_LABELS:
         raise ValueError(
-            f"{label_col} has ~{n_labels} distinct values; per-label PCA "
+            f"{label_col} has {n_labels} distinct values; per-label PCA "
             f"holds |labels|*{dim}^2 int64 cells on the driver and is "
             f"documented for <= {_MAX_PCA_LABELS} labels — filter or "
             "bucket the label, or use the global pca_top_component"
@@ -2005,8 +2096,8 @@ def knn_graph_mutual_lsh(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    tables: int = 24,
-    bits: int = 6,
+    tables: int | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """Mutual k-NN graph over LSH-bucketed candidates — the 100 TB form
     of ``knn_graph_mutual``: candidate pairs come from a bucket
@@ -2020,6 +2111,8 @@ def knn_graph_mutual_lsh(
 
     Shuffle discipline matches ``cosine_near_dup_lsh``: the candidate
     dedup runs on 16-byte id pairs before any vector is rejoined.
+    ``tables``/``bits`` default to the same corpus-size auto-tune
+    (``_auto_lsh_params``, oracle-replayed).
     """
     raw = embeddings.select(
         F.col(id_col).alias("__id"),
@@ -2029,6 +2122,8 @@ def knn_graph_mutual_lsh(
     ).withColumn(
         "__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim))
     ).persist()
+    if tables is None or bits is None:
+        bits, tables = _auto_lsh_params(raw.count())
     bucketed = raw.select(
         "__id",
         F.explode(bucket_keys(F.col("__v"), dim, tables, bits)).alias("__bkt"),
@@ -2114,8 +2209,8 @@ def semantic_clusters_knn_lsh(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    tables: int = 24,
-    bits: int = 6,
+    tables: int | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """The 100 TB form of ``semantic_clusters_knn``: connected
     components over the LSH-bucketed mutual k-NN graph

@@ -466,7 +466,6 @@ def content_change_gate_stateful(
             stored, deadline_ms = state.get
             if now_ms < deadline_ms:
                 last = stored
-        emitted = False
         saw_rows = False
         for pdf in pdfs:
             if not len(pdf):
@@ -491,7 +490,6 @@ def content_change_gate_stateful(
             out = pdf.loc[keep, cols].copy()
             if len(out):
                 out["status"] = [s for s in status if s]
-                emitted = True
                 yield out
         if saw_rows:
             # Re-arm on every receipt (emit or suppressed-unchanged):

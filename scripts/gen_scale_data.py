@@ -5,7 +5,8 @@ the "plans you'd want at 100x scale" bar needs evidence PAST that.
 This script generates sf1-and-beyond fixtures (default --mult 10 =
 sf1, ~6M lineitem rows) whose schemas, value ranges, categorical
 distributions, planted duplicate structure, and parquet physical
-format (TIMESTAMP(NANOS), matching the driver's) replicate the sf0.1
+format (TIMESTAMP(MICROS), matching the driver's — see _ts_array and
+the measured sf0.001/sf0.1 footers) replicate the sf0.1
 fixtures — measured from /root/testdata/sf0.1 footers and profiles,
 not copied from any generator source (none is available).
 

@@ -101,8 +101,13 @@ def main() -> None:
     norm_d = sim.with_unit_vectors(emb, "embedding", dim=64).select(
         F.col("vec_id").alias("id"), F.col("__unit").alias("u")
     ).persist()
+    # same auto-tuned (bits, tables) the production LSH operators pick
+    # at this corpus size (r13), so the audited candidate volume is the
+    # volume the registry queries actually generate
+    bits, tables = sim._auto_lsh_params(norm_d.count())
     bucketed = norm_d.select(
-        "id", F.explode(sim.bucket_keys(F.col("u"), 64, 24, 6)).alias("bkt")
+        "id",
+        F.explode(sim.bucket_keys(F.col("u"), 64, tables, bits)).alias("bkt"),
     ).persist()
     bucketed.count()
     aa, bb = bucketed.alias("a"), bucketed.alias("b")

@@ -236,9 +236,16 @@ def test_spread_is_conditional(spark):
     and must spread a starved single-partition local input.  Regression
     test for the unconditional ``repartition(n, id)`` corpus shuffle
     (ADVICE r10/r11)."""
+    import pytest
+
     from k8stream_spark.analytics.similarity import _spread
 
     par = spark.sparkContext.defaultParallelism
+    if par < 3:
+        # on a 1-2 core box a 1-partition frame already satisfies
+        # parts*2 >= parallelism, so _spread correctly passes it
+        # through and the spread-side assertions below don't apply
+        pytest.skip("spread gate is a no-op below 3-way parallelism")
 
     wide = spark.range(0, 1000, 1, par)
     out = _spread(wide, "id")

@@ -840,3 +840,53 @@ def test_suggest_lsh_params_scaling_law():
         suggest_lsh_params(0)
     with pytest.raises(ValueError):
         suggest_lsh_params(100, target_cosine=1.5)
+
+
+def test_lsh_auto_tune_is_default_path(spark):
+    """r13 (VERDICT r12 task 1): the LSH operators auto-tune (bits,
+    tables) from the corpus count by default, and the auto-tuned result
+    is exactly what an explicit (tables=, bits=) call at the suggested
+    params produces — so the DuckDB oracle (which replays the same
+    integer bits rule + tables lookup) stays hash-exact at any SF."""
+    from k8stream_spark.analytics.similarity import (
+        _auto_lsh_params,
+        _lsh_bits_for_n,
+        _lsh_tables_for_bits,
+        suggest_lsh_params,
+    )
+
+    # The law at the three fixture scales (pinned so the oracle SQL's
+    # embedded lookup can never silently drift).
+    assert _auto_lsh_params(500) == (4, 9)      # sf0.01 embeddings
+    assert _auto_lsh_params(2000) == (6, 21)    # sf0.1
+    assert _auto_lsh_params(20000) == (10, 122) # sf1
+    assert _auto_lsh_params(0) == (1, 2)        # total on empty corpus
+
+    # Integer bits rule == ceil(log2(n / target_bucket)), floored at 1.
+    import math
+    for n in (1, 31, 32, 33, 500, 511, 512, 513, 2048, 10**6):
+        got = _lsh_bits_for_n(n, 32)
+        want = max(1, math.ceil(math.log2(max(2, n / 32))))
+        assert got == want, (n, got, want)
+
+    # suggest_lsh_params composes the two helpers.
+    assert suggest_lsh_params(20000, target_bucket=32) == (
+        _lsh_bits_for_n(20000, 32),
+        _lsh_tables_for_bits(_lsh_bits_for_n(20000, 32)),
+    )
+
+    # End-to-end: the default (auto-tuned) operator output equals the
+    # explicit-params output at the suggested values.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bits, tables = _auto_lsh_params(emb.count())
+    auto = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_near_dup_lsh(emb, threshold=0.45).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_near_dup_lsh(
+            emb, threshold=0.45, tables=tables, bits=bits
+        ).collect()
+    }
+    assert auto == explicit and len(auto) > 0
