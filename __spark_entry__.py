@@ -1426,6 +1426,21 @@ def _q_a1(spark, sf_dir):
     )
 
 
+def _q_a1_sharded(spark, sf_dir):
+    # the 100 TB variant: same map content, rows bounded at shard_size
+    # entries (shard_size=1000 makes the empty-selector services span
+    # multiple shards even at sf0.01, so the split logic is exercised)
+    pod_map = joins.service_pod_map_sharded(
+        _j4_pairs(spark, sf_dir), _pods(spark, sf_dir), shard_size=1000
+    )
+    return pod_map.select(
+        "service_uid",
+        "shard_id",
+        F.size("pod").cast("bigint").alias("n_pods"),
+        F.element_at(F.map_keys("pod"), 1).alias("first_pod"),
+    )
+
+
 def _q_q1(spark, sf_dir):
     return tpch.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
@@ -2649,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_pod_service_reverse_index": _q_j5,
         "j6_service_deployments": _q_j6,
         "a1_service_pod_map": _q_a1,
+        "a1_service_pod_map_sharded": _q_a1_sharded,
         # OLAP analytics layer (SURVEY §7.2 M6)
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
@@ -3182,6 +3198,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_pods,
                    MIN('pod-'||CAST(pk AS VARCHAR)) AS first_pod
             FROM pairs GROUP BY sk
+        """,
+        # Mirrors joins.service_pod_map_sharded: rank pods by name
+        # within the service, shard at 1000 entries (integer division —
+        # rn >= 0, so DuckDB's truncating // equals floor here).
+        "a1_service_pod_map_sharded": PAIRS_CTE
+        + """
+            , ranked AS (
+              SELECT sk, 'pod-'||CAST(pk AS VARCHAR) AS pn,
+                     row_number() OVER (
+                       PARTITION BY sk
+                       ORDER BY 'pod-'||CAST(pk AS VARCHAR)) - 1 AS rn
+              FROM pairs
+            )
+            SELECT CAST(sk AS VARCHAR) AS service_uid,
+                   CAST(rn // 1000 AS BIGINT) AS shard_id,
+                   COUNT(*) AS n_pods,
+                   MIN(pn) AS first_pod
+            FROM ranked GROUP BY sk, rn // 1000
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

@@ -77,6 +77,29 @@ def test_a1_service_pod_map(services_df, pods_df):
     assert info["uid"] == "p1" and info["ip"] == "10.0.0.1"
 
 
+def test_a1_sharded_equals_unsharded_union(services_df, pods_df):
+    """service_pod_map_sharded: the union of a service's shard maps is
+    exactly the unsharded reference-semantics map, every shard holds at
+    most shard_size entries, and shard ids are dense from 0."""
+    pairs = joins.label_selector_join(services_df, pods_df)
+    full = {r.service_uid: r.pod for r in
+            joins.service_pod_map(pairs, pods_df).collect()}
+    shards: dict[str, dict] = {}
+    seen_ids: dict[str, list] = {}
+    for r in joins.service_pod_map_sharded(
+        pairs, pods_df, shard_size=2
+    ).collect():
+        assert len(r.pod) <= 2, (r.service_uid, r.shard_id)
+        shards.setdefault(r.service_uid, {}).update(r.pod)
+        seen_ids.setdefault(r.service_uid, []).append(r.shard_id)
+    assert shards == full
+    for suid, ids in seen_ids.items():
+        assert sorted(ids) == list(range(len(ids))), (suid, ids)
+    # s2 (empty selector -> all 3 pods) must split into 2 shards at
+    # shard_size=2; the first shard takes the name-ordered first 2
+    assert len(seen_ids["s2"]) == 2
+
+
 def test_u1_union_fills_missing_columns(spark):
     a = spark.createDataFrame([("1", "x")], "id string, only_a string")
     b = spark.createDataFrame([("2", "y")], "id string, only_b string")
