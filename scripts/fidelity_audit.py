@@ -1,0 +1,255 @@
+"""Statistical fidelity audit of generated scale fixtures (r13,
+VERDICT r12 task 5): assert the distributions the operators are
+SENSITIVE to match the driver's sf0.1 fixtures within tolerance, so a
+generator bug (like the r12 vocabulary saturation, fixed in
+gen_scale_data.vocab_for_mult) is caught by a gate instead of a human
+reading sweep output.
+
+What is checked, and why it is the right invariant set:
+
+* exact-duplicate rate           -> docs_dedup_exact family
+* near-dup pair rate PER DOC     -> MinHash/Jaccard family (measured
+  from the data via the same df-pruned shingle join the operators use,
+  not trusted from the generator's plant parameter)
+* shingle-df shape (hot share)   -> boilerplate / canonical dedup
+  (this is the statistic the 31-word vocab saturated at 50k docs)
+* stopword token share           -> quality-score family
+* label-selector fan-out PER POD -> J4/J5/A1 join family
+* cosine tail density >= 0.45    -> embedding near-dup family
+  (sampled at the ref size so the expected COUNT matches, Poisson band)
+* lang proportions, doc length, lines/order, events value mean
+
+Rates are compared, not counts: a faithful 10x crawl has ~10x the
+pairs but the SAME per-doc rate.  DuckDB + numpy only (no JVM).
+
+Usage: python scripts/fidelity_audit.py [gen_dir] [ref_dir]
+       (defaults: /root/repo/.scale/sf1 vs /root/testdata/sf0.1)
+Exit 0 = all checks in tolerance.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+
+REF_DEFAULT = "/root/testdata/sf0.1"
+GEN_DEFAULT = "/root/repo/.scale/sf1"
+
+FAILS: list[str] = []
+
+
+def check(name: str, gen: float, ref: float, rel_tol: float) -> None:
+    lo, hi = ref / (1.0 + rel_tol), ref * (1.0 + rel_tol)
+    ok = lo <= gen <= hi
+    print(
+        f"{'PASS' if ok else 'FAIL'} {name:34s} "
+        f"gen={gen:.6g} ref={ref:.6g} tol=±{rel_tol:.0%}"
+    )
+    if not ok:
+        FAILS.append(name)
+
+
+def doc_stats(con: duckdb.DuckDBPyConnection, d: str) -> dict:
+    n, n_distinct = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT text) FROM '{d}/documents.parquet'"
+    ).fetchone()
+    tok = con.execute(f"""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM '{d}/documents.parquet'
+        )
+        SELECT COUNT(*) AS total,
+               SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)
+                 AS stop_hits,
+               COUNT(DISTINCT tok) AS vocab
+        FROM t
+    """).fetchone()
+    # 3-word shingles and their document frequency; "hot share" = the
+    # fraction of (doc, shingle) occurrences carried by shingles with
+    # df > 50 — the boilerplate/containment prune threshold.  A
+    # saturated vocabulary drives this to ~1.
+    sh = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts
+          FROM '{d}/documents.parquet'
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+          FROM toks, LATERAL unnest(generate_series(1, len(ts) - 2)) u(i)
+          WHERE len(ts) >= 3
+        ), dfc AS (
+          SELECT g, COUNT(*) AS df FROM sh GROUP BY g
+        )
+        SELECT (SELECT COUNT(*) FROM sh) AS occ,
+               (SELECT COUNT(*) FROM dfc) AS distinct_sh,
+               (SELECT COALESCE(SUM(df), 0) FROM dfc WHERE df > 50)
+                 AS hot_occ
+    """).fetchone()
+    # near-dup pair rate, measured with the operators' own recipe:
+    # df-pruned (<=50) distinct-shingle join, Jaccard >= 0.8
+    pairs = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts
+          FROM '{d}/documents.parquet'
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+          FROM toks, LATERAL unnest(generate_series(1, len(ts) - 2)) u(i)
+          WHERE len(ts) >= 3
+        ), dfc AS (
+          SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 50
+        ), fp AS (
+          SELECT s.doc_id, s.g FROM sh s JOIN dfc USING (g)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS ns FROM fp GROUP BY doc_id
+        ), shared AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+          FROM fp a JOIN fp b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT COUNT(*) FROM shared s
+        JOIN sz x ON x.doc_id = s.ia JOIN sz y ON y.doc_id = s.ib
+        WHERE 10 * s.c >= 8 * (x.ns + y.ns - s.c)
+    """).fetchone()[0]
+    langs = dict(
+        con.execute(
+            f"SELECT lang, COUNT(*)::DOUBLE / {n} "
+            f"FROM '{d}/documents.parquet' GROUP BY lang"
+        ).fetchall()
+    )
+    mean_len = con.execute(
+        f"SELECT AVG(len(string_split(text, ' ')))"
+        f" FROM '{d}/documents.parquet'"
+    ).fetchone()[0]
+    return {
+        "n": n,
+        "exact_dup_rate": 1.0 - n_distinct / n,
+        "stop_share": tok[1] / tok[0],
+        "vocab": tok[2],
+        "hot_share": sh[2] / sh[0],
+        "sh_occupancy": sh[1] / (tok[2] ** 3),
+        "near_dup_per_doc": pairs / n,
+        "langs": langs,
+        "mean_tokens": mean_len,
+    }
+
+
+def join_stats(con: duckdb.DuckDBPyConnection, d: str) -> dict:
+    # the J4 label-selector semantics over the fixture derivation
+    # (PAIRS_CTE in __spark_entry__): fan-out normalized per pod
+    row = con.execute(f"""
+        WITH svc AS (
+          SELECT c_custkey, c_mktsegment,
+                 (c_custkey%10=0) AS match_all, (c_custkey%2=0) AS even
+          FROM '{d}/customer.parquet' WHERE c_custkey < 100
+        ), pod AS (
+          SELECT o_orderkey,
+                 (['MACHINERY','BUILDING','AUTOMOBILE','HOUSEHOLD',
+                   'FURNITURE'])[CAST(o_custkey%5 AS INT)+1] AS seg,
+                 o_orderpriority AS pri
+          FROM '{d}/orders.parquet'
+        )
+        SELECT (SELECT COUNT(*) FROM pod) AS n_pods,
+               (SELECT COUNT(*) FROM svc s JOIN pod p
+                 ON s.match_all
+                    OR (s.c_mktsegment = p.seg
+                        AND (s.even OR p.pri='1-URGENT'))) AS n_pairs
+    """).fetchone()
+    return {"fanout_per_pod": row[1] / row[0]}
+
+
+def table_stats(con: duckdb.DuckDBPyConnection, d: str) -> dict:
+    lpo = con.execute(
+        f"SELECT COUNT(*)::DOUBLE / COUNT(DISTINCT l_orderkey)"
+        f" FROM '{d}/lineitem.parquet'"
+    ).fetchone()[0]
+    ev = con.execute(
+        f"SELECT AVG(value) FROM '{d}/events.parquet'"
+    ).fetchone()[0]
+    return {"lines_per_order": lpo, "events_value_mean": ev}
+
+
+def cosine_tail(gen_dir: str, ref_dir: str) -> tuple[int, int]:
+    """Pairs with cosine >= 0.45 among REF-SIZED samples of both
+    corpora (full ref; deterministic sample of gen at the ref size),
+    so the two counts estimate the same pair-density statistic and a
+    Poisson band applies directly."""
+    import pyarrow.parquet as pq
+
+    def load(d: str) -> np.ndarray:
+        t = pq.read_table(f"{d}/embeddings.parquet", columns=["embedding"])
+        v = np.vstack(t.column("embedding").to_numpy())
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    ref = load(ref_dir)
+    gen = load(gen_dir)
+    rng = np.random.Generator(np.random.PCG64(7))
+    if len(gen) > len(ref):
+        gen = gen[rng.choice(len(gen), size=len(ref), replace=False)]
+
+    def tail(u: np.ndarray) -> int:
+        g = u @ u.T
+        return int((np.triu(g >= 0.45, k=1)).sum())
+
+    return tail(gen), tail(ref)
+
+
+def main() -> int:
+    gen_dir = sys.argv[1] if len(sys.argv) > 1 else GEN_DEFAULT
+    ref_dir = sys.argv[2] if len(sys.argv) > 2 else REF_DEFAULT
+    con = duckdb.connect()
+    con.execute("SET threads=8")
+
+    g, r = doc_stats(con, gen_dir), doc_stats(con, ref_dir)
+    print(f"documents: gen n={g['n']} vocab={g['vocab']} | "
+          f"ref n={r['n']} vocab={r['vocab']}")
+    check("exact_dup_rate", g["exact_dup_rate"], r["exact_dup_rate"], 0.6)
+    check("near_dup_pairs_per_doc", g["near_dup_per_doc"],
+          r["near_dup_per_doc"], 0.4)
+    # absolute band: ref hot-share is 0 (no df>50 shingle at 5k docs),
+    # so a relative check is degenerate; the invariant is "negligible,
+    # not saturated" — the r12 bug drove this toward 1.0
+    hot_ok = abs(g["hot_share"] - r["hot_share"]) <= 0.02
+    print(f"{'PASS' if hot_ok else 'FAIL'} shingle_hot_share"
+          f"{'':17s} gen={g['hot_share']:.6g} ref={r['hot_share']:.6g}"
+          " tol=±0.02abs")
+    if not hot_ok:
+        FAILS.append("shingle_hot_share")
+    check("shingle_space_occupancy", g["sh_occupancy"],
+          r["sh_occupancy"], 1.0)
+    check("stopword_share", g["stop_share"], r["stop_share"], 0.35)
+    check("mean_tokens_per_doc", g["mean_tokens"], r["mean_tokens"], 0.05)
+    for lang, p in sorted(r["langs"].items()):
+        gp = g["langs"].get(lang, 0.0)
+        ok = abs(gp - p) <= 0.03
+        print(f"{'PASS' if ok else 'FAIL'} lang_share[{lang}]"
+              f"{'':21s} gen={gp:.4f} ref={p:.4f} tol=±0.03abs")
+        if not ok:
+            FAILS.append(f"lang_share[{lang}]")
+
+    gj, rj = join_stats(con, gen_dir), join_stats(con, ref_dir)
+    check("selector_fanout_per_pod", gj["fanout_per_pod"],
+          rj["fanout_per_pod"], 0.05)
+
+    gt, rt = table_stats(con, gen_dir), table_stats(con, ref_dir)
+    check("lines_per_order", gt["lines_per_order"],
+          rt["lines_per_order"], 0.05)
+    check("events_value_mean", gt["events_value_mean"],
+          rt["events_value_mean"], 0.05)
+
+    gtail, rtail = cosine_tail(gen_dir, ref_dir)
+    band = 4.0 * max(rtail, 1) ** 0.5
+    ok = abs(gtail - rtail) <= band
+    print(f"{'PASS' if ok else 'FAIL'} cosine_tail_pairs@refsize"
+          f"{'':10s} gen={gtail} ref={rtail} tol=±4·sqrt(ref)={band:.0f}")
+    if not ok:
+        FAILS.append("cosine_tail")
+
+    print(f"\n{'ALL CHECKS PASS' if not FAILS else 'FAILURES: ' + ', '.join(FAILS)}")
+    return 1 if FAILS else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

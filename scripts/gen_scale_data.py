@@ -16,13 +16,17 @@ SAME generated parquet, so nothing about the comparison depends on
 matching the driver's RNG — only the scaling measurements do, and for
 those the structural knobs that matter are pinned:
 
-* documents: 31-word vocab, 10-100 whitespace tokens/doc, 20 sources,
-  5 langs at the measured sf0.1 proportions, ~5% planted near-dup
-  docs (a >=30-token base doc with exactly ONE token substituted ->
+* documents: vocab scaled V = 31·mult^(1/3) (see vocab_for_mult —
+  holds the 3-gram shingle-collision shape scale-invariant; stopword
+  share pinned at the measured 2/31 via _token_probs), 10-100
+  whitespace tokens/doc, 20 sources, 5 langs at the measured sf0.1
+  proportions, ~5% planted near-dup docs (a >=30-token base doc with
+  exactly ONE token substituted, never to itself ->
   3-gram-shingle Jaccard ~0.8-0.95, the sf0.1 MinHash-verified band;
-  256 pairs / 5000 docs measured) plus ~0.2% exact dups: near-dup
-  PAIR count scales linearly, like a real crawl with a constant dup
-  rate.
+  256 pairs / 5000 docs measured) plus 0.16% exact dups (the measured
+  sf0.1 rate): near-dup PAIR count scales linearly, like a real crawl
+  with a constant dup rate.  scripts/fidelity_audit.py gates all of
+  this against the driver fixture.
 * embeddings: unit-norm isotropic float32[64] with NO planted
   near-dups — measured from sf0.1: max pair cosine 0.601, pair-cosine
   std 0.125 (pure random tail; the 0.45-threshold "near-dups" the
@@ -61,6 +65,25 @@ VOCAB = (
 # 31 words measured in the sf0.1 corpus; the exact word SET only needs
 # to be plausible (text ops hash tokens, they don't interpret them).
 assert len(VOCAB) == 31
+
+
+def vocab_for_mult(mult: int) -> np.ndarray:
+    """Vocabulary scaled as V = round(31 · mult^(1/3)) — mult=1 is the
+    measured sf0.1 vocab EXACTLY (the same 31 words, uniform draw);
+    larger fixtures append deterministic filler words (w031, w032, …).
+
+    Why ∛: the text operators discriminate on 3-gram SHINGLE collision
+    statistics (boilerplate df, canonical dedup, containment).  The
+    shingle space is ~V³; holding n_docs/V³ constant keeps the shingle
+    document-frequency SHAPE scale-invariant, where a fixed 31-word
+    vocab saturates it — at 50k docs every possible 3-shingle is
+    "boilerplate" and docs_remove_boilerplate degenerates to 0 rows
+    kept (measured r12; verdict task 7).  The sf0.1-measured statistics
+    a crawl preserves are per-doc rates and df SHAPE, not the literal
+    token histogram — which cannot survive any vocab growth."""
+    v = max(31, round(31 * float(mult) ** (1.0 / 3.0)))
+    extra = [f"w{i:03d}" for i in range(31, v)]
+    return np.array(VOCAB + extra)
 
 LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_P = [0.43, 0.15, 0.15, 0.135, 0.135]  # measured sf0.1 proportions
@@ -263,25 +286,56 @@ def gen_events(rng: np.random.Generator, out_dir: str, mult: int) -> None:
     )
 
 
+STOPWORDS = ("the", "a")
+
+
+def _token_probs(vocab: np.ndarray) -> np.ndarray:
+    """Per-token draw probabilities that hold the STOPWORD SHARE at the
+    measured sf0.1 value (2/31 ≈ 0.0645 — the quality-score family's
+    statistic) as the vocabulary grows: the two stopwords keep 1/31
+    each, the remaining 29/31 mass spreads uniformly over every other
+    word.  At mult=1 this is exactly uniform 1/31 per word."""
+    p = np.full(
+        len(vocab), (29.0 / 31.0) / (len(vocab) - len(STOPWORDS))
+    )
+    p[np.isin(vocab, STOPWORDS)] = 1.0 / 31.0
+    return p / p.sum()
+
+
 def gen_documents(rng: np.random.Generator, out_dir: str, mult: int) -> None:
     n = 5000 * mult
     n_near = int(n * 0.05)
-    n_exact = max(1, int(n * 0.002))
+    # 0.0016 is the exact-duplicate rate MEASURED on the driver's sf0.1
+    # fixture (1 - distinct(text)/n, fidelity_audit.py) — the earlier
+    # 0.002 plant overshot it ~2x once near-dup substitutions that
+    # accidentally re-picked the original token were counted.
+    n_exact = max(1, round(n * 0.0016))
     n_base = n - n_near - n_exact
 
-    vocab = np.array(VOCAB)
+    vocab = vocab_for_mult(mult)
+    nv = len(vocab)
+    probs = _token_probs(vocab)
     lens = rng.integers(10, 101, n_base)
+    flat = rng.choice(nv, size=int(lens.sum()), p=probs)
     texts: list[str] = []
+    pos = 0
     for k in lens:
-        texts.append(" ".join(vocab[rng.integers(0, 31, k)]))
+        texts.append(" ".join(vocab[flat[pos:pos + k]]))
+        pos += k
     # Near-dups: exactly ONE substituted token in a >=30-token base,
     # so 3-gram shingle Jaccard lands ~(L-5)/(L+1) in [0.8, 0.95] —
-    # the J>=0.8 band the MinHash S-curve is tuned for.
+    # the J>=0.8 band the MinHash S-curve is tuned for.  The
+    # replacement is forced != the original, so near-dups never leak
+    # into the exact-dup rate.
     long_idx = [i for i, k in enumerate(lens) if k >= 30]
+    widx = {w: i for i, w in enumerate(vocab)}
     for _ in range(n_near):
         base = texts[long_idx[int(rng.integers(0, len(long_idx)))]].split(" ")
         p = int(rng.integers(0, len(base)))
-        base[p] = vocab[int(rng.integers(0, 31))]
+        sub = int(rng.integers(0, nv - 1))
+        if sub >= widx[base[p]]:
+            sub += 1
+        base[p] = vocab[sub]
         texts.append(" ".join(base))
     for _ in range(n_exact):
         texts.append(texts[int(rng.integers(0, n_base))])
