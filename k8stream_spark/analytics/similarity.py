@@ -185,6 +185,21 @@ _AUTO_MIN_RECALL = 0.8
 _AUTO_MAX_TABLES = 256
 
 
+#: Size gate for broadcasting the per-id vector frame into the LSH
+#: candidate rejoin.  The candidate-pair frame is ~n^1.625 rows (16 B
+#: each); without a hint, a vector side just over AQE's 10 MB default
+#: autoBroadcastJoinThreshold silently demotes BOTH rejoins to full
+#: shuffle joins OF THE PAIR FRAME — measured 86→23 s at sf1 (20k
+#: vectors = 10.4 MB, one byte over the line).  500k rows × ~520 B ≈
+#: 260 MB is the documented executor broadcast budget; past it the
+#: rejoin is a legitimate shuffle join on the id (the 100 TB case).
+_BCAST_VEC_ROWS = 500_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _BCAST_VEC_ROWS else df
+
+
 def _auto_lsh_params(n_rows: int) -> tuple[int, int]:
     """(bits, tables) the LSH operators use when the caller passes
     ``tables=None, bits=None`` — ``suggest_lsh_params`` at the module
@@ -398,10 +413,12 @@ def cosine_topk_lsh(
     base = embeddings.select(
         F.col(id_col).alias("__id"), vec_d.alias("__v")
     ).persist()
+    # one action on the persisted base — warms the cache the downstream
+    # self-join needs materialized anyway; n also gates the rejoin
+    # broadcast below
+    n_rows = base.count()
     if tables is None or bits is None:
-        # one action on the persisted base — warms the cache the
-        # downstream self-join needs materialized anyway
-        bits, tables = _auto_lsh_params(base.count())
+        bits, tables = _auto_lsh_params(n_rows)
     bucketed = base.select(
         "__id",
         F.explode(bucket_keys(F.col("__v"), dim, tables, bits)).alias("__bkt"),
@@ -421,9 +438,9 @@ def cosine_topk_lsh(
         .distinct()
     )
     qv = base.select(F.col("__id").alias("query_id"), F.col("__v").alias("__q"))
-    cand = cand.join(F.broadcast(qv.where(F.col("query_id").isin(*query_ids))), "query_id").join(
-        base, "__id"
-    )
+    cand = cand.join(
+        F.broadcast(qv.where(F.col("query_id").isin(*query_ids))), "query_id"
+    ).join(_maybe_broadcast(base, n_rows), "__id")
     cos = _dot(F.col("__q"), F.col("__v")) / (
         _norm(F.col("__q")) * _norm(F.col("__v"))
     )
@@ -522,8 +539,9 @@ def cosine_near_dup_lsh(
     norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
         F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
     ).persist()
+    n_rows = norm_d.count()
     if tables is None or bits is None:
-        bits, tables = _auto_lsh_params(norm_d.count())
+        bits, tables = _auto_lsh_params(n_rows)
     # Bucket the RAW vector (hyperplane signs are scale-invariant, so the
     # buckets are the same as for the unit vector) — the raw doubles are
     # exactly what the DuckDB oracle quantizes, keeping candidate
@@ -555,11 +573,14 @@ def cosine_near_dup_lsh(
     # The ids-only distinct before the vector rejoin measured faster than
     # deduping after verification (the cross-table duplicate factor makes
     # re-verification cost more than the 16-byte/row shuffle it saves).
-    # No broadcast hint: AQE broadcasts the cached base at test scale; at
-    # 100 TB the vector-rejoin is a legitimate shuffle join on the id.
+    # The rejoin broadcast is size-gated (_maybe_broadcast): at sf1 the
+    # unit-vector frame is one byte over AQE's 10 MB line, and the
+    # silent demotion to TWO shuffle joins of the ~n^1.625-row pair
+    # frame measured 86 s vs 23 s; past _BCAST_VEC_ROWS the rejoin is
+    # a legitimate shuffle join on the id (the 100 TB case).
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(_maybe_broadcast(va, n_rows), "id_a")
+        .join(_maybe_broadcast(vb, n_rows), "id_b")
         .withColumn("__cos", _pair_cos(F.col("__ua"), F.col("__ub")))
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round(F.col("__cos"), 6).alias("cosine"))
@@ -2122,8 +2143,9 @@ def knn_graph_mutual_lsh(
     ).withColumn(
         "__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim))
     ).persist()
+    n_rows = raw.count()
     if tables is None or bits is None:
-        bits, tables = _auto_lsh_params(raw.count())
+        bits, tables = _auto_lsh_params(n_rows)
     bucketed = raw.select(
         "__id",
         F.explode(bucket_keys(F.col("__v"), dim, tables, bits)).alias("__bkt"),
@@ -2155,9 +2177,12 @@ def knn_graph_mutual_lsh(
     cos = _dot_fixed(F.col("__va"), F.col("__vb"), dim) / (
         F.col("__na") * F.col("__nb")
     )
+    # size-gated rejoin broadcast — see cosine_near_dup_lsh: unhinted,
+    # a vector frame just over AQE's 10 MB threshold demotes both
+    # rejoins to shuffle joins of the candidate-pair frame
     half = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(_maybe_broadcast(va, n_rows), "id_a")
+        .join(_maybe_broadcast(vb, n_rows), "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .persist()
     )
