@@ -117,6 +117,12 @@ def main() -> int:
             # LSH/IVF queries persist intermediates for their own plan
             # reuse; release them so 60 queries don't stack dead caches.
             spark.catalog.clearCache()
+            # clearCache() cannot free broadcast blocks / shuffle files;
+            # the ContextCleaner reaps them only after a driver GC (the
+            # bench.py housekeeping lesson).  Without this, a long sf1
+            # sweep accumulates litter until a data-sized query (a1's
+            # reference-semantics pod map) OOMs the 8g heap.
+            spark.sparkContext._jvm.System.gc()
         if name not in oracles:
             print(f"{name:40s} rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:

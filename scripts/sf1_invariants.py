@@ -25,6 +25,10 @@ Checks (query -> what is verified):
 * emb_ivfpq_recall_report     -> recomputed from ivf_pq_topk ∩ exact.
 * emb_knn_graph_mutual_lsh    -> every edge's cosine equals the exact
   recompute; id_a < id_b, no duplicate pairs, per-node degree <= k.
+* emb_cosine_near_dup_lsh     -> every output pair's cosine equals the
+  exact recompute, >= threshold, id_a < id_b, no duplicates (the
+  tuned-params oracle outgrew the DuckDB envelope at sf1 in r13: its
+  signature stage is n·dim·tables·bits ~ 1.5B intermediate rows).
 * emb_semantic_clusters_lsh   -> labels equal a DRIVER-SIDE UNION-FIND
   over the mutual-LSH edge list (a second implementation of the
   closure — the exact step DuckDB spills on), plus partition checks.
@@ -229,6 +233,31 @@ def main() -> int:
         "emb_knn_graph_mutual_lsh",
         ordered_ok and dup_ok and (deg is None or deg <= 5) and bad_cos == 0,
         f"edges={n_edges} max_degree={deg} bad_cosines={bad_cos}",
+    )
+
+    # ---- emb_cosine_near_dup_lsh -----------------------------------------
+    nd = qs["emb_cosine_near_dup_lsh"](spark, sf_dir).persist()
+    n_nd = nd.count()
+    nd_ordered_ok = nd.where(F.col("id_a") >= F.col("id_b")).count() == 0
+    nd_dup_ok = nd.select("id_a", "id_b").distinct().count() == n_nd
+    nd_bad = (
+        nd.join(a, "id_a")
+        .join(b, "id_b")
+        .where(
+            (F.round(exact_cos, 6) != F.col("cosine"))
+            # 1e-9 slack: the operator thresholds the unit-vector
+            # einsum; this recomputes raw-dot/(na*nb) — same value up
+            # to one rounding step (A/B at sf1: identical pair sets)
+            | (exact_cos < F.lit(0.45) - F.lit(1e-9))
+        )
+        .count()
+    )
+    nd.unpersist()
+    spark.catalog.clearCache()
+    record(
+        "emb_cosine_near_dup_lsh",
+        nd_ordered_ok and nd_dup_ok and nd_bad == 0,
+        f"pairs={n_nd} bad_rows={nd_bad}",
     )
 
     # ---- emb_semantic_clusters_lsh: driver union-find over the edges ---
