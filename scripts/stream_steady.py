@@ -72,13 +72,18 @@ def drain(q, n_files: int, timeout_s: float = 600.0) -> list[dict]:
     return [p for p in prog if p["numInputRows"] > 0]
 
 
-def leg_stats(prog: list[dict]) -> dict:
+def leg_stats(prog: list[dict], sink_rows: list[int]) -> dict:
     """Sustained rate over triggers 2..N (first measured trigger still
-    carries per-query setup) + per-trigger latency distribution."""
+    carries per-query setup) + per-trigger latency distribution.
+
+    Docs are counted at the SINK (rows the foreachBatch actually
+    received), not from numInputRows: a gate whose foreachBatch runs
+    more than one action re-scans the source and progress double-counts
+    the input (observed 2× on the near-dup leg)."""
     durs = sorted(
         p["durationMs"]["triggerExecution"] / 1000.0 for p in prog[1:]
     )
-    rows = sum(p["numInputRows"] for p in prog[1:])
+    rows = sum(sink_rows[1:len(prog)])
     wall = sum(durs)
     return {
         "triggers": len(prog),
@@ -106,16 +111,6 @@ def main() -> None:
         "doc_id", "text", "lang", "source"
     )
     n_docs = new.count()
-    src = f"{work}/src"
-    # one file per trigger: maxFilesPerTrigger=1 below
-    new.repartition(n_files).write.mode("overwrite").json(src)
-
-    def stream_df():
-        return (
-            spark.readStream.schema(DOC_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .json(src)
-        )
 
     sink_counts: list[int] = []
 
@@ -127,52 +122,68 @@ def main() -> None:
     gate_fn = near_dup_gate_sink(ref, count_sink)
     prep_s = round(time.time() - t0, 2)
 
-    def run(name: str, build_writer, warm_first: bool = True):
-        if warm_first:
-            q = build_writer(f"{work}/ck-{name}-warm", available_now=True)
+    # Two batch sizes per leg: small triggers price the per-trigger
+    # floor, large triggers show the amortized steady-state rate; the
+    # marginal per-doc cost falls out of the two points.
+    for nf in (n_files, max(2, n_files // 5)):
+        src = f"{work}/src-{nf}"
+        new.repartition(nf).write.mode("overwrite").json(src)
+
+        def stream_df():
+            return (
+                spark.readStream.schema(DOC_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .json(src)
+            )
+
+        def run(name: str, build_writer):
+            q = build_writer(f"{work}/ck-{name}-{nf}-warm", True)
             q.awaitTermination(600)
             q.stop()
-        q = build_writer(f"{work}/ck-{name}", available_now=False)
-        prog = drain(q, n_files)
-        out["legs"][name] = leg_stats(prog)
+            sink_counts.clear()
+            q = build_writer(f"{work}/ck-{name}-{nf}", False)
+            prog = drain(q, nf)
+            out["legs"][f"{name}@{nf}x{n_docs // nf}"] = leg_stats(
+                prog, list(sink_counts)
+            )
 
-    def control_writer(ck, available_now):
-        w = (
-            stream_df().writeStream.outputMode("append")
-            .foreachBatch(count_sink)
-            .option("checkpointLocation", ck)
-        )
-        w = w.trigger(availableNow=True) if available_now else w.trigger(
-            processingTime="0 seconds"
-        )
-        return w.start()
+        def control_writer(ck, available_now):
+            w = (
+                stream_df().writeStream.outputMode("append")
+                .foreachBatch(count_sink)
+                .option("checkpointLocation", ck)
+            )
+            w = w.trigger(availableNow=True) if available_now else w.trigger(
+                processingTime="0 seconds"
+            )
+            return w.start()
 
-    def neardup_writer(ck, available_now):
-        w = (
-            stream_df().writeStream.outputMode("append")
-            .foreachBatch(gate_fn)
-            .option("checkpointLocation", ck)
-        )
-        w = w.trigger(availableNow=True) if available_now else w.trigger(
-            processingTime="0 seconds"
-        )
-        return w.start()
+        def neardup_writer(ck, available_now):
+            w = (
+                stream_df().writeStream.outputMode("append")
+                .foreachBatch(gate_fn)
+                .option("checkpointLocation", ck)
+            )
+            w = w.trigger(availableNow=True) if available_now else w.trigger(
+                processingTime="0 seconds"
+            )
+            return w.start()
 
-    def quota_writer(ck, available_now):
-        gated = quota_gate_stateful(stream_df(), quota=10_000)
-        w = (
-            gated.writeStream.outputMode("update")
-            .foreachBatch(count_sink)
-            .option("checkpointLocation", ck)
-        )
-        w = w.trigger(availableNow=True) if available_now else w.trigger(
-            processingTime="0 seconds"
-        )
-        return w.start()
+        def quota_writer(ck, available_now):
+            gated = quota_gate_stateful(stream_df(), quota=10_000)
+            w = (
+                gated.writeStream.outputMode("update")
+                .foreachBatch(count_sink)
+                .option("checkpointLocation", ck)
+            )
+            w = w.trigger(availableNow=True) if available_now else w.trigger(
+                processingTime="0 seconds"
+            )
+            return w.start()
 
-    run("control", control_writer)
-    run("neardup", neardup_writer)
-    run("quota", quota_writer)
+        run("control", control_writer)
+        run("neardup", neardup_writer)
+        run("quota", quota_writer)
 
     out["neardup_ref_prep_sec"] = prep_s
     out["n_docs_stream"] = n_docs
