@@ -35,6 +35,13 @@ from k8stream_spark.ops import project as opsproject
 from k8stream_spark.sources.fixtures import load_table
 from k8stream_spark.streaming.pipeline import project_enriched_l9
 
+# IVF auto-nprobe law constants, embedded into the oracle SQL at build
+# time from the module that owns them (similarity.suggest_ivf_nprobe)
+# so the Spark default and the DuckDB replay cannot drift (r14 task 1).
+_NPROBE_FLOOR = similarity._AUTO_NPROBE_FLOOR
+_NPROBE_NUM = similarity._AUTO_PROBE_NUM
+_NPROBE_DEN = similarity._AUTO_PROBE_DEN
+
 SEGMENTS = ("MACHINERY", "BUILDING", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE")
 NS_BLACKLIST = ("ns-0", "ns-1", "ns-2")
 REASON_WHITELIST = ("click", "view", "purchase")
@@ -438,11 +445,17 @@ WITH base AS (
          CAST(FLOOR(b.x[d.d + 1] * 10000.0 + 0.5) AS BIGINT) AS q
   FROM base b, range({dim}) d(d)
 ), params AS (
-  SELECT n,
-         GREATEST(4, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / 2) AS INT))
-           AS nlist,
+  -- nprobe replays similarity.suggest_ivf_nprobe: exact-integer
+  -- ceil(nlist*NUM/DEN), floored at the small-corpus default, capped
+  -- at nlist; constants embedded at SQL-build time from the module.
+  SELECT n, nlist,
+         LEAST(nlist, GREATEST({_NPROBE_FLOOR},
+           ({_NPROBE_NUM} * nlist + {_NPROBE_DEN} - 1) // {_NPROBE_DEN})) AS nprobe,
          GREATEST(1, LEAST(1000, (20000 * 1000) // n)) AS permille
-  FROM (SELECT COUNT(*) AS n FROM base)
+  FROM (SELECT n,
+               GREATEST(4, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / 2) AS INT))
+                 AS nlist
+        FROM (SELECT COUNT(*) AS n FROM base))
 ), samp AS (
   SELECT id, rnk FROM (
     SELECT b.id, row_number() OVER (ORDER BY hh, b.id) AS rnk
@@ -479,12 +492,13 @@ __TAIL__
 
 
 def _ivf_oracle_sql(
-    iters: int = 4, nprobe: int = 8, k: int = 10, dim: int = 64
+    iters: int = 4, nprobe: int | None = None, k: int = 10, dim: int = 64
 ) -> str:
     qids = "(" + ",".join(str(i) for i in (0, 1, 2, 3, 4)) + ")"
+    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM params)"
     tail = f""", probes AS (
   SELECT pid AS query_id, cell FROM ranked
-  WHERE pid IN {qids} AND rn <= {nprobe}
+  WHERE pid IN {qids} AND rn <= {npx}
 ), cand AS (
   SELECT p.query_id, m.pid AS neighbor_id
   FROM probes p JOIN asgf m ON m.cell = p.cell
@@ -549,12 +563,13 @@ FROM ne LEFT JOIN nh USING (query_id)"""
 # (ranked); both top-k sides and their intersection counts are
 # deterministic, so the recall NUMBERS hash-check like the LSH twin.
 def _ivf_recall_oracle_sql(
-    iters: int = 4, nprobe: int = 8, k: int = 10, dim: int = 64
+    iters: int = 4, nprobe: int | None = None, k: int = 10, dim: int = 64
 ) -> str:
     qids = "(" + ",".join(str(i) for i in (0, 1, 2, 3, 4)) + ")"
+    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM params)"
     tail = f""", probes AS (
   SELECT pid AS query_id, cell FROM ranked
-  WHERE pid IN {qids} AND rn <= {nprobe}
+  WHERE pid IN {qids} AND rn <= {npx}
 ), cand AS (
   SELECT p.query_id, m.pid AS neighbor_id
   FROM probes p JOIN asgf m ON m.cell = p.cell
@@ -853,7 +868,7 @@ def _ivf_pq_oracle_sql(
     query_ids: tuple[int, ...],
     k_out: int = 10,
     ivf_iters: int = 4,
-    nprobe: int = 8,
+    nprobe: int | None = None,
     m: int = 16,
     k_codes: int = 16,
     pq_iters: int = 4,
@@ -861,6 +876,7 @@ def _ivf_pq_oracle_sql(
     tail: str | None = None,
 ) -> str:
     qids = "(" + ",".join(str(i) for i in query_ids) + ")"
+    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM params)"
     sub = dim // m
     ivf_parts = []
     for i in range(ivf_iters):
@@ -928,11 +944,17 @@ WITH base AS (
 ), qp AS (
   SELECT id, d // {sub} AS sub, d % {sub} AS sd, q FROM qv
 ), params AS (
-  SELECT n,
-         GREATEST(4, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / 2) AS INT))
-           AS nlist,
+  -- nprobe replays similarity.suggest_ivf_nprobe: exact-integer
+  -- ceil(nlist*NUM/DEN), floored at the small-corpus default, capped
+  -- at nlist; constants embedded at SQL-build time from the module.
+  SELECT n, nlist,
+         LEAST(nlist, GREATEST({_NPROBE_FLOOR},
+           ({_NPROBE_NUM} * nlist + {_NPROBE_DEN} - 1) // {_NPROBE_DEN})) AS nprobe,
          GREATEST(1, LEAST(1000, (20000 * 1000) // n)) AS permille
-  FROM (SELECT COUNT(*) AS n FROM base)
+  FROM (SELECT n,
+               GREATEST(4, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / 2) AS INT))
+                 AS nlist
+        FROM (SELECT COUNT(*) AS n FROM base))
 ), samp AS (
   SELECT id, rnk FROM (
     SELECT b.id, row_number() OVER (ORDER BY hh, b.id) AS rnk
@@ -965,7 +987,7 @@ af AS (
   SELECT pid, cell FROM ranked WHERE rn = 1
 ), probes AS (
   SELECT pid AS query_id, cell FROM ranked
-  WHERE pid IN {qids} AND rn <= {nprobe}
+  WHERE pid IN {qids} AND rn <= {npx}
 ), cb0 AS (
   SELECT q.sub, CAST(s.rnk - 1 AS INT) AS cell, q.sd, q.q AS c
   FROM samp s JOIN qp q ON q.id = s.id

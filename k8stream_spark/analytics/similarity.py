@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -114,14 +115,24 @@ def _lsh_tables_for_bits(
     bits 1..32 into the oracle SQL as a lookup table, so the two
     engines compute tables from the SAME Python floats and can never
     drift on a ceil boundary."""
+    return max(
+        1,
+        min(max_tables, _lsh_tables_needed(bits, target_cosine, min_recall)),
+    )
+
+
+def _lsh_tables_needed(
+    bits: int, target_cosine: float, min_recall: float
+) -> int:
+    """UNCAPPED table count for ``min_recall`` — the closed form before
+    ``max_tables`` clamps it, split out so ``suggest_lsh_params`` can
+    detect when the cap binds (and by how much) without re-deriving the
+    formula (r14 task 2)."""
     p = 1.0 - math.acos(target_cosine) / math.pi
     p_table = p**bits
     if p_table >= 1.0:
         return 1
-    tables = math.ceil(
-        math.log(1.0 - min_recall) / math.log(1.0 - p_table)
-    )
-    return max(1, min(max_tables, tables))
+    return math.ceil(math.log(1.0 - min_recall) / math.log(1.0 - p_table))
 
 
 def suggest_lsh_params(
@@ -144,8 +155,10 @@ def suggest_lsh_params(
       p = 1 − arccos(t)/π (Goemans–Williamson); one table catches the
       pair with p^bits, so ``tables = ceil(ln(1−min_recall) /
       ln(1−p^bits))`` restores recall that extra bits destroyed,
-      capped at ``max_tables`` (cost grows linearly with tables; past
-      the cap, fall back to IVF or lower min_recall explicitly).
+      capped at ``max_tables`` (cost grows linearly with tables; when
+      the cap binds a ``RuntimeWarning`` names the achievable recall
+      and the escape hatches — raise ``target_bucket`` or fall back to
+      the IVF family, r14 task 2).
 
     Pure driver-side arithmetic.  Since r13 this IS the LSH operators'
     default path: ``cosine_near_dup_lsh`` / ``cosine_topk_lsh`` /
@@ -165,6 +178,26 @@ def suggest_lsh_params(
     tables = _lsh_tables_for_bits(
         bits, target_cosine, min_recall, max_tables
     )
+    needed = _lsh_tables_needed(bits, target_cosine, min_recall)
+    if needed > max_tables:
+        # r14 task 2 (VERDICT r13): past the cap, recall silently fell
+        # below min_recall with only a docstring to say so.  Warn with
+        # the ACHIEVABLE number so the caller can decide: at
+        # target_bucket=32 the cap first binds near n ≈ 66k (bits 12,
+        # needs 290 tables) where achievable recall is ~0.76.
+        p_table = (1.0 - math.acos(target_cosine) / math.pi) ** bits
+        achievable = 1.0 - (1.0 - p_table) ** tables
+        warnings.warn(
+            f"LSH table cap binds: {needed} tables needed for recall "
+            f">={min_recall} at bits={bits} (n_rows={n_rows}), capped "
+            f"at {max_tables} -> achievable recall ~{achievable:.3f}. "
+            "Raise target_bucket (fewer bits per table, bigger "
+            "buckets) or switch to the IVF family (cosine_topk_ivf / "
+            "ivf_pq_topk), whose cost scales with nprobe/nlist instead "
+            "of table count.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return bits, tables
 
 
@@ -177,8 +210,9 @@ def suggest_lsh_params(
 #: Candidate work scales ~n^(1+ρ) with ρ = ln(1/p)/ln2 ≈ 0.625 at
 #: cosine 0.45 — the hyperplane-LSH exponent; sub-that needs IVF.
 #: At very large n the 256-table cap binds and recall degrades below
-#: ``min_recall`` — past the cap, raise target_bucket or use the IVF
-#: family (the suggest_lsh_params docstring's standing advice).
+#: ``min_recall`` — suggest_lsh_params emits a RuntimeWarning naming
+#: the achievable recall (r14); raise target_bucket or use the IVF
+#: family.
 _AUTO_TARGET_BUCKET = 32
 _AUTO_TARGET_COSINE = 0.45
 _AUTO_MIN_RECALL = 0.8
@@ -200,10 +234,51 @@ def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(df) if n_rows <= _BCAST_VEC_ROWS else df
 
 
+#: Auto-tune defaults for the IVF probe count (r14, VERDICT r13 task 1
+#: — the nprobe analogue of the r13 LSH bits/tables law).  With the
+#: sample quantizer's ``nlist ~ sqrt(n)/2`` default, a FIXED nprobe is
+#: a shrinking probed fraction, and on the isotropic fixture recall
+#: tracks that fraction almost exactly (measured, scripts/
+#: ivf_nprobe_sweep.py: frac 0.36 → 0.74 mean recall@10 at n=2,000;
+#: frac 0.114 → 0.40 at n=20,000 — the r13 sf1 defect; frac 0.4 → 0.80
+#: at BOTH scales).  Isotropic data has no cluster structure a probe
+#: can exploit, so the closed form is a constant FRACTION of nlist:
+#: nprobe = ceil(nlist/2), floored at the old default 8 and capped at
+#: nlist.  Measured at 1/2: mean recall@10 = 0.84 (n=2,000, nprobe 11)
+#: and 0.88 (n=20,000, nprobe 35) — above the 0.8 design target LSH
+#: tunes for.  Cost is ~n/2 exact reranks per query — linear in n for
+#: a constant query panel, the isotropic WORST case; clustered
+#: real-world embeddings concentrate neighbors in few cells, so
+#: callers there can pass a smaller explicit nprobe (the clustered
+#: fixture measurement in SCALE.md prices this).
+_AUTO_NPROBE_FLOOR = 8
+_AUTO_PROBE_NUM = 1
+_AUTO_PROBE_DEN = 2
+
+
+def suggest_ivf_nprobe(
+    nlist: int,
+    probe_num: int = _AUTO_PROBE_NUM,
+    probe_den: int = _AUTO_PROBE_DEN,
+    floor: int = _AUTO_NPROBE_FLOOR,
+) -> int:
+    """Probe count for an IVF search at ``nlist`` cells:
+    ``min(nlist, max(floor, ceil(nlist·probe_num/probe_den)))``, all
+    exact integer arithmetic so the DuckDB oracle replays the same rule
+    from ``COUNT(*)`` (``__spark_entry__._ivf_training_sql`` params CTE
+    embeds these module constants at SQL-build time).  Since r14 this
+    IS the IVF operators' default (``cosine_topk_ivf`` / ``ivf_pq_topk``
+    with ``nprobe=None``)."""
+    if nlist <= 0:
+        raise ValueError("nlist must be positive")
+    tuned = -(-probe_num * nlist // probe_den)  # ceil, exact ints
+    return min(nlist, max(floor, tuned))
+
+
 def _auto_lsh_params(n_rows: int) -> tuple[int, int]:
     """(bits, tables) the LSH operators use when the caller passes
     ``tables=None, bits=None`` — ``suggest_lsh_params`` at the module
-    auto-tune defaults, total-function on n=0 (empty corpus → (1, 1),
+    auto-tune defaults, total-function on n=0 (empty corpus → (1, 2),
     the result frame is empty regardless)."""
     return suggest_lsh_params(
         max(1, n_rows),
@@ -417,7 +492,14 @@ def cosine_topk_lsh(
     # self-join needs materialized anyway; n also gates the rejoin
     # broadcast below
     n_rows = base.count()
-    if tables is None or bits is None:
+    if (tables is None) != (bits is None):
+        # ADVICE r13: silently auto-tuning BOTH when the caller pinned
+        # one broke the caller's regime without a trace.
+        raise ValueError(
+            "pass both tables= and bits= to pin the LSH regime, or "
+            "neither to auto-tune (suggest_lsh_params)"
+        )
+    if tables is None:
         bits, tables = _auto_lsh_params(n_rows)
     bucketed = base.select(
         "__id",
@@ -540,7 +622,14 @@ def cosine_near_dup_lsh(
         F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
     ).persist()
     n_rows = norm_d.count()
-    if tables is None or bits is None:
+    if (tables is None) != (bits is None):
+        # ADVICE r13: silently auto-tuning BOTH when the caller pinned
+        # one broke the caller's regime without a trace.
+        raise ValueError(
+            "pass both tables= and bits= to pin the LSH regime, or "
+            "neither to auto-tune (suggest_lsh_params)"
+        )
+    if tables is None:
         bits, tables = _auto_lsh_params(n_rows)
     # Bucket the RAW vector (hyperplane signs are scale-invariant, so the
     # buckets are the same as for the unit vector) — the raw doubles are
@@ -974,7 +1063,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     dim: int = 64,
     nlist: int | None = None,
-    nprobe: int = 8,
+    nprobe: int | None = None,
     quantizer: str = "sample",
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file index): a KMeans
@@ -983,6 +1072,13 @@ def cosine_topk_ivf(
     vectors inside them.  The other classic ANN scale path next to LSH —
     on clustered real-world embeddings IVF prunes harder because cells
     follow the data distribution instead of random hyperplanes.
+
+    ``nprobe=None`` (the default since r14) auto-tunes to
+    ``suggest_ivf_nprobe(nlist)`` — a constant fraction of the cells —
+    because a fixed probe count at growing nlist is a shrinking probed
+    fraction and recall decays with corpus size (measured sf1 recall@10
+    as low as 0.0 at the old fixed 8, SCALE.md r13); the DuckDB oracle
+    replays the identical integer rule from ``COUNT(*)``.
 
     Quantizer options (both deterministic; candidate generation is an
     equi-join on the cell id either way, and the centroid matrix is the
@@ -1012,6 +1108,8 @@ def cosine_topk_ivf(
     n_rows = base.count()
     if nlist is None:
         nlist = max(4, int(n_rows ** 0.5 / 2))
+    if nprobe is None:
+        nprobe = suggest_ivf_nprobe(nlist)
 
     if quantizer == "sample":
         # Sample-trained integer-exact k-means + distributed argmax
@@ -1807,7 +1905,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     nlist: int | None = None,
-    nprobe: int = 8,
+    nprobe: int | None = None,
     m: int = _PQ_M,
     n_codes: int = _PQ_K,
     max_train: int = _IVF_MAX_TRAIN,
@@ -1815,7 +1913,9 @@ def ivf_pq_topk(
 ) -> DataFrame:
     """The composed FAISS search path — IVF-PQ: the integer-exact IVF
     coarse quantizer prunes the table to each query's ``nprobe`` nearest
-    cells, and PQ asymmetric-distance tables score ONLY those candidates
+    cells (``nprobe=None`` auto-tunes via ``suggest_ivf_nprobe`` since
+    r14, replayed by the oracle — see ``cosine_topk_ivf``), and PQ
+    asymmetric-distance tables score ONLY those candidates
     through their codes (the ``pq_adc_topk`` reconstruction-cosine).
     Both index halves train on the same bounded hash-selected sample;
     every boundary decision (cell argmax, code argmin, ADC lookups) is
@@ -1834,6 +1934,8 @@ def ivf_pq_topk(
     n_rows = base.count()
     if nlist is None:
         nlist = max(4, int(n_rows ** 0.5 / 2))
+    if nprobe is None:
+        nprobe = suggest_ivf_nprobe(nlist)
 
     base = base.persist()
     centers = _sample_kmeans_int(base, nlist, n_rows, max_train)
@@ -2144,7 +2246,14 @@ def knn_graph_mutual_lsh(
         "__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim))
     ).persist()
     n_rows = raw.count()
-    if tables is None or bits is None:
+    if (tables is None) != (bits is None):
+        # ADVICE r13: silently auto-tuning BOTH when the caller pinned
+        # one broke the caller's regime without a trace.
+        raise ValueError(
+            "pass both tables= and bits= to pin the LSH regime, or "
+            "neither to auto-tune (suggest_lsh_params)"
+        )
+    if tables is None:
         bits, tables = _auto_lsh_params(n_rows)
     bucketed = raw.select(
         "__id",

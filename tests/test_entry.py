@@ -46,6 +46,8 @@ NOT_OPERATORS = {
     # version by the streaming gate (r12)
     "similarity.suggest_lsh_params",  # driver-side (bits, tables)
     # arithmetic — no DataFrame surface to grade (r12)
+    "similarity.suggest_ivf_nprobe",  # driver-side nprobe arithmetic,
+    # the IVF twin of suggest_lsh_params (r14)
     "dedup.simhash",  # signature stage of simhash_pairs
     "dedup.word_shingles",  # shingling helper for minhash/jaccard
     "multimodal.byte_histogram_features",  # codec-free feature helper

@@ -842,6 +842,136 @@ def test_suggest_lsh_params_scaling_law():
         suggest_lsh_params(100, target_cosine=1.5)
 
 
+def test_lsh_partial_params_raise(spark):
+    """ADVICE r13: passing exactly one of (tables=, bits=) used to
+    silently auto-tune BOTH, discarding the caller's pinned value."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for kwargs in ({"tables": 4}, {"bits": 6}):
+        with pytest.raises(ValueError, match="both tables= and bits="):
+            similarity.cosine_topk_lsh(emb, (0, 1), k=5, **kwargs)
+        with pytest.raises(ValueError, match="both tables= and bits="):
+            similarity.cosine_near_dup_lsh(emb, threshold=0.45, **kwargs)
+        with pytest.raises(ValueError, match="both tables= and bits="):
+            similarity.knn_graph_mutual_lsh(emb, k=3, **kwargs)
+    # both pinned still honored, both omitted still auto-tunes
+    assert similarity.cosine_topk_lsh(
+        emb, (0, 1), k=5, tables=4, bits=4
+    ).count() >= 0
+    assert similarity.cosine_topk_lsh(emb, (0, 1), k=5).count() >= 0
+
+
+def test_lsh_table_cap_warns_with_achievable_recall():
+    """r14 task 2 (VERDICT r13): when the 256-table cap binds (large n
+    at target_bucket=32), recall silently fell below min_recall with
+    only a docstring note.  Now suggest_lsh_params emits a
+    RuntimeWarning naming the achievable recall and the IVF escape
+    hatch; fixture-scale calls stay silent."""
+    import warnings as _w
+
+    from k8stream_spark.analytics.similarity import (
+        _lsh_tables_needed,
+        suggest_lsh_params,
+    )
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        bits, tables = suggest_lsh_params(10_000_000, target_bucket=32)
+        assert tables == 256  # cap binds
+        assert len(rec) == 1 and issubclass(rec[0].category, RuntimeWarning)
+        msg = str(rec[0].message)
+        assert "achievable recall" in msg and "ivf" in msg.lower()
+        # the quoted achievable number is the closed form at the cap
+        import math, re
+
+        quoted = float(re.search(r"~(\d+\.\d+)", msg).group(1))
+        p = (1.0 - math.acos(0.45) / math.pi) ** bits
+        assert abs(quoted - (1.0 - (1.0 - p) ** 256)) < 5e-4
+
+    # No warning at any shipped fixture scale (the auto-tune default
+    # path must stay clean through the sf1 campaign sizes).
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        for n in (500, 2000, 20000, 60000):
+            suggest_lsh_params(n, target_bucket=32)
+        assert rec == []
+
+    # The uncapped requirement is what the warning thresholds on.
+    assert _lsh_tables_needed(19, 0.45, 0.8) > 256
+    assert _lsh_tables_needed(6, 0.45, 0.8) <= 256
+
+
+def test_suggest_ivf_nprobe_law(spark):
+    """r14 (VERDICT r13 task 1): the IVF operators auto-tune nprobe from
+    nlist by default — a constant probed FRACTION (ceil(nlist/2), floor
+    8, cap nlist), because on isotropic data recall tracks the fraction
+    and a fixed nprobe at nlist ~ sqrt(n) decays with corpus size
+    (measured sf1 recall@10 mean 0.40 at the old fixed 8 vs 0.88 at the
+    law, scripts/ivf_nprobe_sweep.py).  The DuckDB oracle replays the
+    identical integer rule from COUNT(*), checked here expression-for-
+    expression."""
+    import duckdb
+
+    from k8stream_spark.analytics.similarity import (
+        _AUTO_NPROBE_FLOOR,
+        _AUTO_PROBE_DEN,
+        _AUTO_PROBE_NUM,
+        suggest_ivf_nprobe,
+    )
+
+    # Pinned at the fixture scales (nlist = max(4, floor(sqrt(n)/2))):
+    assert suggest_ivf_nprobe(11) == 8    # sf0.01, n=500: floor binds
+    assert suggest_ivf_nprobe(22) == 11   # sf0.1, n=2000
+    assert suggest_ivf_nprobe(70) == 35   # sf1, n=20000
+    assert suggest_ivf_nprobe(7) == 7     # tiny corpus: cap at nlist
+    assert suggest_ivf_nprobe(1) == 1
+
+    # Fraction invariant past the floor; floor invariant below it.
+    for nlist in range(1, 400):
+        np_ = suggest_ivf_nprobe(nlist)
+        assert 1 <= np_ <= nlist
+        if nlist >= 2 * _AUTO_NPROBE_FLOOR:
+            assert np_ * _AUTO_PROBE_DEN >= nlist * _AUTO_PROBE_NUM
+
+    # Monotone: more cells never means fewer probes.
+    seq = [suggest_ivf_nprobe(nl) for nl in range(1, 1000)]
+    assert seq == sorted(seq)
+
+    with pytest.raises(ValueError):
+        suggest_ivf_nprobe(0)
+
+    # SQL parity: the oracle params-CTE expression (the exact text
+    # __spark_entry__ embeds) computes the same nprobe for every n.
+    con = duckdb.connect()
+    for n in (1, 17, 200, 500, 2000, 20000, 123457, 10**7):
+        nlist = max(4, int(n**0.5 / 2))
+        got = con.execute(
+            f"""SELECT LEAST(nlist, GREATEST({_AUTO_NPROBE_FLOOR},
+                  ({_AUTO_PROBE_NUM} * nlist + {_AUTO_PROBE_DEN} - 1)
+                    // {_AUTO_PROBE_DEN}))
+                FROM (SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST({n} AS
+                  DOUBLE)) / 2) AS INT)) AS nlist)"""
+        ).fetchone()[0]
+        assert got == suggest_ivf_nprobe(nlist), (n, got)
+    con.close()
+
+    # End-to-end: the default (auto-tuned) operator output equals an
+    # explicit nprobe call at the suggested value.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    nlist = max(4, int(n**0.5 / 2))
+    auto = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk_ivf(emb, (0, 1, 2), k=5).collect()
+    }
+    explicit = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk_ivf(
+            emb, (0, 1, 2), k=5, nprobe=suggest_ivf_nprobe(nlist)
+        ).collect()
+    }
+    assert auto == explicit
+
+
 def test_lsh_auto_tune_is_default_path(spark):
     """r13 (VERDICT r12 task 1): the LSH operators auto-tune (bits,
     tables) from the corpus count by default, and the auto-tuned result
