@@ -3221,23 +3221,43 @@ def oracle_sql() -> dict[str, str]:
                    MIN('pod-'||CAST(pk AS VARCHAR)) AS first_pod
             FROM pairs GROUP BY sk
         """,
-        # Mirrors joins.service_pod_map_sharded: rank pods by name
-        # within the service, shard at 1000 entries (integer division —
-        # rn >= 0, so DuckDB's truncating // equals floor here).
+        # Mirrors joins.service_pod_map_sharded (r14 pre-sharded rank):
+        # pods hash into _POD_MAP_PRESHARDS pre-shards (60-bit sha256
+        # prefix of the name), rank by name WITHIN (service, pre-shard),
+        # global position = exclusive prefix count of lower pre-shards +
+        # local rank, shard at 1000 entries (all values >= 0, so
+        # DuckDB's truncating // equals floor).
         "a1_service_pod_map_sharded": PAIRS_CTE
-        + """
-            , ranked AS (
+        + f"""
+            , pre AS (
               SELECT sk, 'pod-'||CAST(pk AS VARCHAR) AS pn,
-                     row_number() OVER (
-                       PARTITION BY sk
-                       ORDER BY 'pod-'||CAST(pk AS VARCHAR)) - 1 AS rn
+                     CAST(CAST('0x'||substr(
+                         sha256('pod-'||CAST(pk AS VARCHAR)), 1, 15)
+                       AS UBIGINT) % {joins._POD_MAP_PRESHARDS}
+                       AS BIGINT) AS ps
               FROM pairs
+            ), lcl AS (
+              SELECT sk, pn, ps,
+                     row_number() OVER (
+                       PARTITION BY sk, ps ORDER BY pn) - 1 AS rnl
+              FROM pre
+            ), offs AS (
+              SELECT sk, ps,
+                     COALESCE(SUM(cnt) OVER (
+                       PARTITION BY sk ORDER BY ps
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS off
+              FROM (SELECT sk, ps, COUNT(*) AS cnt
+                    FROM pre GROUP BY sk, ps)
+            ), ranked AS (
+              SELECT l.sk, l.pn, (l.rnl + o.off) // 1000 AS shard
+              FROM lcl l JOIN offs o ON o.sk = l.sk AND o.ps = l.ps
             )
             SELECT CAST(sk AS VARCHAR) AS service_uid,
-                   CAST(rn // 1000 AS BIGINT) AS shard_id,
+                   CAST(shard AS BIGINT) AS shard_id,
                    COUNT(*) AS n_pods,
                    MIN(pn) AS first_pod
-            FROM ranked GROUP BY sk, rn // 1000
+            FROM ranked GROUP BY sk, shard
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

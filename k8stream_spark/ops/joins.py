@@ -342,12 +342,23 @@ def service_pod_map(
     )
 
 
+#: Pre-shard fan-out for service_pod_map_sharded's rank window: pods
+#: hash into this many pre-shards per service BEFORE ranking, so a
+#: mega-service's sort spreads over ``_POD_MAP_PRESHARDS`` tasks
+#: instead of streaming through one.  The DuckDB oracle embeds the same
+#: constant and sha256-prefix hash, so shard boundaries stay
+#: hash-checked (r14 task 4; the hash recipe is the oracle-replayable
+#: 60-bit sha256 prefix the IVF/LSH samplers already use).
+_POD_MAP_PRESHARDS = 32
+
+
 def service_pod_map_sharded(
     pairs: DataFrame,
     pods: DataFrame,
     shard_size: int = 1000,
     pod_key: str = "uid",
     name_col: str = "name",
+    preshards: int = _POD_MAP_PRESHARDS,
 ) -> DataFrame:
     """A1's 100 TB form: per-service pod map SHARDED into rows of at
     most ``shard_size`` entries.
@@ -357,16 +368,28 @@ def service_pod_map_sharded(
     — correct to the reference and kept as the parity anchor, but the
     output row itself is data-sized (15k-entry maps at sf1, 12.4× cost
     for 10× data, GC pressure; see its docstring).  This variant keeps
-    the same content while bounding every row: pods are ordered by name
-    within the service (deterministic — pod names are unique), split
-    into shards of ``shard_size``, and each (service, shard) emits its
-    own map plus the shard's entry count.
+    the same content while bounding every row: pods are split into
+    shards of ``shard_size`` in a deterministic order, and each
+    (service, shard) emits its own map plus the shard's entry count.
 
-    Plan: one shuffle on service_uid for the rank window, one on
-    (service_uid, shard_id) for the map aggregation — both keys bounded
-    (shards cap the second's group size at ``shard_size`` rows), so no
-    single task ever builds a data-sized row and per-service skew is
-    flattened across shards.  Union of all shards == the unsharded map.
+    Deterministic order WITHOUT a per-service global sort (r14 task 4 —
+    the r13 version's ``row_number`` over service_uid alone streamed a
+    whole mega-service through one window task): each pod hashes into
+    one of ``preshards`` pre-shards (60-bit sha256 prefix of the name,
+    mod ``preshards`` — replayable in SQL), ranks by name WITHIN
+    (service, pre-shard), and recovers its global position as the
+    pre-shard's exclusive prefix count plus the local rank.  The prefix
+    counts come from a window over the per-(service, pre-shard) COUNT
+    frame — ≤``preshards`` rows per service, driver-safe at any fan-out.
+    Global order is therefore (pre-shard, name): deterministic, stable
+    under repartitioning, just not alphabetical across pre-shards.
+
+    Plan: one shuffle on (service_uid, __ps) for the local rank window
+    and the offset join (same key — the exchange is reused), one tiny
+    aggregation for the offsets, one shuffle on (service_uid, shard_id)
+    for the map aggregation; every task's group is bounded by
+    ~n_service_pods/preshards or ``shard_size``.  Union of all shards
+    == the unsharded map (pytest-pinned).
     """
     pod_info = pods.select(
         F.col(pod_key).alias("pod_uid"),
@@ -381,10 +404,38 @@ def service_pod_map_sharded(
             )
         ).alias("__pod_json"),
     )
-    w = Window.partitionBy("service_uid").orderBy("__pod_name")
-    ranked = pairs.join(pod_info, "pod_uid").withColumn(
+    joined = pairs.join(pod_info, "pod_uid").withColumn(
+        "__ps",
+        F.conv(
+            F.substring(F.sha2(F.col("__pod_name"), 256), 1, 15), 16, 10
+        ).cast("bigint")
+        % preshards,
+    )
+    w_local = Window.partitionBy("service_uid", "__ps").orderBy("__pod_name")
+    local = joined.withColumn("__rn", F.row_number().over(w_local) - 1)
+    w_off = (
+        Window.partitionBy("service_uid")
+        .orderBy("__ps")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # The offsets branch re-derives from ``local`` rather than caching
+    # it: column pruning cuts that branch to a (service_uid, name)
+    # projection — the pod-JSON struct, its build, and the wide shuffle
+    # payload all drop out of the recompute (verified in the executed
+    # plan).  A narrow second pass beats persisting the data-sized pair
+    # frame (the A1 OOM lesson) or forcing identical projections for
+    # exchange reuse (which would run the full-width window sort twice).
+    offsets = (
+        local.groupBy("service_uid", "__ps")
+        .agg((F.max("__rn") + 1).alias("__cnt"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .drop("__cnt")
+    )
+    ranked = local.join(offsets, ["service_uid", "__ps"]).withColumn(
         "shard_id",
-        F.floor((F.row_number().over(w) - 1) / F.lit(shard_size)).cast(
+        F.floor((F.col("__rn") + F.col("__off")) / F.lit(shard_size)).cast(
             "bigint"
         ),
     )

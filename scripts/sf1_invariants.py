@@ -1,5 +1,7 @@
-"""Independent sf1 checks for the queries whose DuckDB oracle replay
-is spill-bound at 6M-row scale (r13, VERDICT r12 task 2).
+"""Independent scale checks for the queries whose DuckDB oracle replay
+is spill-bound at 6M-row scale (r13, VERDICT r12 task 2; refactored
+r14 task 6 into importable check functions so pytest re-runs the SAME
+invariants at sf0.01 every round — tests/test_scale_invariants.py).
 
 Each previously `spark-rows-only` entry gets a check that does NOT
 re-run the DuckDB replica: either a pinned mathematical invariant, an
@@ -19,7 +21,9 @@ Checks (query -> what is verified):
   and every listed cosine equals the EXACT recomputed cosine of that
   (query, neighbor) pair (same rounding).
 * emb_ivf_recall_report       -> recomputed from its parts: recall ==
-  |ivf_topk ∩ exact_topk| / |exact_topk| per query, bit-equal.
+  |ivf_topk ∩ exact_topk| / |exact_topk| per query, bit-equal; AND
+  mean recall >= 0.7 at the auto-tuned nprobe (r14 task 1's pinned
+  floor — the r13 defect was mean 0.40 at any 10x scale-up).
 * emb_ivf_pq_topk             -> k rows per query, ranks 1..k, run-to-
   run determinism (two independent plans, identical rows).
 * emb_ivfpq_recall_report     -> recomputed from ivf_pq_topk ∩ exact.
@@ -56,64 +60,55 @@ from k8stream_spark.analytics import similarity as sim  # noqa: E402
 from k8stream_spark.session import get_spark  # noqa: E402
 from k8stream_spark.sources.fixtures import load_table  # noqa: E402
 
-RESULTS: dict[str, str] = {}
+#: Pinned sf-independent floor for the IVF recall report at auto-tuned
+#: nprobe (VERDICT r13 task 1 done-bar).  Measured at the 1/2 probe
+#: fraction: mean 0.84 at n=2,000 and 0.88 at n=20,000 (isotropic
+#: worst case) — 0.7 leaves fixture-noise headroom below both.
+IVF_RECALL_FLOOR = 0.7
 
 
-def record(name: str, ok: bool, detail: str = "") -> None:
-    RESULTS[name] = "PASS" if ok else f"FAIL {detail}"
-    print(f"{'PASS' if ok else 'FAIL'} {name:34s} {detail}")
+class Ctx:
+    """Shared lazily-computed state between checks (exact top-k panel,
+    the IVF row set, the mutual-kNN edge frame) so pytest can run one
+    check without paying for all of them."""
 
+    def __init__(self, spark, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.qs = entrymod.queries()
+        self.emb = load_table(spark, sf_dir, "embeddings")
+        self.docs = load_table(spark, sf_dir, "documents")
+        self.qids = entrymod.TOPK_QUERY_IDS
+        self._exact = None
+        self._ivf_rows = None
+        self._edges = None
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
-    spark = get_spark("sf1-invariants")
-    qs = entrymod.queries()
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
+    @property
+    def exact(self) -> set:
+        if self._exact is None:
+            self._exact = {
+                (r.query_id, r.neighbor_id)
+                for r in sim.cosine_topk(self.emb, self.qids, k=10).collect()
+            }
+        return self._exact
 
-    # ---- docs_minhash_recall_report ------------------------------------
-    rep = qs["docs_minhash_recall_report"](spark, sf_dir).collect()[0]
-    true_pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).count()
-    rc_ok = (
-        rep.n_exact_pairs == true_pairs
-        and rep.n_caught <= rep.n_exact_pairs
-        and rep.recall is not None
-        and abs(rep.recall - round(rep.n_caught / rep.n_exact_pairs, 6))
-        < 1e-12
-        and rep.recall >= 0.95
-    )
-    record(
-        "docs_minhash_recall_report",
-        rc_ok,
-        f"n_exact={rep.n_exact_pairs} (independent={true_pairs}) "
-        f"recall={rep.recall}",
-    )
-    spark.catalog.clearCache()
-
-    # ---- exact top-k panel (shared ground truth; O(q·n), not O(n²)) ----
-    qids = entrymod.TOPK_QUERY_IDS
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in sim.cosine_topk(emb, qids, k=10).collect()
-    }
-
-    def topk_shape_and_cosines(name: str, verify_cosine: bool):
-        rows = qs[name](spark, sf_dir).collect()
-        spark.catalog.clearCache()
+    def topk_shape_and_cosines(self, name: str, verify_cosine: bool):
+        rows = self.qs[name](self.spark, self.sf_dir).collect()
+        self.spark.catalog.clearCache()
         by_q: dict = {}
         for r in rows:
             by_q.setdefault(r.query_id, []).append(r)
-        shape_ok = len(rows) == 10 * len(qids) and all(
+        shape_ok = len(rows) == 10 * len(self.qids) and all(
             sorted(x.rank for x in v) == list(range(1, 11))
             for v in by_q.values()
         )
         cos_ok = True
         if verify_cosine:
-            pairs = spark.createDataFrame(
+            pairs = self.spark.createDataFrame(
                 [(r.query_id, r.neighbor_id, float(r.cosine)) for r in rows],
                 "query_id bigint, neighbor_id bigint, listed double",
             )
-            base = emb.select(
+            base = self.emb.select(
                 F.col("vec_id"),
                 F.transform(
                     F.col("embedding"), lambda x: x.cast("double")
@@ -136,65 +131,145 @@ def main() -> int:
                 .count()
             )
             cos_ok = bad == 0
-            spark.catalog.clearCache()
+            self.spark.catalog.clearCache()
         return rows, shape_ok, cos_ok
 
-    ivf_rows, shape_ok, cos_ok = topk_shape_and_cosines(
+    @property
+    def ivf_rows(self):
+        if self._ivf_rows is None:
+            self._ivf_rows = self.topk_shape_and_cosines(
+                "emb_cosine_topk_ivf", verify_cosine=False
+            )[0]
+        return self._ivf_rows
+
+    def unit_vec_frames(self):
+        base = self.emb.select(
+            F.col("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("__v"),
+        ).withColumn(
+            "__n", F.sqrt(sim._dot_fixed(F.col("__v"), F.col("__v"), 64))
+        )
+        a = base.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        b = base.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        exact_cos = sim._dot_fixed(F.col("__va"), F.col("__vb"), 64) / (
+            F.col("__na") * F.col("__nb")
+        )
+        return a, b, exact_cos
+
+    @property
+    def edges(self):
+        if self._edges is None:
+            self._edges = (
+                self.qs["emb_knn_graph_mutual_lsh"](self.spark, self.sf_dir)
+                .persist()
+            )
+            self._edges.count()
+        return self._edges
+
+
+def check_minhash_recall(ctx: Ctx) -> tuple[bool, str]:
+    rep = ctx.qs["docs_minhash_recall_report"](ctx.spark, ctx.sf_dir).collect()[
+        0
+    ]
+    true_pairs = dd.ngram_jaccard_pairs(ctx.docs, threshold=0.8).count()
+    ctx.spark.catalog.clearCache()
+    ok = (
+        rep.n_exact_pairs == true_pairs
+        and rep.n_caught <= rep.n_exact_pairs
+        and rep.recall is not None
+        and abs(rep.recall - round(rep.n_caught / rep.n_exact_pairs, 6))
+        < 1e-12
+        and rep.recall >= 0.95
+    )
+    return ok, (
+        f"n_exact={rep.n_exact_pairs} (independent={true_pairs}) "
+        f"recall={rep.recall}"
+    )
+
+
+def check_ivf_topk(ctx: Ctx) -> tuple[bool, str]:
+    rows, shape_ok, cos_ok = ctx.topk_shape_and_cosines(
         "emb_cosine_topk_ivf", verify_cosine=True
     )
-    record(
-        "emb_cosine_topk_ivf",
+    ctx._ivf_rows = rows
+    return (
         shape_ok and cos_ok,
         f"shape={shape_ok} exact_cosine_recompute={cos_ok}",
     )
 
-    # ---- emb_ivf_recall_report == recomputed from parts ---------------
-    ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf_rows}
-    rep_rows = qs["emb_ivf_recall_report"](spark, sf_dir).collect()
-    spark.catalog.clearCache()
-    ok = len(rep_rows) == len(qids)
+
+def check_ivf_recall_report(ctx: Ctx) -> tuple[bool, str]:
+    ivf_pairs = {(r.query_id, r.neighbor_id) for r in ctx.ivf_rows}
+    rep_rows = ctx.qs["emb_ivf_recall_report"](ctx.spark, ctx.sf_dir).collect()
+    ctx.spark.catalog.clearCache()
+    ok = len(rep_rows) == len(ctx.qids)
     for r in rep_rows:
-        ex_q = {n for (q, n) in exact if q == r.query_id}
+        ex_q = {n for (q, n) in ctx.exact if q == r.query_id}
         hits = len(ex_q & {n for (q, n) in ivf_pairs if q == r.query_id})
         ok = ok and (
             r.n_exact == len(ex_q)
             and r.n_hits == hits
             and abs(r.recall - round(hits / len(ex_q), 6)) < 1e-12
         )
-    record("emb_ivf_recall_report", ok, f"panel={len(rep_rows)}")
+    mean_recall = (
+        sum(r.recall for r in rep_rows) / len(rep_rows) if rep_rows else 0.0
+    )
+    ok = ok and mean_recall >= IVF_RECALL_FLOOR
+    return ok, (
+        f"panel={len(rep_rows)} mean_recall={round(mean_recall, 3)} "
+        f"(floor {IVF_RECALL_FLOOR})"
+    )
 
-    # ---- emb_ivf_pq_topk: shape + determinism --------------------------
-    pq1, shape_ok, _ = topk_shape_and_cosines(
+
+def check_ivf_pq_topk(ctx: Ctx) -> tuple[bool, str]:
+    pq1, shape_ok, _ = ctx.topk_shape_and_cosines(
         "emb_ivf_pq_topk", verify_cosine=False
     )
-    pq2, _, _ = topk_shape_and_cosines("emb_ivf_pq_topk", verify_cosine=False)
-    det_ok = sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))
-    record(
-        "emb_ivf_pq_topk", shape_ok and det_ok,
-        f"shape={shape_ok} deterministic={det_ok}",
+    pq2, _, _ = ctx.topk_shape_and_cosines(
+        "emb_ivf_pq_topk", verify_cosine=False
     )
+    det_ok = sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))
+    ctx._pq_rows = pq1
+    return shape_ok and det_ok, f"shape={shape_ok} deterministic={det_ok}"
 
-    # ---- emb_ivfpq_recall_report == recomputed from parts --------------
-    pq_pairs = {(r.query_id, r.neighbor_id) for r in pq1}
-    rep_rows = qs["emb_ivfpq_recall_report"](spark, sf_dir).collect()
-    spark.catalog.clearCache()
-    ok = len(rep_rows) == len(qids)
+
+def check_ivfpq_recall_report(ctx: Ctx) -> tuple[bool, str]:
+    pq_rows = getattr(ctx, "_pq_rows", None)
+    if pq_rows is None:
+        pq_rows = ctx.topk_shape_and_cosines(
+            "emb_ivf_pq_topk", verify_cosine=False
+        )[0]
+    pq_pairs = {(r.query_id, r.neighbor_id) for r in pq_rows}
+    rep_rows = ctx.qs["emb_ivfpq_recall_report"](
+        ctx.spark, ctx.sf_dir
+    ).collect()
+    ctx.spark.catalog.clearCache()
+    ok = len(rep_rows) == len(ctx.qids)
     for r in rep_rows:
-        ex_q = {n for (q, n) in exact if q == r.query_id}
+        ex_q = {n for (q, n) in ctx.exact if q == r.query_id}
         hits = len(ex_q & {n for (q, n) in pq_pairs if q == r.query_id})
         ok = ok and (
             r.n_exact == len(ex_q)
             and r.n_hits == hits
             and abs(r.recall - round(hits / len(ex_q), 6)) < 1e-12
         )
-    record("emb_ivfpq_recall_report", ok, f"panel={len(rep_rows)}")
+    return ok, f"panel={len(rep_rows)}"
 
-    # ---- emb_knn_graph_mutual_lsh --------------------------------------
-    edges = qs["emb_knn_graph_mutual_lsh"](spark, sf_dir).persist()
+
+def check_knn_graph(ctx: Ctx) -> tuple[bool, str]:
+    edges = ctx.edges
     n_edges = edges.count()
-    ordered_ok = edges.where(
-        (F.col("id_a") >= F.col("id_b"))
-    ).count() == 0
+    ordered_ok = edges.where(F.col("id_a") >= F.col("id_b")).count() == 0
     dup_ok = edges.select("id_a", "id_b").distinct().count() == n_edges
     deg = (
         edges.select(F.col("id_a").alias("v"))
@@ -204,42 +279,25 @@ def main() -> int:
         .agg(F.max("count"))
         .collect()[0][0]
     )
-    base = emb.select(
-        F.col("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "__v"
-        ),
-    ).withColumn("__n", F.sqrt(sim._dot_fixed(F.col("__v"), F.col("__v"), 64)))
-    a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    exact_cos = sim._dot_fixed(F.col("__va"), F.col("__vb"), 64) / (
-        F.col("__na") * F.col("__nb")
-    )
+    a, b, exact_cos = ctx.unit_vec_frames()
     bad_cos = (
         edges.join(a, "id_a")
         .join(b, "id_b")
         .where(F.round(exact_cos, 6) != F.col("cosine"))
         .count()
     )
-    record(
-        "emb_knn_graph_mutual_lsh",
-        ordered_ok and dup_ok and (deg is None or deg <= 5) and bad_cos == 0,
-        f"edges={n_edges} max_degree={deg} bad_cosines={bad_cos}",
+    ok = (
+        ordered_ok and dup_ok and (deg is None or deg <= 5) and bad_cos == 0
     )
+    return ok, f"edges={n_edges} max_degree={deg} bad_cosines={bad_cos}"
 
-    # ---- emb_cosine_near_dup_lsh -----------------------------------------
-    nd = qs["emb_cosine_near_dup_lsh"](spark, sf_dir).persist()
+
+def check_near_dup(ctx: Ctx) -> tuple[bool, str]:
+    nd = ctx.qs["emb_cosine_near_dup_lsh"](ctx.spark, ctx.sf_dir).persist()
     n_nd = nd.count()
     nd_ordered_ok = nd.where(F.col("id_a") >= F.col("id_b")).count() == 0
     nd_dup_ok = nd.select("id_a", "id_b").distinct().count() == n_nd
+    a, b, exact_cos = ctx.unit_vec_frames()
     nd_bad = (
         nd.join(a, "id_a")
         .join(b, "id_b")
@@ -253,22 +311,25 @@ def main() -> int:
         .count()
     )
     nd.unpersist()
-    spark.catalog.clearCache()
-    record(
-        "emb_cosine_near_dup_lsh",
+    ctx.spark.catalog.clearCache()
+    return (
         nd_ordered_ok and nd_dup_ok and nd_bad == 0,
         f"pairs={n_nd} bad_rows={nd_bad}",
     )
 
-    # ---- emb_semantic_clusters_lsh: driver union-find over the edges ---
-    edge_list = [(r.id_a, r.id_b) for r in edges.select("id_a", "id_b").collect()]
-    edges.unpersist()
+
+def check_semantic_clusters(ctx: Ctx) -> tuple[bool, str]:
+    edge_list = [
+        (r.id_a, r.id_b) for r in ctx.edges.select("id_a", "id_b").collect()
+    ]
     labels = {
         r.vec_id: (r.cluster_id, r.is_canonical)
-        for r in qs["emb_semantic_clusters_lsh"](spark, sf_dir).collect()
+        for r in ctx.qs["emb_semantic_clusters_lsh"](
+            ctx.spark, ctx.sf_dir
+        ).collect()
     }
-    spark.catalog.clearCache()
-    n_vec = emb.count()
+    ctx.spark.catalog.clearCache()
+    n_vec = ctx.emb.count()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -284,36 +345,63 @@ def main() -> int:
     want: dict[int, int] = {}
     for v in labels:
         want[v] = find(v)
-    # normalize union-find roots to min member id per component
     comp_min: dict[int, int] = {}
     for v, r in want.items():
         comp_min[r] = min(comp_min.get(r, v), v)
-    uf_ok = (
-        len(labels) == n_vec
-        and all(
-            labels[v][0] == comp_min[r] and labels[v][1] == (v == comp_min[r])
-            for v, r in want.items()
-        )
+    uf_ok = len(labels) == n_vec and all(
+        labels[v][0] == comp_min[r] and labels[v][1] == (v == comp_min[r])
+        for v, r in want.items()
     )
-    record(
-        "emb_semantic_clusters_lsh", uf_ok,
-        f"n={len(labels)} union-find replay over {len(edge_list)} edges",
+    return uf_ok, (
+        f"n={len(labels)} union-find replay over {len(edge_list)} edges"
     )
 
-    # ---- docs_semantic_dedup via its registered invariants query -------
-    inv = qs["docs_semantic_dedup_invariants"](spark, sf_dir).collect()[0]
-    record(
-        "docs_semantic_dedup",
+
+def check_semantic_dedup(ctx: Ctx) -> tuple[bool, str]:
+    inv = ctx.qs["docs_semantic_dedup_invariants"](
+        ctx.spark, ctx.sf_dir
+    ).collect()[0]
+    n_vec = ctx.emb.count()
+    ok = (
         inv.n_vectors == n_vec
         and inv.same_cell_missed_pairs == 0
-        and inv.dup_without_pointer == 0,
+        and inv.dup_without_pointer == 0
+    )
+    return ok, (
         f"n_vectors={inv.n_vectors} missed={inv.same_cell_missed_pairs} "
-        f"dangling={inv.dup_without_pointer}",
+        f"dangling={inv.dup_without_pointer}"
     )
 
-    print(json.dumps({"sf_dir": sf_dir, "results": RESULTS}))
+
+#: Ordered so shared state (ivf rows, edges) is computed by its owner
+#: first; each entry runs standalone too (Ctx lazily recomputes).
+CHECKS = {
+    "docs_minhash_recall_report": check_minhash_recall,
+    "emb_cosine_topk_ivf": check_ivf_topk,
+    "emb_ivf_recall_report": check_ivf_recall_report,
+    "emb_ivf_pq_topk": check_ivf_pq_topk,
+    "emb_ivfpq_recall_report": check_ivfpq_recall_report,
+    "emb_knn_graph_mutual_lsh": check_knn_graph,
+    "emb_cosine_near_dup_lsh": check_near_dup,
+    "emb_semantic_clusters_lsh": check_semantic_clusters,
+    "docs_semantic_dedup": check_semantic_dedup,
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    spark = get_spark("sf1-invariants")
+    ctx = Ctx(spark, sf_dir)
+    results: dict[str, str] = {}
+    for name, fn in CHECKS.items():
+        ok, detail = fn(ctx)
+        results[name] = "PASS" if ok else f"FAIL {detail}"
+        print(f"{'PASS' if ok else 'FAIL'} {name:34s} {detail}")
+    if ctx._edges is not None:
+        ctx._edges.unpersist()
+    print(json.dumps({"sf_dir": sf_dir, "results": results}))
     spark.stop()
-    return 1 if any(v != "PASS" for v in RESULTS.values()) else 0
+    return 1 if any(v != "PASS" for v in results.values()) else 0
 
 
 if __name__ == "__main__":

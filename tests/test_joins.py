@@ -100,6 +100,24 @@ def test_a1_sharded_equals_unsharded_union(services_df, pods_df):
     assert len(seen_ids["s2"]) == 2
 
 
+def test_a1_sharded_rank_window_is_presharded(services_df, pods_df):
+    """r14 task 4 (VERDICT r13): the row_number window must be
+    partitioned by (service_uid, __ps), not service_uid alone, so a
+    mega-service's rank sort spreads across pre-shard tasks instead of
+    streaming through one."""
+    pairs = joins.label_selector_join(services_df, pods_df)
+    df = joins.service_pod_map_sharded(pairs, pods_df, shard_size=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rank_windows = [
+        ln for ln in plan.splitlines()
+        if "row_number()" in ln and "windowspecdefinition" in ln
+    ]
+    assert rank_windows, plan
+    for ln in rank_windows:
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        assert "__ps" in spec.split("ASC")[0], ln
+
+
 def test_u1_union_fills_missing_columns(spark):
     a = spark.createDataFrame([("1", "x")], "id string, only_a string")
     b = spark.createDataFrame([("2", "y")], "id string, only_b string")

@@ -54,7 +54,12 @@ ALLOW: dict[str, tuple[int, int]] = {
     "j5_pod_service_reverse_index": (0, 1),  # same J4 composition
     "j6_service_deployments": (0, 1),   # same J4 composition over deps
     "a1_service_pod_map": (0, 1),       # contains J4's pinned empty-case
-    "a1_service_pod_map_sharded": (0, 1),  # same J4 pairs input
+    "a1_service_pod_map_sharded": (0, 2),  # same J4 pairs input; the
+    #                                      r14 pre-shard offsets branch
+    #                                      re-derives a column-pruned
+    #                                      copy of it, so J4's one
+    #                                      documented 1-row BNLJ appears
+    #                                      twice (both narrow broadcasts)
     # --- events tier ---
     "events_funnel": (1, 0),            # funnel-total single row
     "events_window_range_counts": (2, 0),  # two bounded bin rollups
