@@ -24,6 +24,7 @@ identically.
 from __future__ import annotations
 
 import hashlib
+import logging
 import math
 import warnings
 
@@ -275,6 +276,37 @@ def suggest_ivf_nprobe(
     return min(nlist, max(floor, tuned))
 
 
+_LOG = logging.getLogger(__name__)
+
+
+def _auto_nprobe(nlist: int, n_rows: int) -> int:
+    """``suggest_ivf_nprobe`` + an INFO log naming the probed fraction
+    (ADVICE r14: default-path callers couldn't see that the isotropic
+    law probes ~nlist/2 cells — on clustered data they should tune
+    down; the log makes the chosen regime visible without changing any
+    result)."""
+    nprobe = suggest_ivf_nprobe(nlist)
+    _LOG.info(
+        "IVF auto-tuned nprobe=%d of nlist=%d (probes %.0f%% of cells, "
+        "n=%d; isotropic worst-case law — pass nprobe= to tune down on "
+        "clustered data)",
+        nprobe, nlist, 100.0 * nprobe / nlist, n_rows,
+    )
+    return nprobe
+
+
+def _check_lsh_params(tables: int | None, bits: int | None) -> None:
+    """Reject a half-pinned LSH regime (ADVICE r13) BEFORE any DataFrame
+    is built: ADVICE r14 — raising after ``.persist()``+``.count()``
+    made a pure argument error cost a full corpus pass and leaked the
+    persisted frame on the error path."""
+    if (tables is None) != (bits is None):
+        raise ValueError(
+            "pass both tables= and bits= to pin the LSH regime, or "
+            "neither to auto-tune (suggest_lsh_params)"
+        )
+
+
 def _auto_lsh_params(n_rows: int) -> tuple[int, int]:
     """(bits, tables) the LSH operators use when the caller passes
     ``tables=None, bits=None`` — ``suggest_lsh_params`` at the module
@@ -484,6 +516,7 @@ def cosine_topk_lsh(
     explicitly to pin a regime (the DuckDB oracle replays the same
     auto-tune rule, so the defaults stay hash-checkable at any SF).
     """
+    _check_lsh_params(tables, bits)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(
         F.col(id_col).alias("__id"), vec_d.alias("__v")
@@ -492,13 +525,6 @@ def cosine_topk_lsh(
     # self-join needs materialized anyway; n also gates the rejoin
     # broadcast below
     n_rows = base.count()
-    if (tables is None) != (bits is None):
-        # ADVICE r13: silently auto-tuning BOTH when the caller pinned
-        # one broke the caller's regime without a trace.
-        raise ValueError(
-            "pass both tables= and bits= to pin the LSH regime, or "
-            "neither to auto-tune (suggest_lsh_params)"
-        )
     if tables is None:
         bits, tables = _auto_lsh_params(n_rows)
     bucketed = base.select(
@@ -618,17 +644,11 @@ def cosine_near_dup_lsh(
     einsum UDF (see the inline note below for why it beats the unrolled
     codegen expression here).
     """
+    _check_lsh_params(tables, bits)
     norm_d = with_unit_vectors(embeddings, vec_col, dim=dim).select(
         F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
     ).persist()
     n_rows = norm_d.count()
-    if (tables is None) != (bits is None):
-        # ADVICE r13: silently auto-tuning BOTH when the caller pinned
-        # one broke the caller's regime without a trace.
-        raise ValueError(
-            "pass both tables= and bits= to pin the LSH regime, or "
-            "neither to auto-tune (suggest_lsh_params)"
-        )
     if tables is None:
         bits, tables = _auto_lsh_params(n_rows)
     # Bucket the RAW vector (hyperplane signs are scale-invariant, so the
@@ -1109,7 +1129,7 @@ def cosine_topk_ivf(
     if nlist is None:
         nlist = max(4, int(n_rows ** 0.5 / 2))
     if nprobe is None:
-        nprobe = suggest_ivf_nprobe(nlist)
+        nprobe = _auto_nprobe(nlist, n_rows)
 
     if quantizer == "sample":
         # Sample-trained integer-exact k-means + distributed argmax
@@ -1935,7 +1955,7 @@ def ivf_pq_topk(
     if nlist is None:
         nlist = max(4, int(n_rows ** 0.5 / 2))
     if nprobe is None:
-        nprobe = suggest_ivf_nprobe(nlist)
+        nprobe = _auto_nprobe(nlist, n_rows)
 
     base = base.persist()
     centers = _sample_kmeans_int(base, nlist, n_rows, max_train)
@@ -2237,6 +2257,7 @@ def knn_graph_mutual_lsh(
     ``tables``/``bits`` default to the same corpus-size auto-tune
     (``_auto_lsh_params``, oracle-replayed).
     """
+    _check_lsh_params(tables, bits)
     raw = embeddings.select(
         F.col(id_col).alias("__id"),
         F.transform(
@@ -2246,13 +2267,6 @@ def knn_graph_mutual_lsh(
         "__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim))
     ).persist()
     n_rows = raw.count()
-    if (tables is None) != (bits is None):
-        # ADVICE r13: silently auto-tuning BOTH when the caller pinned
-        # one broke the caller's regime without a trace.
-        raise ValueError(
-            "pass both tables= and bits= to pin the LSH regime, or "
-            "neither to auto-tune (suggest_lsh_params)"
-        )
     if tables is None:
         bits, tables = _auto_lsh_params(n_rows)
     bucketed = raw.select(

@@ -391,6 +391,13 @@ def service_pod_map_sharded(
     ~n_service_pods/preshards or ``shard_size``.  Union of all shards
     == the unsharded map (pytest-pinned).
     """
+    if preshards < 1:
+        # ADVICE r14: preshards <= 0 would make the modulo yield
+        # null/invalid __ps and silently corrupt ranks and shard ids —
+        # fail fast, mirroring suggest_ivf_nprobe's nlist validation.
+        raise ValueError("preshards must be >= 1")
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
     pod_info = pods.select(
         F.col(pod_key).alias("pod_uid"),
         F.col(name_col).alias("__pod_name"),

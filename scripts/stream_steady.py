@@ -72,18 +72,25 @@ def drain(q, n_files: int, timeout_s: float = 600.0) -> list[dict]:
     return [p for p in prog if p["numInputRows"] > 0]
 
 
-def leg_stats(prog: list[dict], sink_rows: list[int]) -> dict:
+def leg_stats(prog: list[dict], sink_rows: dict[int, int]) -> dict:
     """Sustained rate over triggers 2..N (first measured trigger still
     carries per-query setup) + per-trigger latency distribution.
 
     Docs are counted at the SINK (rows the foreachBatch actually
     received), not from numInputRows: a gate whose foreachBatch runs
     more than one action re-scans the source and progress double-counts
-    the input (observed 2× on the near-dup leg)."""
+    the input (observed 2× on the near-dup leg).
+
+    ``sink_rows`` is keyed by batchId and each progress entry is matched
+    by ITS OWN batchId (ADVICE r13: the previous positional slice
+    assumed sink calls aligned index-for-index with data triggers —
+    recentProgress is capped at ~100 entries and interleaves empty
+    triggers, so the slice could silently sum the wrong triggers' rows
+    once either effect kicked in)."""
     durs = sorted(
         p["durationMs"]["triggerExecution"] / 1000.0 for p in prog[1:]
     )
-    rows = sum(sink_rows[1:len(prog)])
+    rows = sum(sink_rows.get(p["batchId"], 0) for p in prog[1:])
     wall = sum(durs)
     return {
         "triggers": len(prog),
@@ -112,10 +119,12 @@ def main() -> None:
     )
     n_docs = new.count()
 
-    sink_counts: list[int] = []
+    sink_counts: dict[int, int] = {}
 
-    def count_sink(df, _bid):
-        sink_counts.append(df.count())
+    def count_sink(df, bid):
+        # keyed by batchId; overwrite (not +=) so a retried batch does
+        # not double-count
+        sink_counts[int(bid)] = df.count()
 
     # ---- near-dup gate artifacts (once per corpus version) ----
     t0 = time.time()
@@ -144,7 +153,7 @@ def main() -> None:
             q = build_writer(f"{work}/ck-{name}-{nf}", False)
             prog = drain(q, nf)
             out["legs"][f"{name}@{nf}x{n_docs // nf}"] = leg_stats(
-                prog, list(sink_counts)
+                prog, dict(sink_counts)
             )
 
         def control_writer(ck, available_now):

@@ -100,6 +100,20 @@ def test_a1_sharded_equals_unsharded_union(services_df, pods_df):
     assert len(seen_ids["s2"]) == 2
 
 
+def test_a1_sharded_validates_args(services_df, pods_df):
+    """ADVICE r14: preshards <= 0 would make the modulo yield
+    null/invalid __ps and silently corrupt ranks and shard ids —
+    fail fast instead.  None args prove the check precedes any
+    DataFrame work."""
+    import pytest
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="preshards"):
+            joins.service_pod_map_sharded(None, None, preshards=bad)
+    with pytest.raises(ValueError, match="shard_size"):
+        joins.service_pod_map_sharded(None, None, shard_size=0)
+
+
 def test_a1_sharded_rank_window_is_presharded(services_df, pods_df):
     """r14 task 4 (VERDICT r13): the row_number window must be
     partitioned by (service_uid, __ps), not service_uid alone, so a

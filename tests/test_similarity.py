@@ -853,6 +853,17 @@ def test_lsh_partial_params_raise(spark):
             similarity.cosine_near_dup_lsh(emb, threshold=0.45, **kwargs)
         with pytest.raises(ValueError, match="both tables= and bits="):
             similarity.knn_graph_mutual_lsh(emb, k=3, **kwargs)
+    # ADVICE r14: the check must fire BEFORE any DataFrame is built or
+    # persisted — a pure argument error must not cost a corpus pass.
+    # embeddings=None would raise AttributeError the moment the frame
+    # is touched, so a ValueError here proves the check runs first.
+    for kwargs in ({"tables": 4}, {"bits": 6}):
+        with pytest.raises(ValueError, match="both tables= and bits="):
+            similarity.cosine_topk_lsh(None, (0, 1), k=5, **kwargs)
+        with pytest.raises(ValueError, match="both tables= and bits="):
+            similarity.cosine_near_dup_lsh(None, threshold=0.45, **kwargs)
+        with pytest.raises(ValueError, match="both tables= and bits="):
+            similarity.knn_graph_mutual_lsh(None, k=3, **kwargs)
     # both pinned still honored, both omitted still auto-tunes
     assert similarity.cosine_topk_lsh(
         emb, (0, 1), k=5, tables=4, bits=4
