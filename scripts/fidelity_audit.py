@@ -196,9 +196,98 @@ def cosine_tail(gen_dir: str, ref_dir: str) -> tuple[int, int]:
     return tail(gen), tail(ref)
 
 
+def clustered_audit(gen_dir: str) -> int:
+    """Structural gate for the CLUSTERED embedding fixture (r15, VERDICT
+    r14 task 3).  The clustered variant deliberately diverges from the
+    driver fixture, so there is nothing to compare against — instead the
+    declared structure is RE-DERIVED from the data (no trust in the
+    generator's own parameters):
+
+    * unit norms (float32 rounding band)
+    * connected components of the cosine>=0.6 graph on a <=5000-point
+      deterministic sample recover the planted clusters: component
+      count in a sane band, within-component mean cosine >= 0.75,
+      cross-component mean |cosine| <= 0.10, no degenerate giant
+      component (largest <= 20% of sample)
+    * labels follow geometry: label purity within components ~1.0
+      (labels are cluster%10 by construction)
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{gen_dir}/embeddings.parquet")
+    v = np.vstack(t.column("embedding").to_numpy()).astype(np.float64)
+    labels = np.asarray(t.column("label"))
+    norms = np.linalg.norm(v, axis=1)
+    ok = bool(np.max(np.abs(norms - 1.0)) < 1e-3)
+    print(f"{'PASS' if ok else 'FAIL'} unit_norms"
+          f"{'':24s} max|n-1|={np.max(np.abs(norms - 1.0)):.2g}")
+    if not ok:
+        FAILS.append("unit_norms")
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = len(v)
+    idx = (rng.choice(n, size=5000, replace=False) if n > 5000
+           else np.arange(n))
+    u = v[idx] / np.linalg.norm(v[idx], axis=1, keepdims=True)
+    lab = labels[idx]
+    g = u @ u.T
+    np.fill_diagonal(g, 0.0)
+    adj = g >= 0.6
+    # union-find components
+    parent = np.arange(len(u))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, j in zip(*np.nonzero(np.triu(adj, k=1))):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            parent[ri] = rj
+    roots = np.array([find(int(i)) for i in range(len(u))])
+    comps, counts = np.unique(roots, return_counts=True)
+    big = comps[counts >= 5]  # singletons = sampling noise
+    wsum = wcnt = 0.0
+    xsum = xcnt = 0.0
+    for c in big:
+        m = roots == c
+        gm = g[np.ix_(m, m)]
+        wsum += gm.sum()
+        wcnt += m.sum() * (m.sum() - 1)
+        gx = g[np.ix_(m, ~m)]
+        xsum += np.abs(gx).sum()
+        xcnt += gx.size
+    within_mean = wsum / max(wcnt, 1)
+    cross_mean = xsum / max(xcnt, 1)
+    largest_share = counts.max() / len(u)
+    purity = np.mean(
+        [np.bincount(lab[roots == c]).max() / (roots == c).sum()
+         for c in big]
+    )
+    for name, val, lo, hi in (
+        ("n_components(>=5)", float(len(big)), 8.0, 512.0),
+        ("within_mean_cosine", within_mean, 0.75, 0.95),
+        ("cross_mean_abs_cosine", cross_mean, 0.0, 0.14),
+        ("largest_component_share", largest_share, 0.0, 0.20),
+        ("label_purity", float(purity), 0.999, 1.0),
+    ):
+        ok = lo <= val <= hi
+        print(f"{'PASS' if ok else 'FAIL'} {name:34s} "
+              f"val={val:.6g} band=[{lo:g},{hi:g}]")
+        if not ok:
+            FAILS.append(name)
+    print(f"\n{'ALL CHECKS PASS' if not FAILS else 'FAILURES: ' + ', '.join(FAILS)}")
+    return 1 if FAILS else 0
+
+
 def main() -> int:
-    gen_dir = sys.argv[1] if len(sys.argv) > 1 else GEN_DEFAULT
-    ref_dir = sys.argv[2] if len(sys.argv) > 2 else REF_DEFAULT
+    argv = [a for a in sys.argv[1:] if a != "--clustered"]
+    if "--clustered" in sys.argv[1:]:
+        return clustered_audit(argv[0] if argv else GEN_DEFAULT)
+    gen_dir = argv[0] if len(argv) > 0 else GEN_DEFAULT
+    ref_dir = argv[1] if len(argv) > 1 else REF_DEFAULT
     con = duckdb.connect()
     con.execute("SET threads=8")
 

@@ -359,13 +359,44 @@ def gen_documents(rng: np.random.Generator, out_dir: str, mult: int) -> None:
     )
 
 
-def gen_embeddings(rng: np.random.Generator, out_dir: str, mult: int) -> None:
+def gen_embeddings(
+    rng: np.random.Generator,
+    out_dir: str,
+    mult: int,
+    clusters: int = 0,
+    sigma: float = 0.06,
+) -> None:
     n = 2000 * mult
-    # Pure isotropic unit vectors — the measured sf0.1 structure (no
-    # planted pairs; the >=0.45-cosine tail is the "near-dup" set).
-    full = rng.standard_normal((n, 64))
-    full /= np.linalg.norm(full, axis=1, keepdims=True)
-    full = full.astype(np.float32)
+    if clusters <= 0:
+        # Pure isotropic unit vectors — the measured sf0.1 structure (no
+        # planted pairs; the >=0.45-cosine tail is the "near-dup" set).
+        full = rng.standard_normal((n, 64))
+        full /= np.linalg.norm(full, axis=1, keepdims=True)
+        full = full.astype(np.float32)
+        labels = rng.integers(0, 10, n).astype(np.int32)
+    else:
+        # Clustered variant (r15, VERDICT r13 task 3 / r14 task 3):
+        # mixture of von-Mises-Fisher-like bumps — C isotropic unit
+        # centers, member = unit(center + sigma*noise), sizes mildly
+        # imbalanced via Dirichlet(2).  The driver fixture is isotropic
+        # (the ANN worst case, no structure to prune); every real
+        # embedding corpus HAS topic structure, and this fixture pins
+        # the regime where IVF's nprobe law and LSH's candidate volume
+        # are allowed to exploit it.  sigma=0.06 gives within-cluster
+        # pair cosine ~1/(1+64*sigma^2) ~= 0.81 (semantic-similarity
+        # band) and between-cluster cosine ~0 mean, ~0.1 mean-abs (random
+        # unit centers in 64-dim).  Labels follow clusters (cluster % 10) — realistic
+        # class structure, measured by the audit, NOT used by the ANN
+        # sweeps.  scripts/fidelity_audit.py --clustered gates all of
+        # this on every regen.
+        centers = rng.standard_normal((clusters, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        w = rng.dirichlet(np.full(clusters, 2.0))
+        assign = rng.choice(clusters, size=n, p=w)
+        full = centers[assign] + sigma * rng.standard_normal((n, 64))
+        full /= np.linalg.norm(full, axis=1, keepdims=True)
+        full = full.astype(np.float32)
+        labels = (assign % 10).astype(np.int32)
     _write(
         out_dir,
         "embeddings",
@@ -375,7 +406,7 @@ def gen_embeddings(rng: np.random.Generator, out_dir: str, mult: int) -> None:
                 "embedding": pa.array(
                     list(full), type=pa.list_(pa.float32())
                 ),
-                "label": rng.integers(0, 10, n).astype(np.int32),
+                "label": labels,
             }
         ),
     )
@@ -386,15 +417,24 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10,
                     help="scale multiplier relative to sf0.1 (10 = sf1)")
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    ap.add_argument("--clusters", type=int, default=0,
+                    help="embeddings: 0 = isotropic (driver-measured); "
+                         ">0 = mixture of that many vMF-like bumps")
+    ap.add_argument("--cluster-sigma", type=float, default=0.06)
+    ap.add_argument("--embeddings-only", action="store_true",
+                    help="write only embeddings.parquet (ANN sweeps "
+                         "need nothing else; skips the slow tables)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.Generator(np.random.PCG64(42))
     print(f"generating mult={args.mult} fixtures into {args.out}")
-    gen_dims(args.out)
-    gen_tpch(rng, args.out, args.mult)
-    gen_events(rng, args.out, args.mult)
-    gen_documents(rng, args.out, args.mult)
-    gen_embeddings(rng, args.out, args.mult)
+    if not args.embeddings_only:
+        gen_dims(args.out)
+        gen_tpch(rng, args.out, args.mult)
+        gen_events(rng, args.out, args.mult)
+        gen_documents(rng, args.out, args.mult)
+    gen_embeddings(rng, args.out, args.mult, clusters=args.clusters,
+                   sigma=args.cluster_sigma)
     print("done")
 
 
