@@ -37,10 +37,13 @@ from k8stream_spark.streaming.pipeline import project_enriched_l9
 
 # IVF auto-nprobe law constants, embedded into the oracle SQL at build
 # time from the module that owns them (similarity.suggest_ivf_nprobe)
-# so the Spark default and the DuckDB replay cannot drift (r14 task 1).
+# so the Spark default and the DuckDB replay cannot drift (r14 task 1;
+# r15 adds the structure-margin band — see _ivf_margin_sql).
 _NPROBE_FLOOR = similarity._AUTO_NPROBE_FLOOR
 _NPROBE_NUM = similarity._AUTO_PROBE_NUM
 _NPROBE_DEN = similarity._AUTO_PROBE_DEN
+_MARGIN_LO = similarity._MARGIN_LO_MICRO
+_MARGIN_HI = similarity._MARGIN_HI_MICRO
 
 SEGMENTS = ("MACHINERY", "BUILDING", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE")
 NS_BLACKLIST = ("ns-0", "ns-1", "ns-2")
@@ -402,6 +405,54 @@ WITH lshn AS (
 # Every argmax/rank input is either an exact int64 or a double computed
 # from exact int64s (< 2^53) by correctly-rounded IEEE ops, so numpy and
 # DuckDB produce identical orderings — no float-summation-order risk.
+def _ivf_margin_sql(cent_final: str) -> str:
+    """CTE chain for the r15 structure-adaptive nprobe — the oracle
+    twin of ``similarity._ivf_sample_margin_micro`` +
+    ``suggest_ivf_nprobe(margin_micro=...)``: per-sample-point top1−top2
+    cell cosine (the identical a/sqrt(n2) doubles the training replay
+    ranks on), normalized by the point's quantized norm sqrt(Σq²),
+    micro-quantized with floor(·*1e6+0.5), integer-mean'd (all
+    non-negative, so DuckDB's truncating // equals Python's floor),
+    then the LO/HI band law in exact int64 arithmetic.  Runs over the
+    SAMPLE only (its own ``asamp`` dot CTE), so it never re-scans the
+    corpus-sized ``af``/``ranked`` chain."""
+    return f""", qq AS (
+  SELECT q.id AS pid, SUM(q.q * q.q) AS qq
+  FROM samp s JOIN qv q ON q.id = s.id GROUP BY q.id
+), asamp AS (
+  SELECT q.id AS pid, c.cell, SUM(q.q * c.c) AS a
+  FROM samp s JOIN qv q ON q.id = s.id JOIN {cent_final} c ON c.d = q.d
+  GROUP BY q.id, c.cell
+), rsamp AS (
+  SELECT a.pid,
+         CASE WHEN n.n2 = 0 THEN -2.0
+              ELSE CAST(a.a AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) END AS v,
+         row_number() OVER (PARTITION BY a.pid ORDER BY
+           CASE WHEN n.n2 = 0 THEN -2.0
+                ELSE CAST(a.a AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) END
+             DESC, a.cell) AS rn
+  FROM asamp a JOIN n2f n USING (cell)
+), mrg AS (
+  SELECT CAST(FLOOR((r1.v - r2.v) / sqrt(CAST(qq.qq AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM (SELECT pid, v FROM rsamp WHERE rn = 1) r1
+  JOIN (SELECT pid, v FROM rsamp WHERE rn = 2) r2 USING (pid)
+  JOIN qq USING (pid)
+), prm AS (
+  SELECT p.nlist,
+         LEAST(p.nlist, GREATEST({_NPROBE_FLOOR},
+           CASE WHEN mm.m IS NULL OR mm.m <= {_MARGIN_LO}
+                  THEN ({_NPROBE_NUM} * p.nlist + {_NPROBE_DEN} - 1)
+                       // {_NPROBE_DEN}
+                WHEN mm.m >= {_MARGIN_HI} THEN 0
+                ELSE ({_NPROBE_NUM} * p.nlist * ({_MARGIN_HI} - mm.m)
+                      + {_NPROBE_DEN} * ({_MARGIN_HI} - {_MARGIN_LO}) - 1)
+                     // ({_NPROBE_DEN} * ({_MARGIN_HI} - {_MARGIN_LO}))
+           END)) AS nprobe
+  FROM params p, (SELECT SUM(m) // COUNT(*) AS m FROM mrg) mm
+)"""
+
+
 def _ivf_training_sql(iters: int = 4, dim: int = 64) -> str:
     """Shared WITH-body ending at ``ranked``/``asgf`` (every vector's
     per-cell cosine rank and final cell), used by the IVF-search oracle
@@ -426,7 +477,7 @@ a{i} AS (
              a.cell) AS rn
     FROM a{i} a JOIN n2_{i} n USING (cell))
   WHERE rn = 1
-), cent{i + 1} AS (
+), cent{i + 1} AS MATERIALIZED (
   SELECT c.cell, c.d, COALESCE(m.mean, c.c) AS c
   FROM cent{i} c LEFT JOIN (
     SELECT g.cell, q.d,
@@ -440,23 +491,22 @@ a{i} AS (
     return f"""
 WITH base AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
-), qv AS (
+), qv AS MATERIALIZED (
   SELECT b.id, d.d,
          CAST(FLOOR(b.x[d.d + 1] * 10000.0 + 0.5) AS BIGINT) AS q
   FROM base b, range({dim}) d(d)
 ), params AS (
-  -- nprobe replays similarity.suggest_ivf_nprobe: exact-integer
-  -- ceil(nlist*NUM/DEN), floored at the small-corpus default, capped
-  -- at nlist; constants embedded at SQL-build time from the module.
+  -- nlist/permille replay similarity's corpus-size rules; nprobe moved
+  -- to the prm CTE (r15): it now replays the structure-adaptive
+  -- suggest_ivf_nprobe(margin_micro=...) from the training-sample
+  -- margin statistic (see _ivf_margin_sql).
   SELECT n, nlist,
-         LEAST(nlist, GREATEST({_NPROBE_FLOOR},
-           ({_NPROBE_NUM} * nlist + {_NPROBE_DEN} - 1) // {_NPROBE_DEN})) AS nprobe,
          GREATEST(1, LEAST(1000, (20000 * 1000) // n)) AS permille
   FROM (SELECT n,
                GREATEST(4, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / 2) AS INT))
                  AS nlist
         FROM (SELECT COUNT(*) AS n FROM base))
-), samp AS (
+), samp AS MATERIALIZED (
   SELECT id, rnk FROM (
     SELECT b.id, row_number() OVER (ORDER BY hh, b.id) AS rnk
     FROM (SELECT id,
@@ -465,7 +515,7 @@ WITH base AS (
           FROM base) b, params p
     WHERE b.hh < p.permille)
   WHERE rnk <= 20000
-), cent0 AS (
+), cent0 AS MATERIALIZED (
   SELECT CAST(s.rnk - 1 AS INT) AS cell, q.d, q.q AS c
   FROM samp s JOIN qv q ON q.id = s.id, params p
   WHERE s.rnk <= p.nlist
@@ -474,9 +524,9 @@ af AS (
   SELECT q.id AS pid, c.cell, SUM(q.q * c.c) AS a
   FROM qv q JOIN cent{iters} c ON c.d = q.d
   GROUP BY q.id, c.cell
-), n2f AS (
+), n2f AS MATERIALIZED (
   SELECT cell, SUM(c * c) AS n2 FROM cent{iters} GROUP BY cell
-), ranked AS (
+), ranked AS MATERIALIZED (
   SELECT a.pid, a.cell,
          row_number() OVER (PARTITION BY a.pid ORDER BY
            CASE WHEN n.n2 = 0 THEN -2.0
@@ -484,9 +534,9 @@ af AS (
              DESC,
            a.cell) AS rn
   FROM af a JOIN n2f n USING (cell)
-), asgf AS (
+), asgf AS MATERIALIZED (
   SELECT pid, cell FROM ranked WHERE rn = 1
-)
+){_ivf_margin_sql(f"cent{iters}")}
 __TAIL__
 """
 
@@ -495,7 +545,7 @@ def _ivf_oracle_sql(
     iters: int = 4, nprobe: int | None = None, k: int = 10, dim: int = 64
 ) -> str:
     qids = "(" + ",".join(str(i) for i in (0, 1, 2, 3, 4)) + ")"
-    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM params)"
+    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM prm)"
     tail = f""", probes AS (
   SELECT pid AS query_id, cell FROM ranked
   WHERE pid IN {qids} AND rn <= {npx}
@@ -566,7 +616,7 @@ def _ivf_recall_oracle_sql(
     iters: int = 4, nprobe: int | None = None, k: int = 10, dim: int = 64
 ) -> str:
     qids = "(" + ",".join(str(i) for i in (0, 1, 2, 3, 4)) + ")"
-    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM params)"
+    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM prm)"
     tail = f""", probes AS (
   SELECT pid AS query_id, cell FROM ranked
   WHERE pid IN {qids} AND rn <= {npx}
@@ -703,7 +753,7 @@ d{i} AS (
                               ORDER BY d2, cell) AS rn
     FROM d{i})
   WHERE rn = 1
-), cb{i + 1} AS (
+), cb{i + 1} AS MATERIALIZED (
   SELECT c.sub, c.cell, c.sd, COALESCE(u.mean, c.c) AS c
   FROM cb{i} c LEFT JOIN (
     SELECT g.sub, g.cell, q.sd,
@@ -717,14 +767,14 @@ d{i} AS (
     return f"""
 WITH base AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
-), qv AS (
+), qv AS MATERIALIZED (
   SELECT b.id, d.d // {sub} AS sub, d.d % {sub} AS sd,
          CAST(FLOOR(b.x[d.d + 1] * 10000.0 + 0.5) AS BIGINT) AS q
   FROM base b, range({dim}) d(d)
 ), params AS (
   SELECT n, GREATEST(1, LEAST(1000, (20000 * 1000) // n)) AS permille
   FROM (SELECT COUNT(*) AS n FROM base)
-), samp AS (
+), samp AS MATERIALIZED (
   SELECT id, rnk FROM (
     SELECT b.id, row_number() OVER (ORDER BY hh, b.id) AS rnk
     FROM (SELECT id,
@@ -733,7 +783,7 @@ WITH base AS (
           FROM base) b, params p
     WHERE b.hh < p.permille)
   WHERE rnk <= 20000
-), cb0 AS (
+), cb0 AS MATERIALIZED (
   SELECT q.sub, CAST(s.rnk - 1 AS INT) AS cell, q.sd, q.q AS c
   FROM samp s JOIN qv q ON q.id = s.id
   WHERE s.rnk <= {k}
@@ -876,7 +926,7 @@ def _ivf_pq_oracle_sql(
     tail: str | None = None,
 ) -> str:
     qids = "(" + ",".join(str(i) for i in query_ids) + ")"
-    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM params)"
+    npx = str(nprobe) if nprobe is not None else "(SELECT nprobe FROM prm)"
     sub = dim // m
     ivf_parts = []
     for i in range(ivf_iters):
@@ -897,7 +947,7 @@ a{i} AS (
              a.cell) AS rn
     FROM a{i} a JOIN n2_{i} n USING (cell))
   WHERE rn = 1
-), cent{i + 1} AS (
+), cent{i + 1} AS MATERIALIZED (
   SELECT c.cell, c.d, COALESCE(u.mean, c.c) AS c
   FROM cent{i} c LEFT JOIN (
     SELECT g.cell, q.d,
@@ -922,7 +972,7 @@ pd{i} AS (
                               ORDER BY d2, cell) AS rn
     FROM pd{i})
   WHERE rn = 1
-), cb{i + 1} AS (
+), cb{i + 1} AS MATERIALIZED (
   SELECT c.sub, c.cell, c.sd, COALESCE(u.mean, c.c) AS c
   FROM cb{i} c LEFT JOIN (
     SELECT g.sub, g.cell, q.sd,
@@ -937,25 +987,24 @@ pd{i} AS (
     return f"""
 WITH base AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
-), qv AS (
+), qv AS MATERIALIZED (
   SELECT b.id, d.d,
          CAST(FLOOR(b.x[d.d + 1] * 10000.0 + 0.5) AS BIGINT) AS q
   FROM base b, range({dim}) d(d)
-), qp AS (
+), qp AS MATERIALIZED (
   SELECT id, d // {sub} AS sub, d % {sub} AS sd, q FROM qv
 ), params AS (
-  -- nprobe replays similarity.suggest_ivf_nprobe: exact-integer
-  -- ceil(nlist*NUM/DEN), floored at the small-corpus default, capped
-  -- at nlist; constants embedded at SQL-build time from the module.
+  -- nlist/permille replay similarity's corpus-size rules; nprobe moved
+  -- to the prm CTE (r15): it now replays the structure-adaptive
+  -- suggest_ivf_nprobe(margin_micro=...) from the training-sample
+  -- margin statistic (see _ivf_margin_sql).
   SELECT n, nlist,
-         LEAST(nlist, GREATEST({_NPROBE_FLOOR},
-           ({_NPROBE_NUM} * nlist + {_NPROBE_DEN} - 1) // {_NPROBE_DEN})) AS nprobe,
          GREATEST(1, LEAST(1000, (20000 * 1000) // n)) AS permille
   FROM (SELECT n,
                GREATEST(4, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / 2) AS INT))
                  AS nlist
         FROM (SELECT COUNT(*) AS n FROM base))
-), samp AS (
+), samp AS MATERIALIZED (
   SELECT id, rnk FROM (
     SELECT b.id, row_number() OVER (ORDER BY hh, b.id) AS rnk
     FROM (SELECT id,
@@ -964,7 +1013,7 @@ WITH base AS (
           FROM base) b, params p
     WHERE b.hh < p.permille)
   WHERE rnk <= 20000
-), cent0 AS (
+), cent0 AS MATERIALIZED (
   SELECT CAST(s.rnk - 1 AS INT) AS cell, q.d, q.q AS c
   FROM samp s JOIN qv q ON q.id = s.id, params p
   WHERE s.rnk <= p.nlist
@@ -973,9 +1022,9 @@ af AS (
   SELECT q.id AS pid, c.cell, SUM(q.q * c.c) AS a
   FROM qv q JOIN cent{ivf_iters} c ON c.d = q.d
   GROUP BY q.id, c.cell
-), n2f AS (
+), n2f AS MATERIALIZED (
   SELECT cell, SUM(c * c) AS n2 FROM cent{ivf_iters} GROUP BY cell
-), ranked AS (
+), ranked AS MATERIALIZED (
   SELECT a.pid, a.cell,
          row_number() OVER (PARTITION BY a.pid ORDER BY
            CASE WHEN n.n2 = 0 THEN -2.0
@@ -983,12 +1032,12 @@ af AS (
              DESC,
            a.cell) AS rn
   FROM af a JOIN n2f n USING (cell)
-), asgf AS (
+), asgf AS MATERIALIZED (
   SELECT pid, cell FROM ranked WHERE rn = 1
-), probes AS (
+){_ivf_margin_sql(f"cent{ivf_iters}")}, probes AS (
   SELECT pid AS query_id, cell FROM ranked
   WHERE pid IN {qids} AND rn <= {npx}
-), cb0 AS (
+), cb0 AS MATERIALIZED (
   SELECT q.sub, CAST(s.rnk - 1 AS INT) AS cell, q.sd, q.q AS c
   FROM samp s JOIN qp q ON q.id = s.id
   WHERE s.rnk <= {k_codes}
@@ -3512,7 +3561,7 @@ def oracle_sql() -> dict[str, str]:
                        AND 1 PRECEDING), 0) AS off
               FROM (SELECT sk, ps, COUNT(*) AS cnt
                     FROM pre GROUP BY sk, ps)
-            ), ranked AS (
+            ), ranked AS MATERIALIZED (
               SELECT l.sk, l.pn, (l.rnl + o.off) // 1000 AS shard
               FROM lcl l JOIN offs o ON o.sk = l.sk AND o.ps = l.ps
             )

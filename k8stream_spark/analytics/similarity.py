@@ -255,6 +255,26 @@ def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
 _AUTO_NPROBE_FLOOR = 8
 _AUTO_PROBE_NUM = 1
 _AUTO_PROBE_DEN = 2
+#: Structure-aware nprobe (r15, VERDICT r14 task 3): the mean top1−top2
+#: quantizer-cosine margin of the training sample, point-norm
+#: normalized and micro-quantized, separates the regimes cleanly —
+#: measured (scripts/ivf_nprobe_sweep.py --margins, SCALE.md r15):
+#:   isotropic   n=500/2k/20k  -> margin 0.149 / 0.103 / 0.064
+#:                                (shrinks with nlist: extreme order
+#:                                statistics of random cosines cluster,
+#:                                so big-nlist isotropic NEVER reads as
+#:                                structured — the safe direction)
+#:   clustered σ=.06 (cos~.81) -> 0.452 / 0.418   (stable in n)
+#:   clustered σ=.12 (cos~.52) -> 0.301 / 0.246   (mid-band)
+#: Below LO: the isotropic worst-case law (ceil(nlist/2)).  Above HI:
+#: the floor alone (neighbors share the query's cell).  Between:
+#: linear ramp, exact ints.  Constants are micro-cosine units.
+#: Validated at n=20k, nlist=70 (SCALE_CLUSTERED.json): law picks
+#: nprobe 35/8/28 for isotropic/σ.06/σ.12 with recall@10 0.88/1.0/1.0;
+#: the recall-1.0 knee sits at nprobe 2 (σ.06) and 4 (σ.12), so the
+#: picks carry 2-4x headroom below the isotropic fraction.
+_MARGIN_LO_MICRO = 200_000
+_MARGIN_HI_MICRO = 400_000
 
 
 def suggest_ivf_nprobe(
@@ -262,35 +282,81 @@ def suggest_ivf_nprobe(
     probe_num: int = _AUTO_PROBE_NUM,
     probe_den: int = _AUTO_PROBE_DEN,
     floor: int = _AUTO_NPROBE_FLOOR,
+    margin_micro: int | None = None,
 ) -> int:
-    """Probe count for an IVF search at ``nlist`` cells:
-    ``min(nlist, max(floor, ceil(nlist·probe_num/probe_den)))``, all
-    exact integer arithmetic so the DuckDB oracle replays the same rule
-    from ``COUNT(*)`` (``__spark_entry__._ivf_training_sql`` params CTE
-    embeds these module constants at SQL-build time).  Since r14 this
-    IS the IVF operators' default (``cosine_topk_ivf`` / ``ivf_pq_topk``
-    with ``nprobe=None``)."""
+    """Probe count for an IVF search at ``nlist`` cells — all exact
+    integer arithmetic so the DuckDB oracle replays the same rule
+    (``__spark_entry__._ivf_training_sql`` embeds these module
+    constants at SQL-build time).  Since r14 this IS the IVF operators'
+    default (``cosine_topk_ivf`` / ``ivf_pq_topk`` with
+    ``nprobe=None``).
+
+    ``margin_micro`` (r15) is the measured quantizer-structure
+    statistic (``_ivf_sample_margin_micro``): when the training sample
+    sits near its centers with clear second-best separation, neighbors
+    concentrate in few cells and probing half the index is waste — the
+    whole point of IVF is pruning structure.  The law:
+
+    * ``None`` or ``<= _MARGIN_LO_MICRO`` (isotropic regime):
+      ``ceil(nlist·probe_num/probe_den)`` — the measured worst case.
+    * ``>= _MARGIN_HI_MICRO`` (strongly clustered): the floor alone.
+    * between: linear ramp
+      ``ceil(nlist·(HI − margin) / (den·(HI − LO)))`` (den=2 default —
+      the ramp is anchored to the isotropic fraction at LO).
+
+    Always clamped to ``min(nlist, max(floor, ·))``."""
     if nlist <= 0:
         raise ValueError("nlist must be positive")
-    tuned = -(-probe_num * nlist // probe_den)  # ceil, exact ints
+    if margin_micro is None or margin_micro <= _MARGIN_LO_MICRO:
+        tuned = -(-probe_num * nlist // probe_den)  # ceil, exact ints
+    elif margin_micro >= _MARGIN_HI_MICRO:
+        tuned = 0  # the floor below takes over
+    else:
+        span = probe_den * (_MARGIN_HI_MICRO - _MARGIN_LO_MICRO)
+        tuned = -(-probe_num * nlist * (_MARGIN_HI_MICRO - margin_micro) // span)
     return min(nlist, max(floor, tuned))
 
 
 _LOG = logging.getLogger(__name__)
 
 
-def _auto_nprobe(nlist: int, n_rows: int) -> int:
+def _ivf_sample_margin_micro(X: np.ndarray, C: np.ndarray) -> int:
+    """Quantizer-structure statistic over the training sample: mean of
+    ``micro((cos1 − cos2) / |x|_q)`` where cos1/cos2 are the point's two
+    best exact-parts cell cosines (``_int_cos_matrix`` doubles,
+    engine-identical), ``|x|_q = sqrt(Σq²)`` normalizes away the raw
+    point norm, and micro = ``floor(·*1e6 + 0.5)``.  Every step is
+    either exact int64 or one correctly-rounded IEEE op on
+    engine-identical operands, the per-point ints are summed exactly and
+    floor-divided — so DuckDB replays the statistic bit-for-bit from the
+    training-replay CTEs (margins are non-negative, so DuckDB's
+    truncating ``//`` equals Python's floor ``//``)."""
+    if C.shape[0] < 2 or len(X) == 0:
+        return 0  # no second-best cell -> no structure signal
+    cos = _int_cos_matrix(X, C)
+    s = np.sort(cos, axis=1)
+    Xf = X.astype(np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Xf, Xf))  # exact int under sqrt
+    m = (s[:, -1] - s[:, -2]) / qn
+    mic = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    return int(mic.sum()) // len(mic)
+
+
+def _auto_nprobe(nlist: int, n_rows: int, margin_micro: int | None = None) -> int:
     """``suggest_ivf_nprobe`` + an INFO log naming the probed fraction
-    (ADVICE r14: default-path callers couldn't see that the isotropic
-    law probes ~nlist/2 cells — on clustered data they should tune
-    down; the log makes the chosen regime visible without changing any
-    result)."""
-    nprobe = suggest_ivf_nprobe(nlist)
+    and the structure regime (ADVICE r14: default-path callers couldn't
+    see the chosen regime)."""
+    nprobe = suggest_ivf_nprobe(nlist, margin_micro=margin_micro)
+    regime = (
+        "no structure statistic (isotropic worst-case law)"
+        if margin_micro is None
+        else f"measured margin {margin_micro / 1e6:.3f} "
+        f"(LO {_MARGIN_LO_MICRO / 1e6:.2f} / HI {_MARGIN_HI_MICRO / 1e6:.2f})"
+    )
     _LOG.info(
         "IVF auto-tuned nprobe=%d of nlist=%d (probes %.0f%% of cells, "
-        "n=%d; isotropic worst-case law — pass nprobe= to tune down on "
-        "clustered data)",
-        nprobe, nlist, 100.0 * nprobe / nlist, n_rows,
+        "n=%d; %s — pass nprobe= to pin)",
+        nprobe, nlist, 100.0 * nprobe / nlist, n_rows, regime,
     )
     return nprobe
 
@@ -834,7 +900,8 @@ def _sample_kmeans_int(
     n_rows: int,
     max_train: int = _IVF_MAX_TRAIN,
     iters: int = _IVF_ITERS,
-) -> np.ndarray:
+    return_sample: bool = False,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Integer-exact spherical-assignment k-means on a bounded,
     deterministic sample — the cross-engine-reproducible twin of
     ``_sample_kmeans``, used by the IVF index so a SQL oracle can replay
@@ -885,7 +952,9 @@ def _sample_kmeans_int(
                 # operands exact (< 2^53), quotient never within one ulp
                 # of a wrong integer (|p/2m - N| >= 1/(2m) when nonzero).
                 C[c] = np.floor((2 * s + m) / (2.0 * m)).astype(np.int64)
-    return C
+    # return_sample: the quantized training sample feeds the structure
+    # statistic (_ivf_sample_margin_micro) without a second collect
+    return (C, X) if return_sample else C
 
 
 def _int_cell_assigner(C: np.ndarray):
@@ -1093,12 +1162,17 @@ def cosine_topk_ivf(
     on clustered real-world embeddings IVF prunes harder because cells
     follow the data distribution instead of random hyperplanes.
 
-    ``nprobe=None`` (the default since r14) auto-tunes to
-    ``suggest_ivf_nprobe(nlist)`` — a constant fraction of the cells —
-    because a fixed probe count at growing nlist is a shrinking probed
-    fraction and recall decays with corpus size (measured sf1 recall@10
-    as low as 0.0 at the old fixed 8, SCALE.md r13); the DuckDB oracle
-    replays the identical integer rule from ``COUNT(*)``.
+    ``nprobe=None`` (the default since r14) auto-tunes via
+    ``suggest_ivf_nprobe``: r14 pinned the isotropic worst case
+    (ceil(nlist/2) — a fixed probe count at growing nlist is a
+    shrinking probed fraction and recall decays, measured sf1 recall@10
+    as low as 0.0 at the old fixed 8); r15 made it STRUCTURE-AWARE —
+    the training sample's top1−top2 cell-cosine margin
+    (``_ivf_sample_margin_micro``) moves the fraction down to the floor
+    on clustered data (measured n=20k: isotropic 35/70 recall 0.88,
+    clustered σ=.06 8/70 recall 1.0, σ=.12 28/70 recall 1.0 —
+    SCALE_CLUSTERED.json).  The DuckDB oracle replays the identical
+    integer statistic and law from the training-replay CTEs.
 
     Quantizer options (both deterministic; candidate generation is an
     equi-join on the cell id either way, and the centroid matrix is the
@@ -1128,8 +1202,6 @@ def cosine_topk_ivf(
     n_rows = base.count()
     if nlist is None:
         nlist = max(4, int(n_rows ** 0.5 / 2))
-    if nprobe is None:
-        nprobe = _auto_nprobe(nlist, n_rows)
 
     if quantizer == "sample":
         # Sample-trained integer-exact k-means + distributed argmax
@@ -1140,7 +1212,16 @@ def cosine_topk_ivf(
         # dot(x,c)/|c| is invariant to |x|); the unit vector only feeds
         # the float rerank.
         base = base.persist()
-        centers = _sample_kmeans_int(base, nlist, n_rows)
+        centers, Xs = _sample_kmeans_int(
+            base, nlist, n_rows, return_sample=True
+        )
+        if nprobe is None:
+            # r15: structure-aware default — the training sample's
+            # top1−top2 margin decides the probed fraction (oracle
+            # replays the identical integer statistic + law).
+            nprobe = _auto_nprobe(
+                nlist, n_rows, _ivf_sample_margin_micro(Xs, centers)
+            )
         assigned = base.withColumn(
             "__cell", _int_cell_assigner(centers)(F.col("__x"))
         ).persist()
@@ -1165,6 +1246,11 @@ def cosine_topk_ivf(
         ]
         return _ivf_probe_rerank(assigned, probes, query_ids, k)
     else:
+        if nprobe is None:
+            # "ml" quantizer has no integer-exact sample to measure the
+            # structure statistic on — the isotropic worst-case law is
+            # the safe default here.
+            nprobe = _auto_nprobe(nlist, n_rows)
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -1934,7 +2020,8 @@ def ivf_pq_topk(
     """The composed FAISS search path — IVF-PQ: the integer-exact IVF
     coarse quantizer prunes the table to each query's ``nprobe`` nearest
     cells (``nprobe=None`` auto-tunes via ``suggest_ivf_nprobe`` since
-    r14, replayed by the oracle — see ``cosine_topk_ivf``), and PQ
+    r14, structure-aware via the sample margin since r15, replayed by
+    the oracle — see ``cosine_topk_ivf``), and PQ
     asymmetric-distance tables score ONLY those candidates
     through their codes (the ``pq_adc_topk`` reconstruction-cosine).
     Both index halves train on the same bounded hash-selected sample;
@@ -1954,11 +2041,17 @@ def ivf_pq_topk(
     n_rows = base.count()
     if nlist is None:
         nlist = max(4, int(n_rows ** 0.5 / 2))
-    if nprobe is None:
-        nprobe = _auto_nprobe(nlist, n_rows)
 
     base = base.persist()
-    centers = _sample_kmeans_int(base, nlist, n_rows, max_train)
+    centers, Xs = _sample_kmeans_int(
+        base, nlist, n_rows, max_train, return_sample=True
+    )
+    if nprobe is None:
+        # r15: same structure-aware default as cosine_topk_ivf (and the
+        # same oracle-replayed integer statistic).
+        nprobe = _auto_nprobe(
+            nlist, n_rows, _ivf_sample_margin_micro(Xs, centers)
+        )
     books = _pq_codebooks(base, dim, m, n_codes, n_rows, max_train, iters)
     encoded = (
         base.withColumn("__cell", _int_cell_assigner(centers)(F.col("__x")))

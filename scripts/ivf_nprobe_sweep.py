@@ -42,6 +42,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dirs", nargs="*", default=None)
     ap.add_argument("--nprobes", default="")
+    ap.add_argument("--law", action="store_true",
+                    help="also measure the r15 structure-adaptive "
+                         "default: margin statistic, the law's nprobe "
+                         "pick, and recall at that pick (nprobe=None)")
     args = ap.parse_args()
     sf_dirs = args.sf_dirs or ["/root/testdata/sf0.1", "/root/repo/.scale/sf1"]
 
@@ -64,6 +68,34 @@ def main() -> None:
         n = len(ids)
         nlist = max(4, int(n**0.5 / 2))
         exact = exact_topk(X, ids)
+        if args.law:
+            from pyspark.sql import functions as F
+
+            raw = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            base = emb.select(
+                F.col("vec_id").alias("__id"), raw.alias("__x")
+            )
+            C, Xs = similarity._sample_kmeans_int(
+                base, nlist, n, return_sample=True
+            )
+            margin = similarity._ivf_sample_margin_micro(Xs, C)
+            pick = similarity.suggest_ivf_nprobe(nlist, margin_micro=margin)
+            rows = similarity.cosine_topk_ivf(emb, QIDS, k=K).collect()
+            got = {q: set() for q in QIDS}
+            for r in rows:
+                got[int(r["query_id"])].add(int(r["neighbor_id"]))
+            recalls = [
+                round(len(got[q] & exact[q]) / max(1, len(exact[q])), 3)
+                for q in QIDS
+            ]
+            print(json.dumps({
+                "sf_dir": sf_dir, "n": n, "nlist": nlist,
+                "margin_micro": margin, "law_nprobe": pick,
+                "frac": round(pick / nlist, 3),
+                "recalls": recalls,
+                "mean": round(float(np.mean(recalls)), 3),
+                "mode": "law",
+            }), flush=True)
         if args.nprobes:
             nprobes = [int(x) for x in args.nprobes.split(",")]
         else:

@@ -983,6 +983,120 @@ def test_suggest_ivf_nprobe_law(spark):
     assert auto == explicit
 
 
+def test_suggest_ivf_nprobe_margin_law(spark):
+    """r15 (VERDICT r14 task 3): the nprobe default is structure-aware —
+    the training sample's mean top1−top2 cell-cosine margin (micro ints)
+    moves the probed fraction from the isotropic worst case (margin <=
+    LO -> ceil(nlist/2)) down to the floor (margin >= HI), linear ramp
+    between.  Constants pinned from the fixture matrix (SCALE.md r15 /
+    SCALE_CLUSTERED.json): isotropic margins 0.064-0.149, clustered
+    sigma=.06 ~0.42-0.45, sigma=.12 ~0.25-0.30."""
+    import duckdb
+
+    from k8stream_spark.analytics.similarity import (
+        _AUTO_NPROBE_FLOOR,
+        _AUTO_PROBE_DEN,
+        _AUTO_PROBE_NUM,
+        _MARGIN_HI_MICRO,
+        _MARGIN_LO_MICRO,
+        _ivf_sample_margin_micro,
+        suggest_ivf_nprobe,
+    )
+
+    # Pinned at the measured fixture margins (n=20k -> nlist=70):
+    assert suggest_ivf_nprobe(70, margin_micro=63543) == 35   # isotropic
+    assert suggest_ivf_nprobe(70, margin_micro=418423) == 8   # sigma=.06
+    assert suggest_ivf_nprobe(70, margin_micro=245508) == 28  # sigma=.12
+    assert suggest_ivf_nprobe(22, margin_micro=452339) == 8
+    assert suggest_ivf_nprobe(22, margin_micro=301260) == 8   # ramp 6 -> floor
+
+    # Continuity at LO, floor at HI, monotone decreasing in margin.
+    for nlist in (16, 22, 70, 400, 5000):
+        assert (suggest_ivf_nprobe(nlist, margin_micro=_MARGIN_LO_MICRO)
+                == suggest_ivf_nprobe(nlist))
+        assert (suggest_ivf_nprobe(nlist, margin_micro=_MARGIN_HI_MICRO)
+                == min(nlist, _AUTO_NPROBE_FLOOR))
+        picks = [suggest_ivf_nprobe(nlist, margin_micro=m)
+                 for m in range(0, 500_001, 10_000)]
+        assert picks == sorted(picks, reverse=True)
+
+    # SQL parity: the prm-CTE CASE (the exact arithmetic __spark_entry__
+    # embeds) equals the Python law over a (nlist, margin) grid.
+    con = duckdb.connect()
+    for nlist in (4, 11, 22, 70, 313, 5000):
+        for m in (0, 63543, 199999, 200000, 200001, 245508, 301260,
+                  399999, 400000, 452339, 3000000):
+            got = con.execute(
+                f"""SELECT LEAST({nlist}, GREATEST({_AUTO_NPROBE_FLOOR},
+                  CASE WHEN {m} <= {_MARGIN_LO_MICRO}
+                         THEN ({_AUTO_PROBE_NUM} * {nlist}
+                               + {_AUTO_PROBE_DEN} - 1) // {_AUTO_PROBE_DEN}
+                       WHEN {m} >= {_MARGIN_HI_MICRO} THEN 0
+                       ELSE ({_AUTO_PROBE_NUM} * {nlist}
+                             * ({_MARGIN_HI_MICRO} - {m})
+                             + {_AUTO_PROBE_DEN}
+                               * ({_MARGIN_HI_MICRO} - {_MARGIN_LO_MICRO}) - 1)
+                            // ({_AUTO_PROBE_DEN}
+                                * ({_MARGIN_HI_MICRO} - {_MARGIN_LO_MICRO}))
+                  END))"""
+            ).fetchone()[0]
+            assert got == suggest_ivf_nprobe(nlist, margin_micro=m), (
+                nlist, m, got)
+    con.close()
+
+    # The statistic itself: a synthetic strongly-clustered sample reads
+    # high, a spread-out one low, and a single-cell quantizer reads 0.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    C = np.floor(rng.standard_normal((8, 64)) * 1e4).astype(np.int64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    X_clu = np.floor(
+        Cn[rng.integers(0, 8, 200)] * 1e4 + 0.5
+    ).astype(np.int64)  # points AT centers -> top1 ~1, top2 ~|cos centers|
+    m_clu = _ivf_sample_margin_micro(X_clu, C)
+    X_iso = np.floor(
+        rng.standard_normal((200, 64)) * 1e3
+    ).astype(np.int64)
+    m_iso = _ivf_sample_margin_micro(X_iso, C)
+    assert m_clu > 400_000 > m_iso >= 0
+    assert _ivf_sample_margin_micro(X_clu, C[:1]) == 0
+
+    # End-to-end on CLUSTERED data: the default equals an explicit call
+    # at the margin-adaptive pick (not the static one).
+    from pyspark.sql import functions as F
+
+    centers = rng.standard_normal((16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.integers(0, 16, 600)] + 0.05 * rng.standard_normal(
+        (600, 64)
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id bigint, embedding array<float>",
+    )
+    raw = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("__id"), raw.alias("__x"))
+    nlist = max(4, int(600**0.5 / 2))
+    C2, X2 = similarity._sample_kmeans_int(base, nlist, 600,
+                                           return_sample=True)
+    margin = _ivf_sample_margin_micro(X2, C2)
+    assert margin > _MARGIN_LO_MICRO  # clustered synthetic must read so
+    pick = suggest_ivf_nprobe(nlist, margin_micro=margin)
+    auto = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk_ivf(emb, (0, 1), k=5).collect()
+    }
+    explicit = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk_ivf(
+            emb, (0, 1), k=5, nprobe=pick
+        ).collect()
+    }
+    assert auto == explicit
+
+
 def test_lsh_auto_tune_is_default_path(spark):
     """r13 (VERDICT r12 task 1): the LSH operators auto-tune (bits,
     tables) from the corpus count by default, and the auto-tuned result
