@@ -47,6 +47,14 @@ in the same session; it ships in ``tier2_flagged_vs_prev`` only if the
 confirmed min still exceeds the threshold, and the re-time mins ship
 in ``tier2_flag_confirm`` either way so the adjudication trail is in
 the artifact, not a human's scrollback.
+
+Re-baseline rule (r15, after three straight rounds of stale-reference
+drift bisects): when the session canary drifts >10% from the committed
+reference's ``canary_sec`` (``canary_ratio_vs_prev`` outside
+[0.9, 1.1]), re-run the full bench and COMMIT the fresh
+``BENCH_FULL_latest.json`` that round — a reference older than the
+box's drift budget costs more judge time than it saves.  The r15
+reference: headline 90.759 s / canary 0.691 (BENCH_NOISE.md).
 """
 
 from __future__ import annotations
