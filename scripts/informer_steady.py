@@ -42,9 +42,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from k8stream_spark.io.sinks import distributed_json_sink  # noqa: E402
 from k8stream_spark.session import get_spark  # noqa: E402
-from k8stream_spark.streaming.pipeline import run_pipeline  # noqa: E402
+from k8stream_spark.streaming.pipeline import (  # noqa: E402
+    distributed_json_sink,
+    run_pipeline,
+)
 
 
 def data_progress(q) -> list[dict]:
