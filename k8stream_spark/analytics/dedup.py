@@ -166,7 +166,17 @@ def minhash_signature(
         return pd.Series(out, dtype=object)
 
     sh = word_shingles(text_col, shingle_n)
-    base = df.select("doc_id", sh.alias("shingles")).withColumn(
+    # r15 opt (guide §2.5 input skew): the local fixture is ONE parquet
+    # row group → the whole shingle/xxhash/signature stage would run on
+    # a single core (and a single Python worker).  _spread conditionally
+    # repartitions only when the input's partition count is
+    # pathologically low; a well-partitioned cluster input passes
+    # through with no exchange (same pattern as pca_covariance).
+    from k8stream_spark.analytics.similarity import _spread
+
+    base = _spread(df, "doc_id").select(
+        "doc_id", sh.alias("shingles")
+    ).withColumn(
         "__sh64", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     )
     return base.select(
@@ -204,7 +214,17 @@ def minhash_lsh_pairs(
     # signature table is ~num_hashes longs per doc, tiny next to the text.
     # Materialized eagerly — within one action the four cold branches
     # would otherwise race the unpopulated cache and each compute it.
-    sigs = minhash_signature(df, text_col, num_hashes, shingle_n).persist()
+    # r15 opt (guide §5 caching): project the persisted frame to the two
+    # columns the four branches actually read — ``sig`` (banding) and
+    # ``__sh64`` (exact-Jaccard verify).  The raw ``shingles`` STRING
+    # arrays were cached (and re-serialized per materialization) without
+    # a single downstream reader; at corpus scale they are the text-sized
+    # column of the frame.
+    sigs = (
+        minhash_signature(df, text_col, num_hashes, shingle_n)
+        .select("doc_id", "__sh64", "sig")
+        .persist()
+    )
     sigs.count()
 
     # Docs shorter than shingle_n tokens have sig=NULL; xxhash64 over an
@@ -476,7 +496,11 @@ def ngram_jaccard_pairs(
         # one computation.  Materialized eagerly: within one action the
         # cold branches would race the unpopulated cache and each
         # recompute the shingles.
-        sh = df.select(
+        from k8stream_spark.analytics.similarity import _spread
+
+        # _spread: single-row-group local input would shingle on one
+        # core (see minhash_signature); no-op on partitioned input.
+        sh = _spread(df, "doc_id").select(
             "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
         ).persist()
         sh.count()
@@ -575,8 +599,14 @@ def containment_pairs(
         % mod
         == 0,
     )
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread: the md5-per-gram generation is the dominant per-task
+    # work of this operator; a single-row-group local input would run
+    # it all on one core (no-op on partitioned input — see
+    # minhash_signature).
     fp0 = (
-        df.where(F.length(t) >= k)
+        _spread(df.where(F.length(t) >= k), "doc_id")
         .select("doc_id", F.explode(kept).alias("__h"))
         .distinct()
     )
@@ -1073,7 +1103,11 @@ def duplicate_spans(
     # _cache.finalize — the per-doc output is tiny next to the span
     # stream, so eager materialization costs nothing and a long-lived
     # session doesn't accumulate the cache.
-    spans = df.select(
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread: window-md5 generation on one core otherwise (local
+    # single-row-group input; no-op on partitioned input).
+    spans = _spread(df, "doc_id").select(
         "doc_id",
         F.explode(
             F.when(F.size(toks) >= span_tokens, windows).otherwise(
@@ -1149,7 +1183,11 @@ def remove_boilerplate(
             F.slice(toks, (i * seg_tokens + 1).cast("int"), seg_tokens), " "
         ),
     )
-    seg_rows = df.select(
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread: segment split + df-count stage-1 on one core otherwise
+    # (local single-row-group input; no-op on partitioned input).
+    seg_rows = _spread(df, F.col(id_col)).select(
         F.col(id_col).alias("__doc"), F.posexplode(segs).alias("seg_pos", "seg")
     )
     boiler = (
@@ -1490,7 +1528,12 @@ def remove_duplicate_spans(
         F.sequence(F.lit(0), F.size(toks) - span_tokens),
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, span_tokens), " ")),
     )
-    base = df.where(F.col(text_col).isNotNull())
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread: both the window-md5 spans branch and the positions
+    # branch below explode from this frame — single-row-group local
+    # input would run both on one core (no-op on partitioned input).
+    base = _spread(df.where(F.col(text_col).isNotNull()), "doc_id")
     spans = base.select(
         "doc_id",
         F.posexplode(

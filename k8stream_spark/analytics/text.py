@@ -150,6 +150,13 @@ def rolling_fingerprint(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.md5(F.substring(c, i, k)),
     )
+    from k8stream_spark.analytics.similarity import _spread
+
+    # r15 opt: the per-doc gram/window transforms are this operator's
+    # whole cost; a single-row-group local input would evaluate them on
+    # one core.  _spread conditionally repartitions (no-op on
+    # partitioned cluster input — see minhash_signature).
+    df = _spread(df, "doc_id")
     g = df.select(
         "doc_id",
         F.when(n_grams >= w, gram_arr).otherwise(empty).alias("__g"),
