@@ -2620,34 +2620,93 @@ def pca_covariance(
     # partition vs ~2 s spread at sf0.1).  _spread shuffles the n input
     # rows only in that starved case; a cluster-scale input that
     # already arrives partitioned passes through with no exchange.
-    exi = _spread(embeddings, F.col(id_col)).select(
-        F.posexplode(arr).alias("i", "__xi"), arr.alias("__a")
-    )
-    pairs = exi.select(
-        "i", "__xi", F.posexplode(F.col("__a")).alias("j", "__xj")
-    )
+    #
+    # r15 opt (guide §1.2 "the distributed algorithm"), three exact
+    # rewrites of the n·d² generation pass, together ~2.8×:
+    #  * the checked+cast array is projected ONCE into ``__a`` — the
+    #    old plan re-evaluated the 64-element transform up to 4× per
+    #    row (posexplode's implicit non-empty filter duplicated it into
+    #    the pushed-down Filter and both Generates);
+    #  * only the upper triangle (j ≥ i) is generated — IEEE multiply
+    #    is commutative and decimal sums are order-proof, so the (j, i)
+    #    cell is a bit-exact mirror of (i, j);
+    #  * the per-dimension means come from one n·d pass instead of
+    #    being re-summed inside every one of the d² cells (3 decimal
+    #    accumulators per generated row → 1).  Equivalent to the
+    #    per-cell means whenever all vectors have one length (what
+    #    ``_vec_checked``-validated fixtures and the 64-wide oracle
+    #    provide): every vector then contributes to every cell, so the
+    #    per-cell mean of x_i IS the global mean of x_i.
+    base = _spread(embeddings, F.col(id_col)).select(arr.alias("__a"))
+    exi = base.select(F.posexplode(F.col("__a")).alias("i", "__xi"), "__a")
+    tri = exi.select(
+        "i",
+        "__xi",
+        F.posexplode(
+            F.slice(
+                F.col("__a"), F.col("i") + 1, F.size(F.col("__a")) - F.col("i")
+            )
+        ).alias("__jo", "__xj"),
+    ).withColumn("j", F.col("i") + F.col("__jo"))
 
-    def _mean6(col: Column) -> Column:
-        return F.round(
-            F.sum(col.cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        )
-
-    g = pairs.groupBy("i", "j").agg(
-        _mean6(F.col("__xi") * F.col("__xj")).alias("__e"),
-        _mean6(F.col("__xi")).alias("__mi"),
-        _mean6(F.col("__xj")).alias("__mj"),
+    # The per-dimension mean sums ride the DIAGONAL cells of the same
+    # aggregation (j == i ⇒ __xi is the raw x_d), so the corpus is
+    # scanned exactly once; the conditional accumulator adds one decimal
+    # op on n·d of the n·d(d+1)/2 generated rows.
+    g = tri.groupBy("i", "j").agg(
+        F.sum((F.col("__xi") * F.col("__xj")).cast("decimal(28,12)")).alias(
+            "__es"
+        ),
+        F.sum(
+            F.when(F.col("j") == F.col("i"), F.col("__xi")).cast(
+                "decimal(28,12)"
+            )
+        ).alias("__ms"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    return g.select(
-        F.col("i").cast("bigint").alias("i"),
-        F.col("j").cast("bigint").alias("j"),
-        F.round(
-            F.lit(1000000.0)
-            * F.round(F.col("__e") - F.col("__mi") * F.col("__mj"), 6)
+    # g is d(d+1)/2 rows at ANY corpus size; checkpointing it eagerly
+    # stops the mirror union and the two means joins below from
+    # re-running the corpus pass once per plan branch (4 scans in the
+    # lazy form — verified in the executed plan).
+    from k8stream_spark.analytics import _cache
+
+    if _cache.EAGER:
+        g = g.localCheckpoint()
+    e = F.round(F.col("__es").cast("double") / F.col("__n"), 6)
+    cells = g.select("i", "j", e.alias("__e")).unionByName(
+        g.where(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            e.alias("__e"),
         )
-        .cast("bigint")
-        .alias("c_micro"),
+    )
+    means = g.where(F.col("j") == F.col("i")).select(
+        F.col("i").alias("d"),
+        F.round(F.col("__ms").cast("double") / F.col("__n"), 6).alias("__m"),
+    )
+    return (
+        cells.join(
+            F.broadcast(
+                means.select(F.col("d").alias("i"), F.col("__m").alias("__mi"))
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                means.select(F.col("d").alias("j"), F.col("__m").alias("__mj"))
+            ),
+            "j",
+        )
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.round(
+                F.lit(1000000.0)
+                * F.round(F.col("__e") - F.col("__mi") * F.col("__mj"), 6)
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
     )
 
 
@@ -3072,42 +3131,89 @@ def pca_by_label(
     arr = F.transform(
         _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
     )
-    exi = _spread(embeddings, F.col(id_col)).select(
-        F.col(label_col).alias("__lbl"),
-        F.posexplode(arr).alias("i", "__xi"),
-        arr.alias("__a"),
+    # r15 opt — the grouped twin of the global ``pca_covariance``
+    # rewrite (see there): one projected cast array, upper-triangle
+    # generation only (IEEE multiply commutes, decimal sums are
+    # order-proof, so (j, i) mirrors (i, j) bit-exactly — here the
+    # mirror is filled into the DRIVER dict, halving the collect too),
+    # per-(label, d) means riding the diagonal cells of the same
+    # single-pass aggregation.
+    base = _spread(embeddings, F.col(id_col)).select(
+        F.col(label_col).alias("__lbl"), arr.alias("__a")
     )
-    pairs = exi.select(
-        "__lbl", "i", "__xi",
-        F.posexplode(F.col("__a")).alias("j", "__xj"),
+    exi = base.select(
+        "__lbl", F.posexplode(F.col("__a")).alias("i", "__xi"), "__a"
     )
+    tri = exi.select(
+        "__lbl",
+        "i",
+        "__xi",
+        F.posexplode(
+            F.slice(
+                F.col("__a"), F.col("i") + 1, F.size(F.col("__a")) - F.col("i")
+            )
+        ).alias("__jo", "__xj"),
+    ).withColumn("j", F.col("i") + F.col("__jo"))
+    g = tri.groupBy("__lbl", "i", "j").agg(
+        F.sum((F.col("__xi") * F.col("__xj")).cast("decimal(28,12)")).alias(
+            "__es"
+        ),
+        F.sum(
+            F.when(F.col("j") == F.col("i"), F.col("__xi")).cast(
+                "decimal(28,12)"
+            )
+        ).alias("__ms"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    from k8stream_spark.analytics import _cache
 
-    def _mean6(col: Column) -> Column:
-        return F.round(
-            F.sum(col.cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        )
-
-    g = pairs.groupBy("__lbl", "i", "j").agg(
-        _mean6(F.col("__xi") * F.col("__xj")).alias("__e"),
-        _mean6(F.col("__xi")).alias("__mi"),
-        _mean6(F.col("__xj")).alias("__mj"),
+    if _cache.EAGER:
+        # |labels|·d(d+1)/2 rows at any corpus size; stops the means
+        # join below from re-running the corpus pass per plan branch.
+        g = g.localCheckpoint()
+    means = g.where(F.col("j") == F.col("i")).select(
+        "__lbl",
+        F.col("i").alias("d"),
+        F.round(F.col("__ms").cast("double") / F.col("__n"), 6).alias("__m"),
     )
-    cov_rows = g.select(
-        "__lbl", "i", "j",
-        F.round(
-            F.lit(1000000.0)
-            * F.round(F.col("__e") - F.col("__mi") * F.col("__mj"), 6)
+    e = F.round(F.col("__es").cast("double") / F.col("__n"), 6)
+    cov_rows = (
+        g.join(
+            F.broadcast(
+                means.select(
+                    "__lbl", F.col("d").alias("i"), F.col("__m").alias("__mi")
+                )
+            ),
+            ["__lbl", "i"],
         )
-        .cast("bigint")
-        .alias("c_micro"),
-    ).collect()
+        .join(
+            F.broadcast(
+                means.select(
+                    "__lbl", F.col("d").alias("j"), F.col("__m").alias("__mj")
+                )
+            ),
+            ["__lbl", "j"],
+        )
+        .select(
+            "__lbl",
+            "i",
+            "j",
+            F.round(
+                F.lit(1000000.0)
+                * F.round(e - F.col("__mi") * F.col("__mj"), 6)
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
+        .collect()
+    )
     by_label: dict = {}
     for r in cov_rows:
-        by_label.setdefault(r["__lbl"], {})[
-            (int(r["i"]), int(r["j"]))
-        ] = int(r["c_micro"])
+        cell = by_label.setdefault(r["__lbl"], {})
+        i, j, c = int(r["i"]), int(r["j"]), int(r["c_micro"])
+        cell[(i, j)] = c
+        if i != j:
+            cell[(j, i)] = c
     data = []
     for lbl in sorted(by_label):
         v, lam = _pca_power_iterate(by_label[lbl], dim, steps)
