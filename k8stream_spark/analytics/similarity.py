@@ -45,18 +45,28 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Dot product unrolled over a known dimension.  Higher-order
-    functions (aggregate/zip_with) evaluate interpreted, per element,
-    with a zipped-array allocation per row; a flat sum of element_at
-    products stays inside whole-stage codegen — the difference is ~10×
-    on million-pair verification scans."""
-    terms = [
-        F.element_at(a, d) * F.element_at(b, d) for d in range(1, dim + 1)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    """Dot product over the first ``dim`` elements (prefix semantics:
+    wider embeddings pass, reads past the array end yield NULL exactly
+    like the old unrolled ``element_at`` chain).
+
+    r15 opt (guide §1 measure first): the 64-term unrolled
+    element_at-product chain this used to build falls out of
+    whole-stage codegen on Spark 4 (hugeMethodLimit) and evaluates
+    INTERPRETED — measured 2.10 s vs 0.32 s for this higher-order
+    ``aggregate`` over 600 k pairs × 64 dims on local[32]; on the
+    ~600 k-candidate LSH scoring scans the unrolled form was ~17 µs
+    per pair.  The docstring that used to live here claimed the
+    opposite ratio, measured on an older Spark — re-measure before
+    reverting.  The fold below performs the IDENTICAL IEEE op sequence
+    left to right (0.0 + a₁b₁ + a₂b₂ + …; +0.0 as init is exact), so
+    results are bit-for-bit unchanged — verified raw-value-identical
+    over sampled pairs and by the full DuckDB oracle sweep."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc
+        + F.element_at(a, d.cast("int")) * F.element_at(b, d.cast("int")),
+    )
 
 
 def _vec_checked(a: Column, dim: int) -> Column:
@@ -785,7 +795,17 @@ def _pair_cos(a: Column, b: Column) -> Column:
     keeps the joins as plain equi-joins and verifies a whole Arrow batch
     per numpy call.  Shared by LSH near-dup, IVF top-k, and semantic
     dedup.  (A factory, not a module-level @pandas_udf: decoration needs
-    an active SparkSession, which doesn't exist at import time.)"""
+    an active SparkSession, which doesn't exist at import time.)
+
+    Marked ``asNondeterministic`` (guide §4.4, r15): the consumers all
+    follow the ``withColumn("__cos", …).where(__cos >= t)`` shape, and
+    the optimizer pushes that filter below the projection by DUPLICATING
+    the deterministic UDF — the before-plan for emb_cosine_near_dup_lsh
+    shows two ArrowEvalPython nodes for one ``pair_cos`` call (every
+    candidate pair paid the Arrow round-trip + einsum twice).  The
+    function is pure; the flag is only an optimizer fence, and each call
+    site filters exclusively on columns computed BEFORE this one, so no
+    legitimate pushdown is lost."""
 
     @pandas_udf("double")
     def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -797,7 +817,7 @@ def _pair_cos(a: Column, b: Column) -> Column:
             )
         )
 
-    return pair_cos(a, b)
+    return pair_cos.asNondeterministic()(a, b)
 
 
 #: Per-coordinate quantization scale for the integer-exact IVF quantizer:
