@@ -566,6 +566,13 @@ def bucket_keys(
             keys_mat[:, t] = k
         return pd.Series(list(keys_mat))
 
+    # NOT marked asNondeterministic (guide §4.4 audited, r15): every
+    # caller explodes the key array inline in a single select, and that
+    # shape evaluates the UDF once — verified by executing the bucketed
+    # plan pre/post fence (1 ArrowEvalPython both ways; the duplication
+    # only bites random_projection's two-select posexplode shape, fenced
+    # there).  Leaving the UDF deterministic keeps filter pushdown past
+    # it legal for future consumers.
     return keys(vec)
 
 
@@ -2221,8 +2228,16 @@ def random_projection(
         out = VQ @ S.T  # (n, out_dim)
         return pd.Series(list(out))
 
+    # asNondeterministic (guide §4.4, r15): the two-select posexplode
+    # shape made the optimizer push Generate's implicit size/isnotnull
+    # filter below the projection and evaluate the (pure) matmul UDF
+    # twice per row — 2 ArrowEvalPython nodes in the executed plan
+    # (plans/r15/emb_random_projection_{before,after}.txt).  The fence
+    # yields a single evaluation: half the Python matmul CPU at any
+    # scale (sf0.1 wall time is noise-bound; the plan diff is the
+    # evidence).
     staged = embeddings.select(
-        F.col(id_col), project(F.col(vec_col)).alias("__p")
+        F.col(id_col), project.asNondeterministic()(F.col(vec_col)).alias("__p")
     )
     return staged.select(
         id_col, F.posexplode(F.col("__p")).alias("proj_dim", "v_micro")
