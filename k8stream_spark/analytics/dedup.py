@@ -375,7 +375,11 @@ def minhash_recall_report(
     # and the report owns its lifecycle: the one-row output is
     # finalized below, releasing the corpus-sized cache instead of
     # accumulating one entry per call in a long-lived session.
-    sh = df.select(
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread (guide §2.5 input skew, r15): single-row-group local input
+    # would shingle AND md5-hash on one core; no-op on partitioned input.
+    sh = _spread(df, "doc_id").select(
         "doc_id", word_shingles(text_col, shingle_n).alias("shingles")
     ).persist()
     sh.count()
