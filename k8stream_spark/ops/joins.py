@@ -261,6 +261,24 @@ def label_selector_join(
             first_entry["key"].alias("__k"),
             first_entry["value"].alias("__v"),
         )
+    # r15 opt (guide §1.2 step 2, per-candidate work): the anchor entry
+    # is ALREADY verified by the (__k, __v) equi-join below, so the
+    # inline check only needs the REMAINING selector entries.  Project
+    # them once on the (tiny, broadcast) selector side — one map lookup
+    # per candidate saved always, and single-entry selectors (an empty
+    # remainder) verify for free.  Exact same pairs: a map cannot carry
+    # the anchor key twice (verified: identical 1,501,495 matched pairs
+    # at sf0.1).  A/B min-of-3 at sf0.1: matched branch 3.36 → 2.07 s,
+    # full join 3.20 → 1.90 s.
+    sel = sel.select(
+        "service_uid",
+        F.filter(
+            F.map_entries(F.col("__sel")),
+            lambda e: e["key"] != F.col("__k"),
+        ).alias("__rest"),
+        "__k",
+        "__v",
+    )
     if broadcast_selectors:
         sel = F.broadcast(sel)
 
@@ -270,7 +288,7 @@ def label_selector_join(
         sel.join(pod_kv, on=["__k", "__v"], how="inner")
         .where(
             F.forall(
-                F.map_entries(F.col("__sel")),
+                F.col("__rest"),
                 lambda e: F.element_at(F.col("__lab"), e["key"]) == e["value"],
             )
         )
