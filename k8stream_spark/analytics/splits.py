@@ -482,7 +482,12 @@ def split_leakage(
             F.array().cast("array<string>")
         )
     )
-    ex = sp.select(id_col, "split", F.explode(grams).alias("__g"))
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread (guide §2.5, r15): the tokenize+gram transform is the
+    # corpus-sized stage-1 here; single-row-group local input would run
+    # it on one core.  No-op on partitioned input.
+    ex = _spread(sp, id_col).select(id_col, "split", F.explode(grams).alias("__g"))
     train_grams = (
         ex.where(F.col("split") == "train")
         .select("__g")

@@ -275,7 +275,12 @@ def top_terms_per_doc(
     groupBy for tf, one token-keyed join, and the per-doc ranking window
     — all (id, count) rows.
     """
-    tok = df.select(
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread (guide §2.5, r15): tokenization runs once per consumer
+    # branch (tf and df below) and on one core for single-row-group
+    # local input.  No-op on partitioned input.
+    tok = _spread(df, "doc_id").select(
         "doc_id", F.explode(tokens(text_col)).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(
@@ -523,7 +528,12 @@ def ngram_novelty(
             F.array().cast("array<string>")
         )
     )
-    ex = df.select("doc_id", F.explode(grams).alias("__g"))
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread (guide §2.5, r15): the tokenize+slice+join gram transform
+    # is this operator's stage-1 cost; single-row-group local input
+    # would evaluate it on one core.  No-op on partitioned input.
+    ex = _spread(df, "doc_id").select("doc_id", F.explode(grams).alias("__g"))
     first_seen = ex.groupBy("__g").agg(F.min("doc_id").alias("__first"))
     per_doc = (
         ex.join(first_seen, "__g")
@@ -567,8 +577,11 @@ def corpus_top_ngrams(
             F.array().cast("array<string>")
         )
     )
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread (guide §2.5, r15): same stage-1 seam as ngram_novelty.
     return (
-        df.select("doc_id", F.explode(grams).alias("ngram"))
+        _spread(df, "doc_id").select("doc_id", F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
@@ -753,7 +766,12 @@ def dsir_importance(
     products bounded by 10^32 < 10^38).
     """
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    ex = df.select(
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread (guide §2.5, r15): the split+explode+md5-bucket stage-1 is
+    # the corpus-sized work; single-row-group local input would run it
+    # on one core.  No-op on partitioned input.
+    ex = _spread(df, "doc_id").select(
         "doc_id",
         # when/otherwise, not ==.cast: a NULL lang must count as source-
         # only (0), and (NULL == x) casts to NULL which sum would skip.
@@ -1114,7 +1132,12 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     # branch — the bm25_topk hits-persist precedent.  Cached rows are
     # (id, token, token) triples, far smaller than the text they derive
     # from.
-    ex = df.where(F.col(text_col).isNotNull()).select(
+    from k8stream_spark.analytics.similarity import _spread
+
+    # _spread (guide §2.5, r15): the tokenize+zip+explode cache-
+    # population pass is the corpus-sized work; single-row-group local
+    # input would run it on one core.  No-op on partitioned input.
+    ex = _spread(df.where(F.col(text_col).isNotNull()), "doc_id").select(
         "doc_id", F.explode(bigrams).alias("__b")
     ).select(
         "doc_id",
