@@ -1055,28 +1055,42 @@ def connected_components(
             )
             .select(F.col("dst").alias("doc_id"), F.col("nlabel").alias("label"))
         )
-        # r15 opt (guide §2.4 / §5): ONE localCheckpoint per round, not
-        # two.  ``merged`` used to be checkpointed before the halving
-        # join so its plan wouldn't run twice; but both consumers sit
-        # over the SAME groupBy exchange, which AQE deduplicates
-        # (ReusedExchange), so the only duplicated work is the final
-        # hash-aggregate over already-shuffled (id, label) rows —
-        # cheaper than a full materialize-write-read round trip of the
-        # label frame every round.  Interleaved A/B at sf0.1 over the
-        # kNN-LSH graph (8 rounds): 2.98 s → 2.79 s min, identical
-        # labels; the plan per round stays bounded because new_labels
-        # is still checkpointed below.
+        # r16 fix (VERDICT r15 item 1): ONE localCheckpoint per round
+        # AND exactly one evaluation of the merge subtree — without
+        # betting on ReusedExchange.  The r15 shape self-joined the
+        # LAZY ``merged`` for the halving hop, relying on AQE to
+        # deduplicate the groupBy exchange under both consumers;
+        # shuffle-exchange reuse is opportunistic, and when it did not
+        # fire the whole edges-join+union+groupBy subtree ran TWICE per
+        # round (driver ground truth: emb_semantic_clusters_lsh
+        # 8.1 s → 14.6 s at 32 cores, max 20.3 s, while 8 cores ran
+        # 7.8 s).  Deterministic fix: hop through the PREVIOUS round's
+        # MATERIALIZED labels instead of through ``merged`` — merged
+        # then has a single consumer (evaluated once inside the
+        # checkpoint action) and the hop side reads checkpointed data.
+        #
+        # Correctness (same fixpoint, same invariants):
+        #   * every label VALUE is an edge-touched doc_id (induction:
+        #     values start as keys; merge takes a min of values; the
+        #     hop maps values through ``labels``), so the inner join
+        #     below loses no rows and ``labels`` keys are unique;
+        #   * labels[v] <= v, so the hop only ever lowers a label —
+        #     min-monotone, the decimal-sum convergence test is intact;
+        #   * at sum-fixpoint new == merged == labels pointwise, which
+        #     forces labels constant per component = component min —
+        #     identical output labels (oracle re-verified).
         merged = (
             labels.unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
         )
         _cache.capture_iteration_plan("connected_components.merge", merged)
-        # Path halving: follow the label's own label one hop.  Labels are
-        # min-monotone (every label IS some doc's id and label[x] <= x),
-        # so the jump only ever lowers the label — correctness unchanged,
-        # chain length halves per round.
-        hop = merged.select(
+        # Path halving: follow the label's own label one hop.  The r15
+        # shape read that second hop from ``merged`` itself (a lazy
+        # self-join); reading it from the previous round's checkpoint
+        # lands one hop behind but still contracts chains geometrically
+        # (round counts measured identical to +1 on every bench graph).
+        hop = labels.select(
             F.col("doc_id").alias("label"), F.col("label").alias("__label2")
         )
         hop_lazy = merged.join(hop, "label").select(

@@ -39,6 +39,7 @@ def main() -> None:
     ).save()
 
     out = {}
+    spreads = {}
     for name in names:
         samples = []
         for _ in range(reps):
@@ -50,7 +51,16 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         out[name] = round(min(samples), 3)
-    print(json.dumps({"eager": not lazy, "queries": out}))
+        # r16: the r15 pathologies were bimodal WITHIN a run (min
+        # healthy, median/max 2-8x) — min alone can't see them; the
+        # raw rep sequence additionally separates positional effects
+        # (first-rep codegen) from genuinely random slow modes.
+        spreads[name] = [round(s, 3) for s in samples]
+    print(
+        json.dumps(
+            {"eager": not lazy, "queries": out, "med_max": spreads}
+        )
+    )
     spark.stop()
 
 
