@@ -1123,6 +1123,23 @@ def ann_recall_report(
     production LSH path under test; the intersection join carries
     (query, neighbor-id) pairs, ≤ q·k rows.
     """
+    # r16 (VERDICT r15 item 5): the exact side used to feed TWO
+    # consumers (the per-query n_exact aggregate and the hits join) —
+    # when shuffle-exchange reuse did not fire, the whole brute-force
+    # scan+window ran once per consumer (at 100 TB that is an extra
+    # full corpus pass per report).  An eager localCheckpoint of the
+    # tiny exact result fixed the recompute but measured +0.3-1.0 s of
+    # fixed blocking-job overhead per report at sf0.1 (interleaved
+    # A/B, reps 2+).  Cheaper exact rewrite: n_exact is DERIVABLE
+    # without consuming ``exact`` at all — cosine_topk emits, for each
+    # query id q present in the corpus, min(k, N − c_q) rows (N corpus
+    # rows, c_q rows carrying id q; self-pairs excluded, row_number
+    # caps at k) — so the panel comes from one pushed-filter scan of
+    # the query ids plus one column-pruned count-star, and ``exact``
+    # has a SINGLE consumer: the O(n·q) scan runs exactly once per
+    # report with no materialization and no extra action.  The
+    # n_exact > 0 guard reproduces the old omit-when-empty behavior
+    # for the degenerate single-row corpus.
     exact = cosine_topk(embeddings, query_ids, k, vec_col, id_col)
     if method == "ivf":
         approx = cosine_topk_ivf(embeddings, query_ids, k, vec_col, id_col)
@@ -1146,8 +1163,18 @@ def ann_recall_report(
         raise ValueError(f"unknown ANN method {method!r}")
     e = exact.select("query_id", F.col("neighbor_id").alias("__nid"))
     a = approx.select("query_id", F.col("neighbor_id").alias("__nid"))
-    n_exact = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
+    total = embeddings.select(F.count(F.lit(1)).alias("__N"))
+    n_exact = (
+        embeddings.where(F.col(id_col).isin(*query_ids))
+        .groupBy(F.col(id_col).alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "query_id",
+            F.least(F.lit(k).cast("bigint"), F.col("__N") - F.col("__c"))
+            .alias("n_exact"),
+        )
+        .where(F.col("n_exact") > 0)
     )
     n_hits = (
         e.join(a, ["query_id", "__nid"])
@@ -2672,7 +2699,16 @@ def pca_covariance(
     #    ``_vec_checked``-validated fixtures and the 64-wide oracle
     #    provide): every vector then contributes to every cell, so the
     #    per-cell mean of x_i IS the global mean of x_i.
-    base = _spread(embeddings, F.col(id_col)).select(arr.alias("__a"))
+    # r16 (ADVICE r15): slice to exactly ``dim`` before the explode.
+    # ``_vec_checked`` admits WIDER vectors (prefix use is legitimate),
+    # but the diagonal-cell means derivation below assumes every vector
+    # contributes to every cell — a mixed-width corpus would silently
+    # change c_micro.  Slicing makes widths uniform by construction
+    # (no-op on exact-width input; one bounded array copy per row,
+    # nothing against the n·d² generation downstream).
+    base = _spread(embeddings, F.col(id_col)).select(
+        F.slice(arr, 1, dim).alias("__a")
+    )
     exi = base.select(F.posexplode(F.col("__a")).alias("i", "__xi"), "__a")
     tri = exi.select(
         "i",
@@ -3173,8 +3209,10 @@ def pca_by_label(
     # mirror is filled into the DRIVER dict, halving the collect too),
     # per-(label, d) means riding the diagonal cells of the same
     # single-pass aggregation.
+    # r16 (ADVICE r15): slice to exactly ``dim`` — same mixed-width
+    # guard as the global ``pca_covariance`` (see there).
     base = _spread(embeddings, F.col(id_col)).select(
-        F.col(label_col).alias("__lbl"), arr.alias("__a")
+        F.col(label_col).alias("__lbl"), F.slice(arr, 1, dim).alias("__a")
     )
     exi = base.select(
         "__lbl", F.posexplode(F.col("__a")).alias("i", "__xi"), "__a"

@@ -377,6 +377,7 @@ def service_pod_map_sharded(
     pod_key: str = "uid",
     name_col: str = "name",
     preshards: int = _POD_MAP_PRESHARDS,
+    broadcast_pods: bool = True,
 ) -> DataFrame:
     """A1's 100 TB form: per-service pod map SHARDED into rows of at
     most ``shard_size`` entries.
@@ -471,12 +472,17 @@ def service_pod_map_sharded(
             )
         ).alias("__pod_json"),
     )
-    return (
+    if broadcast_pods:
         # Broadcast: pods is the dim side (J1's established contract);
         # an unhinted plan shuffles the full ranked PAIR stream by
         # pod_uid here, which costs more than the wide window payload
         # this restructure removed (measured 13.0 s vs 9.2 s at sf0.1).
-        ranked.join(F.broadcast(pod_json), "pod_uid")
+        # ``broadcast_pods=False`` (ADVICE r15) is the J1-style escape
+        # hatch for pathological pod cardinality where the full-JSON
+        # dim side would not fit executor/driver memory.
+        pod_json = F.broadcast(pod_json)
+    return (
+        ranked.join(pod_json, "pod_uid")
         .groupBy("service_uid", "shard_id")
         .agg(
             F.map_from_entries(

@@ -84,10 +84,17 @@ ALLOW: dict[str, tuple[int, int]] = {
     #                                      broadcast query panel
     "emb_cosine_near_dup": (0, 1),      # declared O(n²) exact anchor
     "emb_knn_graph_mutual": (0, 1),     # declared O(n²) exact anchor
-    "emb_ann_recall_report": (0, 2),    # exact baseline's broadcast panel
-    "emb_ivf_recall_report": (0, 1),    # same panel; IVF side equi-joins
-    "emb_adc_recall_report": (0, 1),    # same panel; ADC side is a scan
-    "emb_ivfpq_recall_report": (0, 1),  # same panel; probe side equi-joins
+    # The recall reports each carry ONE scalar count-star and its
+    # single-row broadcast attach (r16: n_exact is derived as
+    # min(k, N − c_q) so the brute-force exact side has a single
+    # consumer — see ann_recall_report): the SinglePartition exchange
+    # moves one 8-byte partial count per input partition, and the
+    # 1-row crossJoin(broadcast(total)) is the established
+    # corpus-stats-single-row BNLJ (the docs_bm25_topk pattern).
+    "emb_ann_recall_report": (1, 3),    # exact baseline's broadcast panel
+    "emb_ivf_recall_report": (1, 2),    # same panel; IVF side equi-joins
+    "emb_adc_recall_report": (1, 2),    # same panel; ADC side is a scan
+    "emb_ivfpq_recall_report": (1, 2),  # same panel; probe side equi-joins
 }
 
 #: Driver-side fixpoint loops: a single executed plan of the returned
