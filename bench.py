@@ -172,6 +172,25 @@ BENCH_QUERIES = (
 CANARY_ROWS = 2_000_000_000
 
 
+def spread_flags(
+    medians: dict[str, float], maxes: dict[str, float], factor: float = 2.0
+) -> list[str]:
+    """Queries whose within-run max/MEDIAN rep spread exceeds
+    ``factor`` — the bimodal-slow-mode detector (VERDICT r15 item 3).
+    max/median rather than max/min: the first rep legitimately carries
+    codegen compile (healthy max/min reaches 3x on sub-second queries)
+    but the median of 3+ reps is past JIT, so a max far above it is a
+    real slow mode.  Calibration on the r15 artifacts: every healthy
+    headline query measured <= 1.80, the two pathologies 2.49 and 8.37.
+    Pure so the seeded unit test can drive it without a Spark
+    session."""
+    return sorted(
+        n
+        for n, t in medians.items()
+        if t > 0.0 and maxes.get(n, t) / t > factor
+    )
+
+
 def _canary(spark) -> float:
     """min-of-3 canary seconds after one untimed codegen-warm run."""
 
@@ -354,6 +373,17 @@ def main() -> None:
     canary_end = _canary(spark)
     canary = round((canary_start + canary_end) / 2.0, 3)
 
+    # Within-run spread flag (r16, VERDICT r15 item 3): both r15
+    # pathologies (emb_semantic_clusters_lsh med 8.15 / max 20.28,
+    # docs_containment_pairs med 2.54 / max 21.27) were bimodal WITHIN
+    # one run — the min looked healthy and only a hand-diff of
+    # headline_max found them.  Any headline/baseline query whose
+    # max/median exceeds 2x ships in ``headline_flagged_spread`` so
+    # the artifact itself raises the flag.
+    flagged_spread = spread_flags(
+        {**medians, **b_medians}, {**maxes, **b_maxes}
+    )
+
     # Tier-2 regressions vs the newest committed round, NORMALIZED by
     # the calibration-canary ratio: three straight rounds (r6 wobble,
     # r8 "+24%", r9's five phantom ~2x flags) the raw comparison fired
@@ -424,6 +454,7 @@ def main() -> None:
         "tier2_reps": t2_reps,
         "tier2_flag_confirm": flag_confirm,
         "tier2_flagged_vs_prev": flagged,
+        "headline_flagged_spread": flagged_spread,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(
