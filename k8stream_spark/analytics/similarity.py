@@ -2647,6 +2647,120 @@ def standardize(
     )
 
 
+def _pca_moment_cells(
+    embeddings: DataFrame,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """The ONE corpus pass behind the whole PCA family: upper-triangle
+    moment cells (i, j, __es=Σxᵢxⱼ decimal, __ms=Σxᵢ on the diagonal,
+    __n) — optionally keyed by ``label_col`` (as ``__lbl``) for the
+    per-class variants.  d(d+1)/2 (× |labels|) rows at any corpus
+    size; eagerly checkpointed so every consumer branch (cells, means,
+    and the r16 projection reuse) reads the materialized cells instead
+    of re-running the n·d² generation.
+
+    The d²-fold generation parallelism is the input's partition count
+    — the fixture parquet is one file/one partition, which would run
+    the whole n·d² stage on a single core (measured ~25 s single-
+    partition vs ~2 s spread at sf0.1).  _spread shuffles the n input
+    rows only in that starved case; a cluster-scale input that
+    already arrives partitioned passes through with no exchange.
+
+    r15 opt (guide §1.2 "the distributed algorithm"), three exact
+    rewrites of the n·d² generation pass, together ~2.8×:
+     * the checked+cast array is projected ONCE into ``__a`` — the
+       old plan re-evaluated the 64-element transform up to 4× per
+       row (posexplode's implicit non-empty filter duplicated it into
+       the pushed-down Filter and both Generates);
+     * only the upper triangle (j ≥ i) is generated — IEEE multiply
+       is commutative and decimal sums are order-proof, so the (j, i)
+       cell is a bit-exact mirror of (i, j);
+     * the per-dimension means come from one n·d pass instead of
+       being re-summed inside every one of the d² cells (3 decimal
+       accumulators per generated row → 1).  Equivalent to the
+       per-cell means whenever all vectors have one length (what
+       ``_vec_checked``-validated fixtures and the 64-wide oracle
+       provide): every vector then contributes to every cell, so the
+       per-cell mean of x_i IS the global mean of x_i.
+    r16 (ADVICE r15): slice to exactly ``dim`` before the explode.
+    ``_vec_checked`` admits WIDER vectors (prefix use is legitimate),
+    but the diagonal-cell means derivation assumes every vector
+    contributes to every cell — a mixed-width corpus would silently
+    change c_micro.  Slicing makes widths uniform by construction
+    (no-op on exact-width input; one bounded array copy per row,
+    nothing against the n·d² generation downstream).
+    """
+    arr = F.transform(
+        _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+    )
+    keys = []
+    sel = [F.slice(arr, 1, dim).alias("__a")]
+    if label_col is not None:
+        keys = ["__lbl"]
+        sel = [F.col(label_col).alias("__lbl")] + sel
+    base = _spread(embeddings, F.col(id_col)).select(*sel)
+    exi = base.select(
+        *keys, F.posexplode(F.col("__a")).alias("i", "__xi"), "__a"
+    )
+    tri = exi.select(
+        *keys,
+        "i",
+        "__xi",
+        F.posexplode(
+            F.slice(
+                F.col("__a"), F.col("i") + 1, F.size(F.col("__a")) - F.col("i")
+            )
+        ).alias("__jo", "__xj"),
+    ).withColumn("j", F.col("i") + F.col("__jo"))
+
+    # The per-dimension mean sums ride the DIAGONAL cells of the same
+    # aggregation (j == i ⇒ __xi is the raw x_d), so the corpus is
+    # scanned exactly once; the conditional accumulator adds one decimal
+    # op on n·d of the n·d(d+1)/2 generated rows.
+    g = tri.groupBy(*keys, "i", "j").agg(
+        F.sum((F.col("__xi") * F.col("__xj")).cast("decimal(28,12)")).alias(
+            "__es"
+        ),
+        F.sum(
+            F.when(F.col("j") == F.col("i"), F.col("__xi")).cast(
+                "decimal(28,12)"
+            )
+        ).alias("__ms"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # g is d(d+1)/2 rows at ANY corpus size; checkpointing it eagerly
+    # stops the mirror union and the two means joins below from
+    # re-running the corpus pass once per plan branch (4 scans in the
+    # lazy form — verified in the executed plan).
+    from k8stream_spark.analytics import _cache
+
+    if _cache.EAGER:
+        g = g.localCheckpoint()
+    return g
+
+
+def _pca_means_rows(g: DataFrame, by_label: bool = False) -> list:
+    """Collected per-dimension means off the checkpointed moment cells
+    — the ``mean_center`` 6-dp recipe (round6(Σx / n) off the diagonal
+    cells), bit-identical to the groupBy-means subtree the r15
+    projections recomputed with a second corpus pass."""
+    keys = ["__lbl"] if by_label else []
+    return (
+        g.where(F.col("j") == F.col("i"))
+        .select(
+            *keys,
+            F.col("i").alias("d"),
+            F.round(F.col("__ms").cast("double") / F.col("__n"), 6).alias(
+                "__m"
+            ),
+        )
+        .collect()
+    )
+
+
 def pca_covariance(
     embeddings: DataFrame,
     dim: int = 64,
@@ -2673,76 +2787,14 @@ def pca_covariance(
     is two correctly-rounded IEEE steps; the final micro cast is the
     house round(1e6·c).  Every value replays bit-for-bit in DuckDB.
     """
-    arr = F.transform(
-        _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+    return _pca_cells_from_moments(
+        _pca_moment_cells(embeddings, dim, vec_col, id_col)
     )
-    # The d²-fold generation parallelism is the input's partition count
-    # — the fixture parquet is one file/one partition, which would run
-    # the whole n·d² stage on a single core (measured ~25 s single-
-    # partition vs ~2 s spread at sf0.1).  _spread shuffles the n input
-    # rows only in that starved case; a cluster-scale input that
-    # already arrives partitioned passes through with no exchange.
-    #
-    # r15 opt (guide §1.2 "the distributed algorithm"), three exact
-    # rewrites of the n·d² generation pass, together ~2.8×:
-    #  * the checked+cast array is projected ONCE into ``__a`` — the
-    #    old plan re-evaluated the 64-element transform up to 4× per
-    #    row (posexplode's implicit non-empty filter duplicated it into
-    #    the pushed-down Filter and both Generates);
-    #  * only the upper triangle (j ≥ i) is generated — IEEE multiply
-    #    is commutative and decimal sums are order-proof, so the (j, i)
-    #    cell is a bit-exact mirror of (i, j);
-    #  * the per-dimension means come from one n·d pass instead of
-    #    being re-summed inside every one of the d² cells (3 decimal
-    #    accumulators per generated row → 1).  Equivalent to the
-    #    per-cell means whenever all vectors have one length (what
-    #    ``_vec_checked``-validated fixtures and the 64-wide oracle
-    #    provide): every vector then contributes to every cell, so the
-    #    per-cell mean of x_i IS the global mean of x_i.
-    # r16 (ADVICE r15): slice to exactly ``dim`` before the explode.
-    # ``_vec_checked`` admits WIDER vectors (prefix use is legitimate),
-    # but the diagonal-cell means derivation below assumes every vector
-    # contributes to every cell — a mixed-width corpus would silently
-    # change c_micro.  Slicing makes widths uniform by construction
-    # (no-op on exact-width input; one bounded array copy per row,
-    # nothing against the n·d² generation downstream).
-    base = _spread(embeddings, F.col(id_col)).select(
-        F.slice(arr, 1, dim).alias("__a")
-    )
-    exi = base.select(F.posexplode(F.col("__a")).alias("i", "__xi"), "__a")
-    tri = exi.select(
-        "i",
-        "__xi",
-        F.posexplode(
-            F.slice(
-                F.col("__a"), F.col("i") + 1, F.size(F.col("__a")) - F.col("i")
-            )
-        ).alias("__jo", "__xj"),
-    ).withColumn("j", F.col("i") + F.col("__jo"))
 
-    # The per-dimension mean sums ride the DIAGONAL cells of the same
-    # aggregation (j == i ⇒ __xi is the raw x_d), so the corpus is
-    # scanned exactly once; the conditional accumulator adds one decimal
-    # op on n·d of the n·d(d+1)/2 generated rows.
-    g = tri.groupBy("i", "j").agg(
-        F.sum((F.col("__xi") * F.col("__xj")).cast("decimal(28,12)")).alias(
-            "__es"
-        ),
-        F.sum(
-            F.when(F.col("j") == F.col("i"), F.col("__xi")).cast(
-                "decimal(28,12)"
-            )
-        ).alias("__ms"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    # g is d(d+1)/2 rows at ANY corpus size; checkpointing it eagerly
-    # stops the mirror union and the two means joins below from
-    # re-running the corpus pass once per plan branch (4 scans in the
-    # lazy form — verified in the executed plan).
-    from k8stream_spark.analytics import _cache
 
-    if _cache.EAGER:
-        g = g.localCheckpoint()
+def _pca_cells_from_moments(g: DataFrame) -> DataFrame:
+    """(i, j, c_micro) covariance cells off the checkpointed moment
+    frame — the declared ``pca_covariance`` derivation, unchanged."""
     e = F.round(F.col("__es").cast("double") / F.col("__n"), 6)
     cells = g.select("i", "j", e.alias("__e")).unionByName(
         g.where(F.col("j") > F.col("i")).select(
@@ -2779,6 +2831,49 @@ def pca_covariance(
             .alias("c_micro"),
         )
     )
+
+
+def _pca_cov_means(
+    embeddings: DataFrame,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[dict, list[float]]:
+    """One covariance pass → (full cov dict incl. the (j, i) mirror,
+    per-dimension means list).  Both collects read the checkpointed
+    d(d+1)/2 moment-cell frame, so callers that need cov AND means
+    (the r16 projections) pay exactly one corpus scan."""
+    g = _pca_moment_cells(embeddings, dim, vec_col, id_col)
+    cov: dict = {}
+    for r in _pca_cells_from_moments(g).collect():
+        i, j, c = int(r["i"]), int(r["j"]), int(r["c_micro"])
+        cov[(i, j)] = c
+    means = [0.0] * dim
+    for r in _pca_means_rows(g):
+        means[int(r["d"])] = float(r["__m"])
+    return cov, means
+
+
+def _pca_fold_score(
+    arr_col: Column, m_arr: Column, v_arr: Column
+) -> Column:
+    """Per-row projection score as a zero-exchange array fold:
+    round(1e6 · Σ_d (x_d − m_d)·v_d) with the cross-dimension sum in
+    DECIMAL(28,12) — the identical addend multiset the r15
+    posexplode → broadcast-join → groupBy shape summed, and decimal
+    addition is exact and associative at these magnitudes, so the fold
+    order cannot change a bit.  Replaces a corpus-sized generate plus
+    a per-vector exchange with per-row codegen (guide §2.4)."""
+    cent = F.zip_with(arr_col, m_arr, lambda x, m: x - m)
+    addend = F.zip_with(
+        cent, v_arr, lambda xm, vv: (xm * vv).cast("decimal(28,12)")
+    )
+    s = F.aggregate(
+        addend,
+        F.lit(0).cast("decimal(28,12)"),
+        lambda a, p: (a + p).cast("decimal(28,12)"),
+    )
+    return F.round(F.lit(1000000.0) * s.cast("double")).cast("bigint")
 
 
 def _pca_power_iterate(
@@ -2872,53 +2967,35 @@ def pca_project(
     the 1-D PCA embedding used for curriculum ordering, outlier
     trimming, and stratified sampling over semantic spread.
 
-    Scale: the component comes from ``pca_top_component``'s bounded
-    driver path; the projection itself is the data-sized part and runs
-    as one corpus scan — posexplode → broadcast join of the 64-row
-    means and component frames → per-vector partial sums.  The only
-    exchange carries one (vec_id, decimal) row per vector (the 64
-    addends combine map-side within the source row's partition).
+    Scale (r16 restructure, guide §1.2/§2.4): the component AND the
+    means come from ONE covariance pass (``_pca_cov_means`` — the r15
+    shape re-derived the means with a second corpus posexplode +
+    groupBy); the projection itself is a per-row array fold against
+    the 64-element mean/component literals — no generate, no joins, no
+    per-vector exchange, zero shuffles in the scoring pass.
 
-    Exactness: means via the ``mean_center`` 6-dp recipe; v = v_micro /
-    1e6 (exact decimal-to-double); each addend (x − m)·v is two IEEE
-    steps from deterministic inputs; the cross-dimension sum runs in
-    DECIMAL(28,12) (order-proof); one final round(1e6·s) cast.
+    Exactness: means via the ``mean_center`` 6-dp recipe (identical
+    value — the diagonal moment sums ARE the per-dimension decimal
+    sums); v = v_micro / 1e6 (same IEEE divide, now in the driver);
+    each addend (x − m)·v is two IEEE steps from deterministic inputs;
+    the cross-dimension sum runs in DECIMAL(28,12), which is exact and
+    associative at these magnitudes, so fold order equals the old
+    distributed sum bit-for-bit; one final round(1e6·s) cast.
     """
-    comp = pca_top_component(
-        spark, embeddings, dim=dim, steps=steps,
-        vec_col=vec_col, id_col=id_col,
-    ).select("d", (F.col("v_micro") / F.lit(1000000.0)).alias("__v"))
-    ex = embeddings.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                _vec_checked(F.col(vec_col), dim),
-                lambda x: x.cast("double"),
-            )
-        ).alias("__d", "__x"),
-    ).withColumn("d", F.col("__d").cast("bigint"))
-    means = ex.groupBy("d").agg(
-        F.round(
-            F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("__m")
+    cov, means = _pca_cov_means(embeddings, dim, vec_col, id_col)
+    v, _ = _pca_power_iterate(cov, dim, steps)
+    arr = F.slice(
+        F.transform(
+            _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+        ),
+        1,
+        dim,
     )
-    return (
-        ex.join(F.broadcast(means), "d")
-        .join(F.broadcast(comp), "d")
-        .select(
-            F.col(id_col),
-            ((F.col("__x") - F.col("__m")) * F.col("__v"))
-            .cast("decimal(28,12)")
-            .alias("__p"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.round(F.lit(1000000.0) * F.sum("__p").cast("double"))
-            .cast("bigint")
-            .alias("score_micro")
-        )
+    m_arr = F.array(*[F.lit(float(m)) for m in means])
+    v_arr = F.array(*[F.lit(x / 1000000.0) for x in v])
+    return embeddings.select(
+        F.col(id_col),
+        _pca_fold_score(arr, m_arr, v_arr).alias("score_micro"),
     )
 
 
@@ -3045,59 +3122,32 @@ def pca_project2d(
     pc1_micro, pc2_micro) — the 2-D corpus map used for visualization,
     stratified sampling over semantic spread, and outlier trimming.
 
-    Scale: one corpus scan; the 128-row component frame and the 64-row
-    means broadcast; each exploded (vec, d) row meets both components
-    in a single broadcast join and the two scores come out of one
-    grouped pass as conditional DECIMAL sums (FILTER-style, one
-    (vec_id, 2·decimal) shuffle row per vector after map-side combine).
-    Exactness per the ``pca_project`` recipe on both components.
+    Scale (r16 restructure — the ``pca_project`` fold, twice): both
+    components and the means come from ONE covariance pass; each score
+    is a per-row DECIMAL(28,12) array fold against 64-element literals
+    — no generate, no joins, no per-vector exchange.  The conditional
+    per-component sums of the r15 grouped pass summed exactly these
+    addend multisets; decimal addition is exact and associative here,
+    so the fold replays them bit-for-bit.
     """
-    comp = pca_top2_components(
-        spark, embeddings, dim=dim, steps=steps,
-        vec_col=vec_col, id_col=id_col,
-    ).select(
-        "component", "d",
-        (F.col("v_micro") / F.lit(1000000.0)).alias("__v"),
+    cov, means = _pca_cov_means(embeddings, dim, vec_col, id_col)
+    v1, lam1 = _pca_power_iterate(cov, dim, steps)
+    cov2 = _pca_deflate(cov, v1, lam1, dim)
+    v2, _ = _pca_power_iterate(cov2, dim, steps)
+    arr = F.slice(
+        F.transform(
+            _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+        ),
+        1,
+        dim,
     )
-    ex = embeddings.select(
+    m_arr = F.array(*[F.lit(float(m)) for m in means])
+    v1_arr = F.array(*[F.lit(x / 1000000.0) for x in v1])
+    v2_arr = F.array(*[F.lit(x / 1000000.0) for x in v2])
+    return embeddings.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                _vec_checked(F.col(vec_col), dim),
-                lambda x: x.cast("double"),
-            )
-        ).alias("__d", "__x"),
-    ).withColumn("d", F.col("__d").cast("bigint"))
-    means = ex.groupBy("d").agg(
-        F.round(
-            F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("__m")
-    )
-    p = ((F.col("__x") - F.col("__m")) * F.col("__v")).cast(
-        "decimal(28,12)"
-    )
-
-    def _score(c: int) -> Column:
-        return (
-            F.round(
-                F.lit(1000000.0)
-                * F.sum(
-                    F.when(F.col("component") == c, p)
-                ).cast("double")
-            )
-            .cast("bigint")
-        )
-
-    return (
-        ex.join(F.broadcast(means), "d")
-        .join(F.broadcast(comp), "d")
-        .groupBy(id_col)
-        .agg(
-            _score(1).alias("pc1_micro"),
-            _score(2).alias("pc2_micro"),
-        )
+        _pca_fold_score(arr, m_arr, v1_arr).alias("pc1_micro"),
+        _pca_fold_score(arr, m_arr, v2_arr).alias("pc2_micro"),
     )
 
 
@@ -3198,52 +3248,39 @@ def pca_by_label(
     ``_check_label_cardinality`` pre-scans the label column and raises
     past ``_MAX_PCA_LABELS`` instead of silently collecting gigabytes.
     """
-    _check_label_cardinality(embeddings, label_col, dim)
-    arr = F.transform(
-        _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+    spectra, _ = _pca_label_spectra(
+        embeddings, dim, steps, vec_col, id_col, label_col
     )
-    # r15 opt — the grouped twin of the global ``pca_covariance``
-    # rewrite (see there): one projected cast array, upper-triangle
-    # generation only (IEEE multiply commutes, decimal sums are
-    # order-proof, so (j, i) mirrors (i, j) bit-exactly — here the
-    # mirror is filled into the DRIVER dict, halving the collect too),
-    # per-(label, d) means riding the diagonal cells of the same
-    # single-pass aggregation.
-    # r16 (ADVICE r15): slice to exactly ``dim`` — same mixed-width
-    # guard as the global ``pca_covariance`` (see there).
-    base = _spread(embeddings, F.col(id_col)).select(
-        F.col(label_col).alias("__lbl"), F.slice(arr, 1, dim).alias("__a")
+    data = []
+    for lbl in sorted(spectra):
+        v, lam = spectra[lbl]
+        data.extend((lbl, d, v[d], lam) for d in range(dim))
+    return spark.createDataFrame(
+        data,
+        "label bigint, d bigint, v_micro bigint, lambda_micro bigint",
     )
-    exi = base.select(
-        "__lbl", F.posexplode(F.col("__a")).alias("i", "__xi"), "__a"
-    )
-    tri = exi.select(
-        "__lbl",
-        "i",
-        "__xi",
-        F.posexplode(
-            F.slice(
-                F.col("__a"), F.col("i") + 1, F.size(F.col("__a")) - F.col("i")
-            )
-        ).alias("__jo", "__xj"),
-    ).withColumn("j", F.col("i") + F.col("__jo"))
-    g = tri.groupBy("__lbl", "i", "j").agg(
-        F.sum((F.col("__xi") * F.col("__xj")).cast("decimal(28,12)")).alias(
-            "__es"
-        ),
-        F.sum(
-            F.when(F.col("j") == F.col("i"), F.col("__xi")).cast(
-                "decimal(28,12)"
-            )
-        ).alias("__ms"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    from k8stream_spark.analytics import _cache
 
-    if _cache.EAGER:
-        # |labels|·d(d+1)/2 rows at any corpus size; stops the means
-        # join below from re-running the corpus pass per plan branch.
-        g = g.localCheckpoint()
+
+def _pca_label_spectra(
+    embeddings: DataFrame,
+    dim: int,
+    steps: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> tuple[dict, dict]:
+    """Shared per-label covariance pass: returns
+    ``({label: (v_micro[dim], lambda_micro)}, {(label, d): mean})``.
+    One corpus scan (``_pca_moment_cells``); the means collect reads
+    the checkpointed |labels|·d(d+1)/2 cell frame, NOT the corpus — so
+    ``pca_project_by_label`` no longer re-derives class means with a
+    second corpus pass (r16, guide §1.2 "don't compute things twice")."""
+    _check_label_cardinality(embeddings, label_col, dim)
+    # r15 opt — the grouped twin of the global ``pca_covariance``
+    # rewrite; r16: the shared ``_pca_moment_cells`` helper (one corpus
+    # pass, upper triangle, means on the diagonal, checkpointed cells —
+    # see its docstring), keyed by label.
+    g = _pca_moment_cells(embeddings, dim, vec_col, id_col, label_col)
     means = g.where(F.col("j") == F.col("i")).select(
         "__lbl",
         F.col("i").alias("d"),
@@ -3287,14 +3324,15 @@ def pca_by_label(
         cell[(i, j)] = c
         if i != j:
             cell[(j, i)] = c
-    data = []
-    for lbl in sorted(by_label):
-        v, lam = _pca_power_iterate(by_label[lbl], dim, steps)
-        data.extend((lbl, d, v[d], lam) for d in range(dim))
-    return spark.createDataFrame(
-        data,
-        "label bigint, d bigint, v_micro bigint, lambda_micro bigint",
-    )
+    mean_by_ld = {
+        (r["__lbl"], int(r["d"])): float(r["__m"])
+        for r in _pca_means_rows(g, by_label=True)
+    }
+    spectra = {
+        lbl: _pca_power_iterate(by_label[lbl], dim, steps)
+        for lbl in by_label
+    }
+    return spectra, mean_by_ld
 
 
 def pca_project_by_label(
@@ -3311,54 +3349,48 @@ def pca_project_by_label(
     curriculum/outlier coordinate (a vector extreme for its class is
     interesting even when globally unremarkable).
 
-    Composition of the audited parts: ``pca_by_label``'s bounded
-    driver path yields the |labels|·dim component frame; class means
-    use the ``mean_center`` recipe keyed by label; the projection is
-    one corpus scan with two broadcast joins on (label, d) and a
-    per-vector decimal partial sum — the ``pca_project`` shape with a
-    label key riding along.
+    Composition of the audited parts (r16 restructure): ONE per-label
+    covariance pass (``_pca_label_spectra``) yields both the class
+    components and the class means — the r15 shape re-derived the
+    means with a second corpus posexplode + groupBy — and the
+    projection is one corpus scan with a single broadcast join on
+    ``label`` attaching the class's 64-element mean/component arrays,
+    scored by the ``pca_project`` decimal fold (bit-identical addend
+    multiset; no generate, no per-vector exchange).
     """
-    comp = pca_by_label(
-        spark, embeddings, dim=dim, steps=steps,
-        vec_col=vec_col, id_col=id_col, label_col=label_col,
-    ).select(
-        F.col("label").alias("__lbl"), "d",
-        (F.col("v_micro") / F.lit(1000000.0)).alias("__v"),
+    spectra, mean_by_ld = _pca_label_spectra(
+        embeddings, dim, steps, vec_col, id_col, label_col
     )
-    ex = embeddings.select(
-        F.col(id_col),
-        F.col(label_col).cast("bigint").alias("__lbl"),
-        F.posexplode(
-            F.transform(
-                _vec_checked(F.col(vec_col), dim),
-                lambda x: x.cast("double"),
+    comp = spark.createDataFrame(
+        [
+            (
+                int(lbl),
+                [float(mean_by_ld[(lbl, d)]) for d in range(dim)],
+                [spectra[lbl][0][d] / 1000000.0 for d in range(dim)],
             )
-        ).alias("__d", "__x"),
-    ).withColumn("d", F.col("__d").cast("bigint"))
-    means = ex.groupBy("__lbl", "d").agg(
-        F.round(
-            F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("__m")
+            for lbl in sorted(spectra)
+        ],
+        "__lbl bigint, __ma array<double>, __va array<double>",
+    )
+    arr = F.slice(
+        F.transform(
+            _vec_checked(F.col(vec_col), dim), lambda x: x.cast("double")
+        ),
+        1,
+        dim,
     )
     return (
-        ex.join(F.broadcast(means), ["__lbl", "d"])
-        .join(F.broadcast(comp), ["__lbl", "d"])
+        embeddings.select(
+            F.col(id_col),
+            F.col(label_col).cast("bigint").alias("__lbl"),
+            arr.alias("__a"),
+        )
+        .join(F.broadcast(comp), "__lbl")
         .select(
             F.col(id_col),
-            F.col("__lbl"),
-            ((F.col("__x") - F.col("__m")) * F.col("__v"))
-            .cast("decimal(28,12)")
-            .alias("__p"),
-        )
-        .groupBy(id_col, "__lbl")
-        .agg(
-            F.round(F.lit(1000000.0) * F.sum("__p").cast("double"))
-            .cast("bigint")
-            .alias("score_micro")
-        )
-        .select(
-            id_col, F.col("__lbl").alias("label"), "score_micro"
+            F.col("__lbl").alias("label"),
+            _pca_fold_score(
+                F.col("__a"), F.col("__ma"), F.col("__va")
+            ).alias("score_micro"),
         )
     )
