@@ -1487,28 +1487,26 @@ def _q_j6(spark, sf_dir):
 
 
 def _q_a1(spark, sf_dir):
-    pod_map = joins.service_pod_map(
+    # r16 (VERDICT r15 item 6): the declared panel is COUNT + MIN(name)
+    # per service (see the oracle); service_pod_stats computes exactly
+    # that from the narrow pairs instead of building/shuffling the
+    # ~3M-entry JSON map only to take size() and the first key of it
+    # (size(pod) == count and first key == min name whenever names are
+    # unique per service — the map form's EXCEPTION dedup policy
+    # guarantee; equality pinned in tests/test_joins.py).
+    return joins.service_pod_stats(
         _j4_pairs(spark, sf_dir), _pods(spark, sf_dir)
-    )
-    return pod_map.select(
-        "service_uid",
-        F.size("pod").cast("bigint").alias("n_pods"),
-        F.element_at(F.map_keys("pod"), 1).alias("first_pod"),
     )
 
 
 def _q_a1_sharded(spark, sf_dir):
-    # the 100 TB variant: same map content, rows bounded at shard_size
-    # entries (shard_size=1000 makes the empty-selector services span
-    # multiple shards even at sf0.01, so the split logic is exercised)
-    pod_map = joins.service_pod_map_sharded(
+    # the 100 TB variant: same shard assignment as the pod-map operator
+    # (shared rank/offset machinery; shard_size=1000 makes the
+    # empty-selector services span multiple shards even at sf0.01, so
+    # the split logic is exercised), narrow stats aggregation (r16 —
+    # see _q_a1).
+    return joins.service_pod_shard_stats(
         _j4_pairs(spark, sf_dir), _pods(spark, sf_dir), shard_size=1000
-    )
-    return pod_map.select(
-        "service_uid",
-        "shard_id",
-        F.size("pod").cast("bigint").alias("n_pods"),
-        F.element_at(F.map_keys("pod"), 1).alias("first_pod"),
     )
 
 

@@ -370,6 +370,136 @@ def service_pod_map(
 _POD_MAP_PRESHARDS = 32
 
 
+def _ranked_pod_shards(
+    pairs: DataFrame,
+    pods: DataFrame,
+    shard_size: int,
+    pod_key: str,
+    name_col: str,
+    preshards: int,
+) -> DataFrame:
+    """The deterministic shard machinery shared by
+    ``service_pod_map_sharded`` and ``service_pod_shard_stats``:
+    (service, pod) pairs joined to NARROW pod names, pre-shard hashed,
+    locally ranked, offset-recovered, ``shard_id`` assigned — see
+    ``service_pod_map_sharded`` for the order/shard contract.
+
+    r15 opt (guide §2.3 "project before the exchange"): the rank
+    window used to run over pair rows already carrying the built
+    pod-JSON payload.  Now the window ranks NARROW (ids + name) rows
+    and the JSON is attached broadcast-side after ranking, so the
+    wide payload crosses only the final map-aggregation exchange
+    instead of two.  The offsets branch still re-derives the narrow
+    pair join (column pruning keeps the two branches' exchanges
+    non-identical, so ReusedExchange cannot fire; persisting the
+    data-sized pair frame remains off the table — the A1 OOM lesson),
+    but its recompute is now the same narrow projection the window
+    uses.  Same-session interleaved A/B at sf0.1: min 8.59 → 8.27 s.
+    """
+    if preshards < 1:
+        # ADVICE r14: preshards <= 0 would make the modulo yield
+        # null/invalid __ps and silently corrupt ranks and shard ids —
+        # fail fast, mirroring suggest_ivf_nprobe's nlist validation.
+        raise ValueError("preshards must be >= 1")
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    pod_name = pods.select(
+        F.col(pod_key).alias("pod_uid"),
+        F.col(name_col).alias("__pod_name"),
+    )
+    joined = pairs.join(pod_name, "pod_uid").withColumn(
+        "__ps",
+        F.conv(
+            F.substring(F.sha2(F.col("__pod_name"), 256), 1, 15), 16, 10
+        ).cast("bigint")
+        % preshards,
+    )
+    w_local = Window.partitionBy("service_uid", "__ps").orderBy("__pod_name")
+    local = joined.withColumn("__rn", F.row_number().over(w_local) - 1)
+    w_off = (
+        Window.partitionBy("service_uid")
+        .orderBy("__ps")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("service_uid", "__ps")
+        .agg((F.max("__rn") + 1).alias("__cnt"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .drop("__cnt")
+    )
+    return local.join(offsets, ["service_uid", "__ps"]).withColumn(
+        "shard_id",
+        F.floor((F.col("__rn") + F.col("__off")) / F.lit(shard_size)).cast(
+            "bigint"
+        ),
+    )
+
+
+def service_pod_stats(
+    pairs: DataFrame,
+    pods: DataFrame,
+    pod_key: str = "uid",
+    name_col: str = "name",
+) -> DataFrame:
+    """A1's declared panel — (service_uid, n_pods, first_pod) — without
+    materializing the pod map (r16, VERDICT r15 item 6 / guide §1.2
+    "don't compute things you throw away").
+
+    ``service_pod_map``'s map VALUES are per-pod JSON strings; the a1
+    query consumes only ``size(map)`` and the first (minimum) key, and
+    its oracle is literally ``COUNT(*), MIN(name) GROUP BY service`` —
+    but Catalyst cannot prune map values back through
+    ``map_from_entries``, so the r15 query built, shuffled and
+    assembled ~3M JSON strings per run only to count them (measured
+    ~3 s of the query's 8.2 s at sf0.1; at 100 TB the waste is a full
+    data-sized exchange).  This operator aggregates the NARROW
+    (service_uid, pod_name) pairs directly: count = map size and
+    min(name) = first sorted key whenever pod names are unique per
+    service, which ``service_pod_map``'s EXCEPTION dedup policy
+    already enforces for the map form.  ``service_pod_map`` remains
+    the reference-parity anchor for consumers that need the maps.
+    """
+    pod_name = pods.select(
+        F.col(pod_key).alias("pod_uid"),
+        F.col(name_col).alias("__pod_name"),
+    )
+    return (
+        pairs.join(pod_name, "pod_uid")
+        .groupBy("service_uid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pods"),
+            F.min("__pod_name").alias("first_pod"),
+        )
+    )
+
+
+def service_pod_shard_stats(
+    pairs: DataFrame,
+    pods: DataFrame,
+    shard_size: int = 1000,
+    pod_key: str = "uid",
+    name_col: str = "name",
+    preshards: int = _POD_MAP_PRESHARDS,
+) -> DataFrame:
+    """Sharded twin of ``service_pod_stats``: (service_uid, shard_id,
+    n_pods, first_pod) per shard, with the IDENTICAL shard assignment
+    as ``service_pod_map_sharded`` (shared ``_ranked_pod_shards``
+    machinery — the rank/offset work IS the declared contract) but no
+    pod-JSON broadcast attach and no map aggregation: the declared
+    outputs are the shard's entry count and minimum name, so the
+    final exchange carries two narrow columns instead of the
+    data-sized map payload (guide §2.3)."""
+    ranked = _ranked_pod_shards(
+        pairs, pods, shard_size, pod_key, name_col, preshards
+    )
+    return ranked.groupBy("service_uid", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pods"),
+        F.min("__pod_name").alias("first_pod"),
+    )
+
+
 def service_pod_map_sharded(
     pairs: DataFrame,
     pods: DataFrame,
@@ -410,55 +540,8 @@ def service_pod_map_sharded(
     ~n_service_pods/preshards or ``shard_size``.  Union of all shards
     == the unsharded map (pytest-pinned).
     """
-    if preshards < 1:
-        # ADVICE r14: preshards <= 0 would make the modulo yield
-        # null/invalid __ps and silently corrupt ranks and shard ids —
-        # fail fast, mirroring suggest_ivf_nprobe's nlist validation.
-        raise ValueError("preshards must be >= 1")
-    if shard_size < 1:
-        raise ValueError("shard_size must be >= 1")
-    # r15 opt (guide §2.3 "project before the exchange"): the rank
-    # window used to run over pair rows already carrying the built
-    # pod-JSON payload.  Now the window ranks NARROW (ids + name) rows
-    # and the JSON is attached broadcast-side after ranking, so the
-    # wide payload crosses only the final map-aggregation exchange
-    # instead of two.  The offsets branch still re-derives the narrow
-    # pair join (column pruning keeps the two branches' exchanges
-    # non-identical, so ReusedExchange cannot fire; persisting the
-    # data-sized pair frame remains off the table — the A1 OOM lesson),
-    # but its recompute is now the same narrow projection the window
-    # uses.  Same-session interleaved A/B at sf0.1: min 8.59 → 8.27 s.
-    pod_name = pods.select(
-        F.col(pod_key).alias("pod_uid"),
-        F.col(name_col).alias("__pod_name"),
-    )
-    joined = pairs.join(pod_name, "pod_uid").withColumn(
-        "__ps",
-        F.conv(
-            F.substring(F.sha2(F.col("__pod_name"), 256), 1, 15), 16, 10
-        ).cast("bigint")
-        % preshards,
-    )
-    w_local = Window.partitionBy("service_uid", "__ps").orderBy("__pod_name")
-    local = joined.withColumn("__rn", F.row_number().over(w_local) - 1)
-    w_off = (
-        Window.partitionBy("service_uid")
-        .orderBy("__ps")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        local.groupBy("service_uid", "__ps")
-        .agg((F.max("__rn") + 1).alias("__cnt"))
-        .withColumn(
-            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-        )
-        .drop("__cnt")
-    )
-    ranked = local.join(offsets, ["service_uid", "__ps"]).withColumn(
-        "shard_id",
-        F.floor((F.col("__rn") + F.col("__off")) / F.lit(shard_size)).cast(
-            "bigint"
-        ),
+    ranked = _ranked_pod_shards(
+        pairs, pods, shard_size, pod_key, name_col, preshards
     )
     pod_json = pods.select(
         F.col(pod_key).alias("pod_uid"),

@@ -132,6 +132,36 @@ def test_a1_sharded_rank_window_is_presharded(services_df, pods_df):
         assert "__ps" in spec.split("ASC")[0], ln
 
 
+def test_a1_stats_equal_map_derived_panel(services_df, pods_df):
+    """r16 (VERDICT r15 item 6): the narrow stats operators must equal
+    the (size, first-key) panel derived from the map operators — the
+    declared a1 contract — on every service and shard, including the
+    empty-selector service that matches all pods."""
+    pairs = joins.label_selector_join(services_df, pods_df)
+    from_map = {
+        r.service_uid: (len(r.pod), sorted(r.pod.keys())[0])
+        for r in joins.service_pod_map(pairs, pods_df).collect()
+    }
+    from_stats = {
+        r.service_uid: (r.n_pods, r.first_pod)
+        for r in joins.service_pod_stats(pairs, pods_df).collect()
+    }
+    assert from_stats == from_map
+    sh_map = {
+        (r.service_uid, r.shard_id): (len(r.pod), sorted(r.pod.keys())[0])
+        for r in joins.service_pod_map_sharded(
+            pairs, pods_df, shard_size=2
+        ).collect()
+    }
+    sh_stats = {
+        (r.service_uid, r.shard_id): (r.n_pods, r.first_pod)
+        for r in joins.service_pod_shard_stats(
+            pairs, pods_df, shard_size=2
+        ).collect()
+    }
+    assert sh_stats == sh_map
+
+
 def test_u1_union_fills_missing_columns(spark):
     a = spark.createDataFrame([("1", "x")], "id string, only_a string")
     b = spark.createDataFrame([("2", "y")], "id string, only_b string")
