@@ -1467,11 +1467,21 @@ def _q_j4(spark, sf_dir):
 
 
 def _q_j5(spark, sf_dir):
-    idx = joins.pod_service_reverse_index(_j4_pairs(spark, sf_dir))
-    return idx.select(
-        F.col("pod_uid").cast("bigint").alias("pod_uid"),
-        F.size("service_uids").cast("bigint").alias("n_services"),
-        F.element_at("service_uids", 1).alias("first_service"),
+    # r16 (the a1 lesson, guide §1.2/§2.3): the declared panel — and
+    # the oracle — is COUNT(*) + MIN(service_uid) per pod; building the
+    # sorted service-set arrays (pod_service_reverse_index, kept as the
+    # reference-parity operator) only to take size() and element 1
+    # shuffled every per-pod service list for nothing.  J4 pairs are
+    # distinct by construction (the r15-green set-size == the oracle's
+    # COUNT(*) proves it), so count == set size and min == first sorted
+    # element.
+    return (
+        _j4_pairs(spark, sf_dir)
+        .groupBy(F.col("pod_uid").cast("bigint").alias("pod_uid"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_services"),
+            F.min("service_uid").alias("first_service"),
+        )
     )
 
 
